@@ -1,0 +1,54 @@
+"""Exporter — the top-level pairing of a DataFrame source with a
+formatter, mirroring /root/reference/exporter.go:17-48 (``New`` +
+``Write`` + ``WriteFile``) on Spark.
+
+    from exporter_spark import Exporter, ExportSpec
+    from exporter_spark.formatters.csv import CSVFormatter
+
+    Exporter(df, CSVFormatter(ExportSpec().with_limit(100))).write_file("/tmp/out.csv")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.csv import CSVFormatter
+from exporter_spark.formatters.html import HTMLFormatter
+from exporter_spark.formatters.json import JSONFormatter
+from exporter_spark.formatters.xml import XMLFormatter
+from exporter_spark.plans.spec import ExportSpec
+
+_FORMATTERS = {
+    "csv": CSVFormatter,
+    "json": JSONFormatter,
+    "xml": XMLFormatter,
+    "html": HTMLFormatter,
+}
+
+
+def formatter(kind: str, spec: ExportSpec | None = None) -> BaseFormatter:
+    """Factory matching codec.CSV()/JSON()/XML()/HTML()
+    (/root/reference/codec/codec.go:24-44)."""
+    try:
+        return _FORMATTERS[kind](spec)
+    except KeyError:
+        raise ValueError(f"unknown format {kind!r}; one of {sorted(_FORMATTERS)}")
+
+
+class Exporter:
+    def __init__(self, df: DataFrame, fmt: BaseFormatter | str, spec: ExportSpec | None = None):
+        self.df = df
+        self.formatter = formatter(fmt, spec) if isinstance(fmt, str) else fmt
+
+    def write_string(self) -> str:
+        """Single ordered byte stream — exporter.Write(w) analog."""
+        return self.formatter.format_string(self.df)
+
+    def write_file(self, path: str) -> None:
+        """Single-file output — exporter.WriteFile analog."""
+        self.formatter.write_single_file(self.df, path)
+
+    def write(self, path: str) -> None:
+        """Distributed part-file output — the scale path."""
+        self.formatter.write(self.df, path)

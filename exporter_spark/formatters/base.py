@@ -1,0 +1,52 @@
+"""Formatter protocol — the Spark analog of codec.Codec
+(/root/reference/codec/codec.go:18-20).
+
+Every formatter has two execution paths:
+
+* ``write(df, path)`` — the scale path: distributed part-files via
+  Spark's native writers (or partition-parallel text for HTML). This
+  is what runs on a 1000-executor cluster; no driver funneling.
+* ``format_string(df)`` / ``write_single_file(df, path)`` — the
+  fidelity path: one ordered byte stream identical to what the
+  reference's io.Writer would receive. Streams through
+  ``toLocalIterator()`` so the driver holds one partition at a time,
+  but it is inherently a single-stream concentration point — used for
+  golden-file tests, oracle comparison, and small exports only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Protocol
+
+from pyspark.sql import DataFrame
+
+from exporter_spark.plans.spec import ExportSpec
+
+
+class Formatter(Protocol):
+    spec: ExportSpec
+
+    def write(self, df: DataFrame, path: str) -> None: ...
+
+    def iter_chunks(self, df: DataFrame) -> Iterator[str]: ...
+
+
+class BaseFormatter:
+    def __init__(self, spec: ExportSpec | None = None):
+        self.spec = spec or ExportSpec()
+
+    # -- fidelity path -------------------------------------------------------
+    def iter_chunks(self, df: DataFrame) -> Iterator[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def format_string(self, df: DataFrame) -> str:
+        return "".join(self.iter_chunks(df))
+
+    def write_single_file(self, df: DataFrame, path: str) -> None:
+        with open(path, "w", encoding="utf-8", newline="") as fh:
+            for chunk in self.iter_chunks(df):
+                fh.write(chunk)
+
+    # -- scale path ------------------------------------------------------------
+    def write(self, df: DataFrame, path: str) -> None:  # pragma: no cover
+        raise NotImplementedError

@@ -1,0 +1,103 @@
+"""HTML table formatter — parity target /root/reference/codec/html/html.go.
+
+Emits a standalone HTML document: styled ``<table>`` with a sticky
+header showing each column's name and lowercase type
+(html.go:104-109), display-string cells, and NULL rendered as a gray
+``[NULL]`` span (html.go:36). Like the reference, cell values are NOT
+HTML-escaped (html.go:160) — documented quirk, kept for parity.
+
+The template below is our own; it reproduces the reference's
+*structure* (doc skeleton, sticky thead, name+type header cells, null
+span), not its bytes.
+
+Fidelity path builds each ``<tr>`` as a single Catalyst concat
+expression (JVM-side), streaming only assembled row strings to the
+driver. Scale path writes the ``<tr>`` strings as text part files plus
+``_header.html`` / ``_footer.html`` companions so a downstream cat can
+assemble the document without re-reading data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exporter_spark.formatters.base import BaseFormatter
+
+NULL_SPAN = '<span style="color:#aaaaaa;">[NULL]</span>'
+
+_STYLE = """\
+<style>
+body { margin: 0; font-family: -apple-system, 'Segoe UI', Roboto, sans-serif; }
+table { border-collapse: collapse; width: 100%; }
+thead th { position: sticky; top: 0; background: #f4f4f4;
+  border-bottom: 2px solid #ccc; padding: 6px 10px; text-align: left; }
+thead small { color: #888; font-weight: normal; }
+td { border-bottom: 1px solid #eee; padding: 4px 10px; white-space: nowrap; }
+tr:hover td { background: #fafafa; }
+</style>
+"""
+
+
+class HTMLFormatter(BaseFormatter):
+    def _head(self, names: list[str], types: list[str]) -> str:
+        cells = "".join(
+            f"<th>{n}<br/><small>{t.lower()}</small></th>" for n, t in zip(names, types)
+        )
+        return (
+            "<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"utf-8\"/>\n"
+            + _STYLE
+            + "</head>\n<body>\n<table>\n<thead>\n<tr>"
+            + cells
+            + "</tr>\n</thead>\n<tbody>\n"
+        )
+
+    _FOOT = "</tbody>\n</table>\n</body>\n</html>\n"
+
+    def _row_expr(self, cols: list[str]) -> Column:
+        parts: list[Column] = [F.lit("<tr>")]
+        for c in cols:
+            parts.append(F.lit("<td>"))
+            # NULL ⇒ gray span (html.go:36); values unescaped (html.go:160)
+            parts.append(F.coalesce(F.col(c), F.lit(NULL_SPAN)))
+            parts.append(F.lit("</td>"))
+        parts.append(F.lit("</tr>"))
+        return F.concat(*parts).alias("__tr__")
+
+    def _header_parts(self, df: DataFrame) -> tuple[list[str], list[str]]:
+        names = self.spec.header_names(df)
+        types = [f.dataType.simpleString() for f in df.schema.fields]
+        return names, types
+
+    # -- fidelity path ---------------------------------------------------------
+    def iter_chunks(self, df: DataFrame) -> Iterator[str]:
+        spec = self.spec
+        names, types = self._header_parts(df)
+        out = spec.compile(df)
+        rows = out.select(self._row_expr(out.columns))
+        opened = False
+        if spec.header and spec.header_when_no_data:
+            yield self._head(names, types)
+            opened = True
+        for row in rows.toLocalIterator():
+            if not opened:
+                yield self._head(names, types)  # lazy header (html.go:146-157)
+                opened = True
+            yield row["__tr__"] + "\n"
+        if opened:
+            yield self._FOOT
+
+    # -- scale path --------------------------------------------------------------
+    def write(self, df: DataFrame, path: str) -> None:
+        spec = self.spec
+        names, types = self._header_parts(df)
+        out = spec.compile(df)
+        rows = out.select(self._row_expr(out.columns).alias("value"))
+        rows.write.mode("overwrite").text(path)
+        if spec.header:
+            with open(f"{path}/_header.html", "w", encoding="utf-8") as fh:
+                fh.write(self._head(names, types))
+            with open(f"{path}/_footer.html", "w", encoding="utf-8") as fh:
+                fh.write(self._FOOT)

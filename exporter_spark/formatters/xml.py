@@ -1,0 +1,97 @@
+"""XML formatter — parity target /root/reference/codec/xml/xml.go.
+
+Framing (xml.go:67-130): optional declaration line, ``<data>`` root,
+one ``<row>`` element per record with one child element per column;
+NULL cells omit their element entirely (xml.go:113-115); text is
+escaped with Go xml.EscapeText's entity set; element names are the raw
+column names (the reference does not sanitize — xml.go:116-119 — we
+keep that behavior on the fidelity path and document that the scale
+path, Spark's native XML writer, sanitizes).
+
+Fidelity path: the entire row string is built as ONE Catalyst
+expression (concat of per-column fragments), so escaping and framing
+run JVM-side inside codegen; the driver only concatenates chunks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exporter_spark.formatters.base import BaseFormatter
+
+_DECLARATION = '<?xml version="1.0" encoding="UTF-8"?>\n'
+
+# Go xml.EscapeText entity table (order matters: & first).
+_XML_ESCAPES = [
+    ("&", "&amp;"),
+    ("<", "&lt;"),
+    (">", "&gt;"),
+    ('"', "&#34;"),
+    ("'", "&#39;"),
+    ("\t", "&#x9;"),
+    ("\n", "&#xA;"),
+    ("\r", "&#xD;"),
+]
+
+
+def xml_escape_expr(col: Column) -> Column:
+    for raw, ent in _XML_ESCAPES:
+        col = F.replace(col, F.lit(raw), F.lit(ent))
+    return col
+
+
+def xml_escape(s: str) -> str:
+    for raw, ent in _XML_ESCAPES:
+        s = s.replace(raw, ent)
+    return s
+
+
+class XMLFormatter(BaseFormatter):
+    def _row_expr(self, cols: list[str], tags: list[str]) -> Column:
+        parts = [F.lit(f"<{self.spec.row_tag}>")]
+        for c, tag in zip(cols, tags):
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("")).otherwise(
+                    F.concat(
+                        F.lit(f"<{tag}>"), xml_escape_expr(F.col(c)), F.lit(f"</{tag}>")
+                    )
+                )
+            )
+        parts.append(F.lit(f"</{self.spec.row_tag}>"))
+        return F.concat(*parts).alias("__xml__")
+
+    # -- fidelity path ---------------------------------------------------------
+    def iter_chunks(self, df: DataFrame) -> Iterator[str]:
+        spec = self.spec
+        out = spec.compile(df)
+        tags = spec.header_names(out)
+        rows = out.select(self._row_expr(out.columns, tags))
+        opened = False
+        for row in rows.toLocalIterator():
+            if not opened:
+                if spec.declaration:
+                    yield _DECLARATION
+                yield f"<{spec.root_tag}>\n"
+                opened = True
+            yield row["__xml__"] + "\n"
+        if opened:
+            yield f"</{spec.root_tag}>\n"
+        # empty input / limit=0 ⇒ no output at all (xml.go:68-70)
+
+    # -- scale path --------------------------------------------------------------
+    def write(self, df: DataFrame, path: str) -> None:
+        spec = self.spec
+        out = spec.compile(df)
+        if spec.custom_header is not None:
+            out = out.toDF(*spec.header_names(df))
+        (
+            out.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", spec.root_tag)
+            .option("rowTag", spec.row_tag)
+            .option("declaration", 'version="1.0" encoding="UTF-8"')
+            .save(path)
+        )

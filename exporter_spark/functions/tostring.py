@@ -1,0 +1,153 @@
+"""Display-string expression library.
+
+Re-expresses the reference's value→string serialization table
+(/root/reference/tostring/tostring.go:34-98) as Spark column
+expressions. A "display string" of NULL means the cell is NULL; the
+formatter layer decides how NULL is rendered (empty string for CSV,
+element omission for XML, ``[NULL]`` span for HTML, native null for
+JSON) — see /root/reference/codec/*/ and SURVEY.md §2.3 T3/T4.
+
+Semantics implemented:
+  nil                  → NULL                         (tostring.go:35-37)
+  string / []byte      → identity / UTF-8 decode      (tostring.go:39-42)
+  bool                 → "true" / "false"             (tostring.go:43-44)
+  ints / uints         → base-10                      (tostring.go:45-64)
+  time.Time            → zero time ⇒ NULL, else
+                         RFC3339Nano (trailing frac
+                         zeros trimmed, "Z" for UTC)  (tostring.go:65-70)
+  float32/float64      → shortest round-trip decimal,
+                         fixed notation, no exponent,
+                         integral values lose ".0"    (tostring.go:71-74)
+  complex (array/map/
+  struct)              → JSON; "[]"/"{}"/"null" ⇒ NULL (tostring.go:76-96)
+
+Everything except the Go-exact float path is a JVM-side expression
+(whole-stage-codegen friendly). The Go-exact float formatter needs
+shortest-round-trip digits re-rendered without exponent notation,
+which no Spark builtin produces — it is an Arrow-vectorized pandas
+UDF, opt-in via ``float_mode="go"``. The default ``float_mode="java"``
+uses Spark's CAST (Java ``Double.toString``) and stays fully codegen'd;
+at 100 TB that is the path you want unless byte-parity with the Go
+library is required.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["display_expr", "display_columns", "go_float_str"]
+
+# Go's zero time.Time (tostring.go:67-69: IsZero() ⇒ NULL).
+_GO_ZERO_TIME = "0001-01-01 00:00:00"
+
+
+def _go_fixed_repr(v: float) -> str | None:
+    """Python port of strconv.FormatFloat(v, 'f', -1, 64).
+
+    repr() gives the shortest round-trip digits (same algorithm family
+    as Go); Decimal re-renders them in fixed notation; the trailing
+    ".0" of integral values is stripped (Go prints 3.0 as "3").
+    """
+    if v != v:  # NaN (also how nulls arrive through Arrow; caller masks them)
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    s = format(Decimal(repr(v)), "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
+
+
+@pandas_udf(T.StringType())
+def go_float_str(s: pd.Series) -> pd.Series:
+    return s.map(_go_fixed_repr)
+
+
+def _rfc3339nano(col: Column) -> Column:
+    """RFC3339Nano with trailing fractional zeros trimmed, per Go
+    time.Format(time.RFC3339Nano). Session timezone is UTC ⇒ "Z"."""
+    frac = F.date_format(col, "SSSSSS")
+    frac = F.regexp_replace(frac, "0+$", "")
+    return F.concat(
+        F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac)),
+        F.lit("Z"),
+    )
+
+
+def display_expr(
+    col: Column,
+    dt: T.DataType,
+    *,
+    float_mode: str = "java",
+) -> Column:
+    """Column expression producing the display string for one column.
+
+    NULL result ⇔ NULL cell (formatters decide the rendering).
+    float_mode: "java" (CAST, codegen fast path) | "go" (byte-parity
+    with strconv.FormatFloat via Arrow pandas UDF).
+    """
+    if isinstance(dt, T.StringType):
+        return col
+    if isinstance(dt, T.BinaryType):
+        return col.cast("string")  # UTF-8 decode, matches Go string(v)
+    if isinstance(dt, T.BooleanType):
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(col, "true").otherwise("false")
+        )
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)):
+        return col.cast("string")
+    if isinstance(dt, T.TimestampType):
+        return F.when(
+            col.isNull() | (col == F.to_timestamp(F.lit(_GO_ZERO_TIME))),
+            F.lit(None).cast("string"),
+        ).otherwise(_rfc3339nano(col))
+    if isinstance(dt, T.DateType):
+        # Go has no date type (time.Time covers it); ISO date chosen.
+        return F.date_format(col, "yyyy-MM-dd")
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        d = col.cast("double")
+        if float_mode == "go":
+            return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+                go_float_str(d)
+            )
+        return d.cast("string")
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        j = F.to_json(col)
+        # tostring.go:80-83 / :92-95 — empty/null JSON payloads are NULL cells.
+        return F.when(j.isin("[]", "{}", "null") | j.isNull(), F.lit(None)).otherwise(j)
+    # Fallback mirrors the reference's final fmt.Sprintf("%v") (tostring.go:96).
+    return col.cast("string")
+
+
+def display_columns(
+    df,
+    *,
+    float_mode: str = "java",
+    formatters: dict[str, Column] | None = None,
+    timestamp_mode: str = "rfc3339nano",
+) -> list[Column]:
+    """One display-string Column per df column, preserving names.
+
+    ``formatters`` maps column name → ready Column expression and
+    overrides the default (the Spark analog of the reference's
+    per-type custom mappers, codec/csv/csv.go:52-63; keyed by column
+    here because Spark schemas make per-type == per-column-set).
+    """
+    formatters = formatters or {}
+    out = []
+    for f in df.schema.fields:
+        if f.name in formatters:
+            expr = formatters[f.name]
+        else:
+            expr = display_expr(F.col(f.name), f.dataType, float_mode=float_mode)
+        out.append(expr.alias(f.name))
+    return out

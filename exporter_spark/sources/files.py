@@ -1,0 +1,76 @@
+"""File sources — the engine's scan layer.
+
+The reference's scanner/ package abstracts "anything that yields rows"
+(scanner/scanner.go:8-23); in Spark the DataFrame *is* that
+abstraction, so these are just well-behaved constructors. Parquet is
+the primary format (columnar, predicate-pushdown + column-pruning at
+the scan — the 100 TB path); CSV/JSON readers are provided for parity
+with what the reference can ingest indirectly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns written as TIMESTAMP(NANOS) by the data generator. Spark's
+# reader has no nanos timestamp type; with
+# spark.sql.legacy.parquet.nanosAsLong=true they arrive as LongType
+# (nanos since epoch) and are restored here at microsecond precision
+# (lossless for this data; DuckDB does the same ns→us truncation).
+_NANOS_COLS = {"events": ["ts"]}
+
+
+def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    name = table or os.path.splitext(os.path.basename(path))[0]
+    for c in _NANOS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return from_parquet(spark, f"{sf_dir}/{name}.parquet", table=name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver tables as a dict; also registers each as a temp view
+    so spark.sql(...) works over them."""
+    out = {}
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def from_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def from_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def from_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
+    return spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
