@@ -1,0 +1,62 @@
+"""Source layer semantics vs /root/reference/scanner/."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from exporter_spark.sources.data import from_data
+from exporter_spark.sources.files import load_table, load_tables
+from exporter_spark.sources.hive import dequalify_columns
+
+
+def test_from_data_naming_and_inference(spark):
+    df = from_data(spark, [[1, "a", 3.14, dt.datetime(2024, 1, 1)], [2, "b", 2.71, None]])
+    assert df.columns == ["column_0", "column_1", "column_2", "column_3"]
+    types = [f.dataType for f in df.schema.fields]
+    assert types == [T.LongType(), T.StringType(), T.DoubleType(), T.TimestampType()]
+    # Go-type names recorded as source_type (slice.go:78-82)
+    assert df.schema.fields[0].metadata["source_type"] == "int64"
+    assert df.schema.fields[3].metadata["source_type"] == "time.Time"
+    assert df.count() == 2
+
+
+def test_from_data_nil_first_cell(spark):
+    df = from_data(spark, [[None], ["x"]])
+    assert df.schema.fields[0].metadata["source_type"] == "nil"
+    assert isinstance(df.schema.fields[0].dataType, T.StringType)
+
+
+def test_from_data_arity_check(spark):
+    with pytest.raises(ValueError, match="row 2 has 1 cells"):
+        from_data(spark, [[1, 2], [3]])
+
+
+def test_from_data_empty(spark):
+    assert from_data(spark, []).count() == 0
+
+
+def test_load_tables_all_present(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    # temp views registered
+    assert spark.sql("SELECT count(*) c FROM lineitem").first()["c"] == 6000
+
+
+def test_events_nanos_timestamp_restored(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    f = dict((fld.name, fld.dataType) for fld in events.schema.fields)
+    assert isinstance(f["ts"], T.TimestampType)
+    first = events.orderBy("event_id").first()
+    assert first["ts"] == dt.datetime(2024, 1, 1, 0, 9, 58, 778549)
+
+
+def test_dequalify_columns(spark):
+    df = spark.createDataFrame([(1, "x")], ["t.a", "b"])
+    out = dequalify_columns(df)
+    assert out.columns == ["a", "b"]
