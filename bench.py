@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + exports at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Everything else (Spark logs) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from exporter_spark import Exporter, ExportSpec  # noqa: E402
+from exporter_spark.queries import QUERIES  # noqa: E402
+from exporter_spark.session import get_spark  # noqa: E402
+from exporter_spark.sources.files import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the corpus: scans+aggs, multi-join, window,
+# time-series agg, text ops, LSH dedup, vector search.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q4_priority_returns",
+    "top_customers_per_nation",
+    "events_hourly",
+    "events_sessions",
+    "token_stats_by_lang",
+    "doc_fingerprints",
+    "dedup_exact_docs",
+    "minhash_near_dup_pairs",
+    "cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan (noop sink: no skipped projections, no
+    collect concentration)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("exporter_spark-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _force(QUERIES[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    # Export benches: lineitem through each distributed sink.
+    li = load_table(spark, SF_DIR, "lineitem")
+    out_root = tempfile.mkdtemp(prefix="exporter_spark_bench_")
+    try:
+        for fmt in ("csv", "json", "xml"):
+            t0 = time.perf_counter()
+            Exporter(li, fmt, ExportSpec()).write(f"{out_root}/{fmt}")
+            timings[f"export_{fmt}"] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] export_{fmt}: {timings[f'export_{fmt}']}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,9 +66,33 @@ def _go_fixed_repr(v: float) -> str | None:
     return s or "0"
 
 
-@pandas_udf(T.StringType())
-def go_float_str(s: pd.Series) -> pd.Series:
-    return s.map(_go_fixed_repr)
+def _make_go_float_udf():
+    """Build the UDF with the conversion logic in a closure so
+    cloudpickle serializes it BY VALUE — executors then don't need
+    exporter_spark on their PYTHONPATH (important when the caller's
+    session wasn't created by our get_spark)."""
+    from decimal import Decimal as _D
+
+    def fixed(v):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "+Inf"
+        if v == float("-inf"):
+            return "-Inf"
+        s = format(_D(repr(v)), "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
+
+    @pandas_udf(T.StringType())
+    def go_float_str(s: pd.Series) -> pd.Series:
+        return s.map(fixed)
+
+    return go_float_str
+
+
+go_float_str = _make_go_float_udf()
 
 
 def _rfc3339nano(col: Column) -> Column:

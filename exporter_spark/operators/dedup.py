@@ -1,0 +1,343 @@
+"""Deduplication operators — exact, hash, MinHash+LSH, n-gram
+Jaccard, SimHash.
+
+North-star extensions (SURVEY.md §2.5); none exist in the reference.
+Everything is expressed with built-in column functions so the hot
+path stays JVM-side, and — where feasible — with engine-portable
+primitives (md5 hex, replace/length arithmetic) so the DuckDB oracle
+can replay the exact computation.
+
+Scale design:
+  * exact/hash dedup — one hash-partitioned shuffle on the digest;
+    digests (32-64 chars) shuffle instead of document bodies.
+  * MinHash — signatures are computed map-side; only
+    (band_id, band_hash, doc_id) triples shuffle for the LSH
+    bucket-join, keeping candidate generation out of O(n²). Bands and
+    rows-per-band tune the similarity threshold curve.
+  * n-gram Jaccard — O(n²) *within a blocking key only*; the block
+    column must keep groups small (it is the unit of skew).
+  * SimHash — map-side 32-bit fingerprint; near-dup = small hamming
+    distance, found by exact-prefix banding on rotated fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Ensure at least default-parallelism partitions before heavy
+    map-side work. A small dimension table (or a single parquet file)
+    arrives as 1 partition and would serialize the whole hash/shingle
+    pipeline onto one core; a table that's already well-partitioned
+    (the 100 TB case) passes through untouched — no extra shuffle."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, *key_cols) if key_cols else df.repartition(p)
+    return df
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by order_col) per distinct key tuple.
+
+    Window-based rather than dropDuplicates so the survivor choice is
+    deterministic — required for oracle comparison and for idempotent
+    re-runs at scale.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def hash_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Dedup on a sha256 digest of the selected columns. At 100 TB the
+    win is shuffling 64-char digests instead of document bodies."""
+    digest = F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in cols]), 256)
+    out = df.withColumn("__digest__", digest)
+    return exact_dedup(out, ["__digest__"], order_col).drop("__digest__")
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingle_sql(text_col: str, n: int) -> str:
+    """Distinct character n-gram array as an engine-portable SQL
+    fragment. Texts shorter than n produce an empty set (guarded
+    explicitly: Spark's sequence(1, 0) would count *down*, DuckDB's
+    generate_series would return empty — the guard unifies them)."""
+    return (
+        f"if(length({text_col}) < {n}, array(),"
+        f" array_distinct(transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))))"
+    )
+
+
+def char_shingles(text_col: str, n: int) -> Column:
+    """Distinct character n-grams (JVM-side; same semantics in DuckDB)."""
+    return F.expr(shingle_sql(text_col, n))
+
+
+def word_tokens(text_col: str) -> Column:
+    return F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_over(shingles_col: str, num_hashes: int) -> Column:
+    """MinHash signature as array<string> over an ALREADY MATERIALIZED
+    shingle-array column: element i is the minimum md5 hex over all
+    shingles salted with seed i.
+
+    md5-hex minima form a valid uniform min-hash family (lexicographic
+    order on fixed-width hex == numeric order on the 128-bit value)
+    and are bit-identical across Spark and DuckDB, which makes the
+    whole pipeline oracle-replayable — no engine-specific hash().
+
+    Taking a column (not the text expression) matters for speed: the
+    shingle array is built once per document instead of once per hash
+    seed — at 32 seeds that is a 32× cut of the substring/dedup work.
+    """
+    sigs = ", ".join(
+        f"array_min(transform({shingles_col}, s -> md5(concat('{i}:', s))))"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"array({sigs})")
+
+
+def minhash_signature(text_col: str, num_hashes: int, shingle_n: int) -> Column:
+    """Convenience one-expression form (prefer minhash_over + a
+    materialized shingle column in pipelines)."""
+    return minhash_over(shingle_sql(text_col, shingle_n), num_hashes)
+
+
+def minhash_bands(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """Band hashes: md5 of the concatenated signature slice per band."""
+    parts = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        slice_expr = f"slice({sig_col}, {lo + 1}, {rows_per_band})"
+        parts.append(f"md5(array_join({slice_expr}, '|'))")
+    return F.expr(f"array({', '.join(parts)})")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id), deduplicated across bands.
+
+    Shuffle volume is O(docs × bands) small triples; the quadratic
+    blow-up is confined to same-bucket collisions.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _spread(df, id_col).select(
+        F.col(id_col).alias("__id__"),
+        char_shingles(text_col, shingle_n).alias("__sh__"),
+    ).select("__id__", minhash_over("__sh__", num_hashes).alias("__sig__"))
+    banded = sigs.select(
+        "__id__",
+        F.posexplode(minhash_bands("__sig__", bands, rows_per_band)).alias(
+            "__band__", "__bhash__"
+        ),
+    )
+    # Shuffle the banded triples on the join key: both sides of the
+    # self-join below then hang off the SAME exchange, which the
+    # physical planner dedupes (ReusedExchange) — the expensive
+    # signature pipeline runs once, with no cache lifetime to manage.
+    banded = banded.repartition("__band__", "__bhash__")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.__band__") == F.col("r.__band__"))
+            & (F.col("l.__bhash__") == F.col("r.__bhash__"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("a_id"), F.col("r.__id__").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; returns
+    (a_id, b_id, jaccard) with jaccard >= threshold."""
+    df = _spread(df, id_col)
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        char_shingles(text_col, shingle_n).alias("__sh__"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        pairs.join(a, pairs.a_id == F.col("a.__id__"))
+        .join(b, pairs.b_id == F.col("b.__id__"))
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a.__sh__", "b.__sh__")).alias("__inter__"),
+            F.size("a.__sh__").alias("__na__"),
+            F.size("b.__sh__").alias("__nb__"),
+        )
+    )
+    jac = F.col("__inter__") / (F.col("__na__") + F.col("__nb__") - F.col("__inter__"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH → exact Jaccard verification. The standard near-dup
+    pipeline: banded LSH proposes, exact Jaccard disposes."""
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    return jaccard_verify_pairs(
+        cands, df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs shingle Jaccard within a blocking key. Exact but
+    quadratic per block — the blocking column is the scale contract."""
+    df = _spread(df, id_col)
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(block_col).alias("__blk__"),
+        char_shingles(text_col, shingle_n).alias("__sh__"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.__blk__") == F.col("b.__blk__"))
+        & (F.col("a.__id__") < F.col("b.__id__")),
+    ).select(
+        F.col("a.__id__").alias("a_id"),
+        F.col("b.__id__").alias("b_id"),
+        F.size(F.array_intersect("a.__sh__", "b.__sh__")).alias("__inter__"),
+        F.size("a.__sh__").alias("__na__"),
+        F.size("b.__sh__").alias("__nb__"),
+    )
+    jac = F.col("__inter__") / (F.col("__na__") + F.col("__nb__") - F.col("__inter__"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash32(text_col: str) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    Per token, 32 bits are taken from the first 8 hex chars of its
+    md5; each bit contributes ±1 to its lane; the fingerprint is the
+    sign vector. Pure expressions (conv + bit ops), no UDF.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    lanes = []
+    for bit in range(32):
+        # sum over tokens of (2*bit_j - 1)  ⇒ positive ⇒ bit set
+        lanes.append(
+            f"shiftleft(cast(aggregate({hashes}, 0L, (acc, h) ->"
+            f" acc + 2 * (shiftright(h, {bit}) & 1) - 1) > 0 as bigint), {bit})"
+        )
+    return F.expr("cast(" + " + ".join(lanes) + " as bigint)")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 32-bit fingerprint into
+    ``num_tables`` 8-bit chunks; by pigeonhole, any pair within
+    hamming ≤ num_tables-1 shares at least one exact chunk, so an
+    exact equi-join per chunk finds all of them without O(n²).
+    """
+    fp = _spread(df, id_col).select(
+        F.col(id_col).alias("__id__"), simhash32(text_col).alias("__fp__")
+    )
+    chunk_bits = 32 // num_tables
+    chunks = fp.select(
+        "__id__",
+        "__fp__",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftright(__fp__, {i * chunk_bits}) & {(1 << chunk_bits) - 1}"
+                    for i in range(num_tables)
+                )
+                + ")"
+            )
+        ).alias("__tbl__", "__chunk__"),
+    )
+    # pre-shuffle on the join key → ReusedExchange across the self-join
+    chunks = chunks.repartition("__tbl__", "__chunk__")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__tbl__") == F.col("b.__tbl__"))
+            & (F.col("a.__chunk__") == F.col("b.__chunk__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("a_id"),
+            F.col("b.__id__").alias("b_id"),
+            F.bit_count(F.col("a.__fp__").bitwiseXOR(F.col("b.__fp__"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

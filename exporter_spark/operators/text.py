@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (SURVEY.md §2.4-2.5) — these are the
+north-star extensions over the ``documents`` table. Every operator is
+a pure column expression (whole-stage codegen, no Python in the hot
+path) and is deliberately written with SQL-expressible semantics so
+the DuckDB oracle can replay it exactly.
+
+Scale notes: all are embarrassingly parallel map-side transforms — no
+shuffle at any size; predicate pushdown and column pruning reach the
+parquet scan untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword lang-ID
+# heuristic. Chosen to be ASCII so Spark's Java regex and DuckDB's RE2
+# behave identically in the oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "por", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # romanized markers
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_marker_hits(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole whitespace-delimited token:
+    split on whitespace, count equal tokens. Lambda-based so the
+    DuckDB oracle replays it verbatim
+    (len(list_filter(regexp_split_to_array(t,'\\s+'), x -> x = w)))."""
+    toks = F.split(text, r"\s+")
+    return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum(word_marker_hits(text, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language ID. Argmax score; ties break by
+    language code ascending; all-zero scores → 'und'."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores):  # ascending ⇒ earlier lang wins ties via >
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best_s, best_l = best
+            best = (
+                F.when(s > best_s, s).otherwise(best_s),
+                F.when(s > best_s, F.lit(lang)).otherwise(best_l),
+            )
+    score, lang = best
+    return F.when(score <= 0, F.lit("und")).otherwise(lang)
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score from mechanical text statistics:
+    starts from 1.0 and penalizes degenerate length, short tokens, and
+    punctuation-free or punctuation-heavy text. Deterministic, purely
+    arithmetic, oracle-replayable."""
+    n = F.length(text)
+    toks = token_count(text)
+    avg_word = F.when(toks > 0, (n - (toks - 1)) / toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct_count(text) / n).otherwise(F.lit(0.0))
+    len_pen = F.when((n >= 100) & (n <= 10000), 0.0).otherwise(0.4)
+    word_pen = F.when((avg_word >= 3) & (avg_word <= 12), 0.0).otherwise(0.3)
+    punct_pen = F.when(punct_ratio <= 0.1, 0.0).otherwise(0.3)
+    return F.round(F.greatest(F.lit(0.0), F.lit(1.0) - len_pen - word_pen - punct_pen), 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint: md5 hex of the normalized text.
+    Identical in Spark and DuckDB (both lowercase-hex UTF-8 md5), so
+    exact-dup detection on the fingerprint is oracle-checkable."""
+    return F.md5(normalize_text(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop profile: tokens, language guess, quality, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

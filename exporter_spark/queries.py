@@ -1,0 +1,696 @@
+"""Query corpus — every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation (DataFrame API, Catalyst
+planning) with an ANSI-SQL oracle that DuckDB replays over the same
+parquet tables. Names and aliases match column-for-column; see
+__spark_entry__.py.
+
+Determinism rules used throughout (so value-hashes match bit-for-bit
+across engines):
+  * float aggregation: terms are cast to DECIMAL(18,s) *before* SUM —
+    decimal addition is exact and order-independent — then the total
+    is cast back to double (same decimal → same double in any engine).
+    Plain double SUM would differ in the last bits between Spark's
+    partial-aggregate tree and DuckDB's scan order.
+  * averages/similarities are rounded (6 dp) after deterministic
+    numerators/denominators.
+  * every top-k has a total order (metric desc, key asc).
+  * md5-hex is the only hash primitive (identical in both engines);
+    LSH hyperplanes are driver-computed literals inlined in both
+    dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exporter_spark.functions.tostring import display_expr
+from exporter_spark.operators import dedup, similarity, text
+from exporter_spark.operators.multimodal import extract_features
+from exporter_spark.sources.files import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over pre-registered views, or None
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        QUERIES[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _dsum(col, scale: int):
+    """Order-independent float sum: decimal-cast terms, exact decimal
+    add, result back to double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# =====================================================================
+# Relational corpus (TPC-H-flavored; Spark built-ins are the engine)
+# =====================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "sum_disc_price"
+        ),
+        _dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            6,
+        ).alias("sum_charge"),
+        F.round(
+            _dsum(F.col("l_quantity"), 2) / F.count("*"), 6
+        ).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q3_top_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "q6_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "q4_priority_returns",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_returns(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "top_customers_per_nation",
+    """
+    WITH spend AS (
+      SELECT n_name, c_custkey, c_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_name, c_custkey, c_name)
+    SELECT n_name, c_custkey, c_name, total_spend, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                                   ORDER BY total_spend DESC, c_custkey ASC) AS rnk
+      FROM spend)
+    WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(_dsum(F.col("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+    )
+
+
+@_register(
+    "distinct_counts",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register(
+    "mktsegment_stats",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def mktsegment_stats(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    total = _dsum(F.col("c_acctbal"), 2)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        total.alias("total_bal"),
+        F.round(total / F.count("*"), 6).alias("avg_bal"),
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour_bucket, event_type
+    """,
+)
+def events_hourly(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dsum(F.col("value"), 2).alias("total_value"),
+    )
+
+
+@_register(
+    "events_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, epoch_us(ts) -
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           1 + COUNT(*) FILTER (gap_us > 1800000000) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessions(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            1
+            + F.count(F.when(F.col("gap_us") > 1_800_000_000, 1))
+        ).cast("bigint").alias("n_sessions"),
+    )
+
+
+# =====================================================================
+# Export-surface semantics as queries (the tostring layer, SURVEY §1.2)
+# =====================================================================
+
+
+@_register(
+    "tostring_events",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+             CASE WHEN microsecond(ts) % 1000000 = 0 THEN ''
+                  ELSE '.' || regexp_replace(printf('%06d', microsecond(ts) % 1000000), '0+$', '')
+             END || 'Z' AS ts_str,
+           CASE WHEN value = trunc(value) THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+                ELSE CAST(value AS VARCHAR) END AS value_str,
+           event_type, props
+    FROM events
+    """,
+)
+def tostring_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    fields = {f.name: f.dataType for f in e.schema.fields}
+    return e.select(
+        display_expr(F.col("event_id"), fields["event_id"]).alias("event_id"),
+        display_expr(F.col("ts"), fields["ts"]).alias("ts_str"),
+        display_expr(F.col("value"), fields["value"], float_mode="go").alias(
+            "value_str"
+        ),
+        F.col("event_type"),
+        F.col("props"),
+    )
+
+
+# =====================================================================
+# Text analysis (operators/text.py over documents)
+# =====================================================================
+
+_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+@_register(
+    "token_stats_by_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM({_TOKENS_SQL}) AS total_tokens,
+           MIN({_TOKENS_SQL}) AS min_tokens,
+           MAX({_TOKENS_SQL}) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.min(toks).alias("min_tokens"),
+        F.max(toks).alias("max_tokens"),
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of operators.text.lang_id, generated from
+    LANG_MARKERS so both dialects stay in sync."""
+    score = {
+        lang: " + ".join(
+            f"len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = '{w}'))"
+            for w in words
+        )
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    first_max = " ".join(f"WHEN s_{l} = __mx THEN '{l}'" for l in langs)
+    scores_sel = ", ".join(f"{score[l]} AS s_{l}" for l in langs)
+    return f"""
+    WITH scored AS (SELECT lang, {scores_sel} FROM documents),
+    best AS (SELECT lang, CASE WHEN __mx <= 0 THEN 'und' {first_max} END AS lang_guess
+             FROM (SELECT *, {mx} AS __mx FROM scored))
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM best GROUP BY lang, lang_guess
+    """
+
+
+@_register("lang_id_confusion", _lang_id_sql())
+def lang_id_confusion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", text.lang_id(F.col("text")).alias("lang_guess")).groupBy(
+        "lang", "lang_guess"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@_register(
+    "quality_by_source",
+    f"""
+    WITH q AS (
+      SELECT source,
+        ROUND(greatest(0.0, 1.0
+          - CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.0 ELSE 0.4 END
+          - CASE WHEN ({_TOKENS_SQL}) > 0
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) >= 3
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) <= 12
+                 THEN 0.0 ELSE 0.3 END
+          - CASE WHEN length(text) = 0 OR
+                      (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                      / length(text) <= 0.1
+                 THEN 0.0 ELSE 0.3 END), 6) AS quality
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+    FROM q GROUP BY source
+    """,
+)
+def quality_by_source(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    return d.select("source", q.alias("quality")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        _dsum(F.col("quality"), 6).alias("total_quality"),
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# Deduplication (operators/dedup.py over documents)
+# =====================================================================
+
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+_MINHASH = dict(num_hashes=32, bands=8, shingle_n=8, threshold=0.7)
+
+
+def _minhash_oracle() -> str:
+    n = _MINHASH["shingle_n"]
+    rows = _MINHASH["num_hashes"] // _MINHASH["bands"]
+    shingle = (
+        f"CASE WHEN length(text) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(generate_series(1, length(text) - {n - 1}),"
+        f" i -> substr(text, i, {n}))) END"
+    )
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(_MINHASH["num_hashes"])
+    )
+    bands = list(range(_MINHASH["bands"]))
+    return f"""
+    WITH sh AS (SELECT doc_id, {shingle} AS sh FROM documents),
+    sigs AS (SELECT doc_id, [{sig}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(sig[(b.band * {rows} + 1):(b.band * {rows} + {rows})], '|')) AS bhash
+      FROM sigs, UNNEST({bands}) AS b(band)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT a_id, b_id,
+             ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cands JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_MINHASH["threshold"]}
+    """
+
+
+@_register("minhash_near_dup_pairs", _minhash_oracle())
+def minhash_near_dup_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+
+
+_NGRAM = dict(shingle_n=8, threshold=0.6)
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_band,
+             CASE WHEN length(text) < {_NGRAM["shingle_n"]} THEN []
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, length(text) - {_NGRAM["shingle_n"] - 1}),
+                    i -> substr(text, i, {_NGRAM["shingle_n"]}))) END AS sh
+      FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_NGRAM["threshold"]}
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), (F.col("n_chars") / 100).cast("int"))
+    )
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", "blk", shingle_n=_NGRAM["shingle_n"],
+        threshold=_NGRAM["threshold"],
+    )
+
+
+@_register("simhash_near_dup_pairs", None)  # bit ops not portable → rows-only check
+def simhash_near_dup_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# =====================================================================
+# Similarity search (operators/similarity.py over embeddings)
+# =====================================================================
+
+_COSINE_SQL = (
+    "ROUND(list_inner_product(a.v, b.v) /"
+    " (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
+)
+
+
+@_register(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_SQL.replace('a.v','a.v').replace('b.v','b.v')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rank
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+_LSH = dict(dims=64, planes=6)
+
+
+def _lsh_topk_oracle() -> str:
+    sig = similarity.lsh_signature_sql(
+        "(embedding::DOUBLE[])", _LSH["dims"], _LSH["planes"]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS sig FROM embeddings)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_SQL} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rank
+      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 5)
+    WHERE rank <= 5
+    """
+
+
+@_register("lsh_ann_topk", _lsh_topk_oracle())
+def lsh_ann_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(e, q, k=5, dims=_LSH["dims"], planes=_LSH["planes"])
+
+
+_NEARDUP = dict(threshold=0.3, dims=64, planes=4)
+
+
+def _emb_near_dup_oracle() -> str:
+    sig = similarity.lsh_signature_sql(
+        "(embedding::DOUBLE[])", _NEARDUP["dims"], _NEARDUP["planes"]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS sig FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COSINE_SQL} AS sim
+    FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL} >= {_NEARDUP["threshold"]}
+    """
+
+
+@_register("embedding_near_dup", _emb_near_dup_oracle())
+def embedding_near_dup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        e, threshold=_NEARDUP["threshold"], dims=_NEARDUP["dims"],
+        planes=_NEARDUP["planes"],
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (stubbed decode; Spark mechanics are real)
+# =====================================================================
+
+
+@_register("multimodal_feature_stats", None)  # pandas-UDF decode → rows-only check
+def multimodal_feature_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, n_features=4)
+    return feats.select(
+        "media_id",
+        F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -38,11 +38,15 @@ _NANOS_COLS = {"events": ["ts"]}
 
 
 def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    # Dynamic conf: harmless if already set by get_spark; required when
+    # the caller brings their own session (e.g. the driver harness).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     name = table or os.path.splitext(os.path.basename(path))[0]
     for c in _NANOS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer div — float division would round 64-bit nanos
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,173 @@
+"""Extension operators: dedup / similarity / text / multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exporter_spark.operators import dedup, multimodal, similarity, text
+from exporter_spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("",), ("   ",), ("single",)], "t string"
+    )
+    got = [r[0] for r in df.select(text.token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_word_marker_hits_adjacent(spark):
+    df = spark.createDataFrame([("the the the",), ("a the b",), ("nothe",)], "t string")
+    got = [r[0] for r in df.select(text.word_marker_hits(F.col("t"), "the")).collect()]
+    assert got == [3, 1, 0]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist da",),
+            ("xyz qqq zzz",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(text.lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
+    fps = [r[0] for r in df.select(text.fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 32
+
+
+def test_text_profile_on_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    prof = text.text_profile(docs)
+    row = prof.orderBy("doc_id").first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_guess"] is not None
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark query engines"),
+        (5, "another unrelated document mentioning parquet files only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = dedup.exact_dedup(dup_docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 removed, first (min doc_id) kept
+
+
+def test_hash_dedup(dup_docs):
+    out = dedup.hash_dedup(dup_docs, ["text"], "doc_id")
+    assert out.count() == 4
+    assert out.columns == ["doc_id", "text"]  # helper columns dropped
+
+
+def test_minhash_pipeline(dup_docs):
+    pairs = dedup.minhash_dedup_pairs(
+        dup_docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=4, threshold=0.5
+    )
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup always collides
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # near dup found
+    assert all(a != 4 and b != 4 for a, b in got)  # unrelated not paired
+
+
+def test_ngram_jaccard_pairs(dup_docs, spark):
+    blocked = dup_docs.withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", "blk", shingle_n=4, threshold=0.5
+    )
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_near_dup(dup_docs):
+    pairs = dedup.simhash_near_dup_pairs(dup_docs, "doc_id", "text", max_hamming=3)
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text ⇒ identical fingerprint
+    assert (1, 3) in got  # one-word change ⇒ few bits
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20).cache()
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    out = emb.alias("a").crossJoin(emb.alias("b")).filter(
+        (F.expr("a.vec_id") == 0) & (F.expr("b.vec_id") == 1)
+    ).select(similarity.cosine("a.embedding", "b.embedding").alias("c")).first()
+    a, b = rows[0], rows[1]
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(out["c"] - expected) < 1e-9
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_is_subset_quality(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.lsh_topk(emb, queries, k=3, dims=64, planes=4).collect()
+    # LSH with few planes should return results for both queries and
+    # sims can't exceed the exact best
+    best = {r["query_id"]: r["sim"] for r in exact if r["rank"] == 1}
+    for r in approx:
+        assert r["sim"] <= best[r["query_id"]] + 1e-9
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_extract_features_deterministic(spark):
+    rows = [(1, bytearray(b"payload-one"), ("image", "png", 8, 8, None))]
+    df = spark.createDataFrame(rows * 2, multimodal.media_schema())
+    out = multimodal.extract_features(df, n_features=4).collect()
+    assert len(out) == 2
+    assert out[0]["features"] == out[1]["features"]
+    assert len(out[0]["features"]) == 4
+    assert all(0.0 <= v < 1.0 for v in out[0]["features"])
+
+
+def test_sample_frames(spark):
+    rows = [(1, bytearray(b"vid"), ("video", "mp4", None, None, 3500))]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = multimodal.sample_frames(df, every_ms=1000).collect()
+    assert [r["ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+    assert all(r["frame_ref"] for r in out)
