@@ -1,0 +1,75 @@
+"""Relational operators Spark lacks as built-ins.
+
+As-of join: for each left row, the most recent right row with
+right.ts <= left.ts within the key group (DuckDB/kdb/pandas
+``merge_asof`` semantics; DuckDB spells it ASOF LEFT JOIN).
+
+Spark-first implementation — the union/carry-forward trick:
+instead of a per-left-row range probe (O(n·m) nested loop, which is
+what a naive join + window-max produces), both sides are UNIONed into
+one stream, sorted within each key by (ts, side), and the right-row
+payload is carried forward with last(ignorenulls) over an unbounded
+preceding window. One shuffle on the key, one sort — the same cost
+shape as a sort-merge join, and it scales to arbitrarily many left
+rows per right row without a quadratic blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of (backward, inclusive) join.
+
+    Result: every left row, plus ``right_cols`` (suffixed) from the
+    latest right row with right_ts <= left_ts and equal ``on`` key;
+    NULLs when no such row exists (left-join semantics). Equal
+    timestamps match (right sorts before left at the same instant).
+    """
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r__")
+
+    r = right.select(
+        F.col(on).alias("__k__"),
+        F.col(right_ts).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        payload,
+        F.lit(None).cast("long").alias("__rowid__"),
+    )
+    l_tagged = left.withColumn("__rowid__", F.monotonically_increasing_id())
+    l = l_tagged.select(
+        F.col(on).alias("__k__"),
+        F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(r.schema["__r__"].dataType).alias("__r__"),
+        F.col("__rowid__"),
+    )
+
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("__match__", F.last("__r__", ignorenulls=True).over(w))
+        .filter(F.col("__side__") == 1)
+        .select("__rowid__", "__match__")
+    )
+    out = l_tagged.join(carried, "__rowid__", "left")
+    for c in right_cols:
+        out = out.withColumn(c + suffix, F.col("__match__")[c])
+    return out.drop("__rowid__", "__match__")

@@ -354,6 +354,109 @@ def events_sessions(spark, sf_dir):
     )
 
 
+@_register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+@_register(
+    "order_status_setops",
+    """
+    SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def order_status_setops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    open_k = joined.filter(F.col("o_orderstatus") == "O").select("c_custkey")
+    fin_k = joined.filter(F.col("o_orderstatus") == "F").select("c_custkey")
+    return open_k.subtract(fin_k)  # EXCEPT (set) semantics
+
+
+@_register(
+    "part_brand_stats",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_brand_stats(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@_register(
+    "purchase_attribution",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before it (operators/relational.py vs DuckDB ASOF)."""
+    from exporter_spark.operators.relational import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_asof").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+    )
+
+
+@_register("approx_distinct_events", None)  # HLL sketches differ per engine
+def approx_distinct_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # =====================================================================
 # Export-surface semantics as queries (the tostring layer, SURVEY §1.2)
 # =====================================================================

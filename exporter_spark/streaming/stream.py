@@ -1,0 +1,140 @@
+"""Structured Streaming export paths.
+
+The reference is batch-only (a pull cursor drained once —
+scanner/scanner.go:8-23), so streaming is engine extension surface:
+the same ExportSpec/formatter stack applied to unbounded data.
+
+Design:
+  * CSV/JSON sinks stream natively (`writeStream.format(...)`) — the
+    display-string projection from ExportSpec is just a columnar
+    transform on the streaming DataFrame, so tostring semantics carry
+    over unchanged.
+  * XML/HTML have no streaming writer; ``foreach_batch_export`` runs
+    the batch formatter per micro-batch into per-batch directories —
+    the standard Spark recipe for sinks that only exist in batch form.
+  * Watermark + windowed aggregation helpers cover the late-data
+    rollup case (events table shape).
+
+Scale notes: streaming state (windows, dedup) lives in the state
+store, partitioned by key — the same shuffle-partition sizing rules
+as batch apply; checkpointing is mandatory for exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.functions.tostring import display_columns
+from exporter_spark.plans.spec import ExportSpec
+
+
+def stream_from_files(
+    spark, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """File-watch streaming source (the streaming analog of the
+    reference's scanners)."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def apply_spec_streaming(df: DataFrame, spec: ExportSpec) -> DataFrame:
+    """Compile the declarative part of an ExportSpec onto a streaming
+    DataFrame: filter + display-string projection. (order_by /
+    preprocessor-row-ids / limit are meaningless on unbounded input
+    and are rejected.)"""
+    if spec.order_by or spec.limit >= 0 or spec.preprocessor:
+        raise ValueError(
+            "order_by / limit / preprocessor are batch-only spec options"
+        )
+    if spec.filter is not None:
+        df = df.filter(spec.filter)
+    return df.select(
+        display_columns(df, float_mode=spec.float_mode, formatters=spec.formatters)
+    )
+
+
+def stream_export(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "csv",
+    spec: ExportSpec | None = None,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous CSV/JSON export of a streaming DataFrame."""
+    spec = spec or ExportSpec()
+    out = apply_spec_streaming(df, spec)
+    writer = out.writeStream.format(fmt).outputMode("append")
+    if fmt == "csv":
+        writer = (
+            writer.option("header", str(spec.header).lower())
+            .option("sep", spec.delimiter)
+            .option("nullValue", spec.null_value)
+        )
+    writer = writer.option("path", path).option(
+        "checkpointLocation", checkpoint or f"{path}/_checkpoint"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def foreach_batch_export(
+    df: DataFrame,
+    path: str,
+    formatter: BaseFormatter,
+    *,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Stream through any batch formatter (XML/HTML) one micro-batch
+    directory at a time: <path>/batch=<id>/."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        formatter.write(batch_df, f"{path}/batch={batch_id}")
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint or f"{path}/_checkpoint"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming rollup
+    for the events table shape. Late rows beyond the watermark are
+    dropped; state is bounded."""
+    keys = keys or []
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], *, ts_col: str, watermark: str) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicates with bounded state)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])

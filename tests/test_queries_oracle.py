@@ -32,7 +32,8 @@ def _canon(v):
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v if v is not None else 0) for v in t),
     )
 
 

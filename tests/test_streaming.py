@@ -1,0 +1,88 @@
+"""Structured Streaming export paths, driven end-to-end with file
+sources feeding real micro-batches."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from exporter_spark.formatters.xml import XMLFormatter
+from exporter_spark.plans.spec import ExportSpec
+from exporter_spark.sources.files import load_table
+from exporter_spark.streaming import stream as ss
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Stage the events table as parquet files a stream can watch."""
+    src = str(tmp_path / "events_src")
+    load_table(spark, sf_dir, "events").limit(200).repartition(4).write.parquet(src)
+    return src
+
+
+def _wait(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_stream_export_csv(spark, events_dir, tmp_path):
+    schema = load_table(spark, SF_DIR := "/root/testdata/sf0.001", "events").schema
+    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    assert stream.isStreaming
+    out = str(tmp_path / "csv_out")
+    spec = ExportSpec().with_filter(F.col("value") > 50).with_header(False)
+    q = ss.stream_export(stream, out, fmt="csv", spec=spec)
+    _wait(q)
+    back = spark.read.csv(out)
+    n_expected = (
+        spark.read.parquet(events_dir).filter(F.col("value") > 50).count()
+    )
+    assert back.count() == n_expected
+
+
+def test_stream_spec_rejects_batch_only_options(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    with pytest.raises(ValueError, match="batch-only"):
+        ss.apply_spec_streaming(stream, ExportSpec().with_limit(5))
+
+
+def test_foreach_batch_xml(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    out = str(tmp_path / "xml_out")
+    q = ss.foreach_batch_export(stream, out, XMLFormatter(ExportSpec()))
+    _wait(q)
+    back = spark.read.format("xml").option("rowTag", "row").load(f"{out}/batch=*")
+    assert back.count() == 200
+
+
+def test_windowed_counts(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    agg = ss.windowed_counts(stream, keys=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = spark.sql("SELECT sum(n_events) s FROM win_counts").first()["s"]
+    # append mode only emits windows closed by the watermark; with a
+    # finite file stream the final (max-ts) windows stay open, so we
+    # check a prefix-sum invariant rather than equality.
+    total = spark.read.parquet(events_dir).count()
+    assert got is None or got <= total
+    # the batch equivalent of the same rollup is exact:
+    batch = ss.windowed_counts.__wrapped__ if hasattr(ss.windowed_counts, "__wrapped__") else None
+    bdf = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    assert bdf.agg(F.sum("count")).first()[0] == total
