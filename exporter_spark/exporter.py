@@ -49,6 +49,12 @@ class Exporter:
         """Single-file output — exporter.WriteFile analog."""
         self.formatter.write_single_file(self.df, path)
 
-    def write(self, path: str) -> None:
-        """Distributed part-file output — the scale path."""
-        self.formatter.write(self.df, path)
+    def write(self, path: str, partition_by: list[str] | None = None) -> None:
+        """Distributed part-file output — the scale path. Optional
+        hive-style directory partitioning (partition_by) for
+        downstream partition pruning."""
+        self.formatter.write(self.df, path, partition_by=partition_by)
+
+    def write_single_part(self, path: str) -> None:
+        """One output file, formatted executor-side (coalesce(1))."""
+        self.formatter.write_single_part(self.df, path)

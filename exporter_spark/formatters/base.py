@@ -48,5 +48,20 @@ class BaseFormatter:
                 fh.write(chunk)
 
     # -- scale path ------------------------------------------------------------
-    def write(self, df: DataFrame, path: str) -> None:  # pragma: no cover
+    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:  # pragma: no cover
         raise NotImplementedError
+
+    def write_single_part(self, df: DataFrame, path: str) -> None:
+        """One output FILE via the distributed writer: coalesce(1),
+        write, promote the lone part file to ``path``. Executor-side
+        formatting (unlike the driver-streaming fidelity path), but
+        single-task — use for modest outputs that must be one file."""
+        import glob
+        import shutil
+
+        tmp = path + "._spark_tmp"
+        self.write(df.coalesce(1), tmp)
+        parts = [p for p in glob.glob(f"{tmp}/part-*") if not p.endswith(".crc")]
+        assert len(parts) == 1, parts
+        shutil.move(parts[0], path)
+        shutil.rmtree(tmp)

@@ -18,9 +18,35 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from exporter_spark.formatters.base import BaseFormatter
+
+
+def csv_field_expr(col: Column, delimiter: str, null_value: str) -> Column:
+    """Go encoding/csv field quoting as a Catalyst expression (the
+    exact rule set of _go_csv_field below, but JVM-side). NULL cells
+    become the configured null string first, then quote like any
+    field — matching the reference (csv.go:196-210)."""
+    s = F.coalesce(col, F.lit(null_value))
+    needs = (
+        (F.instr(s, delimiter) > 0)
+        | (F.instr(s, '"') > 0)
+        | (F.instr(s, "\r") > 0)
+        | (F.instr(s, "\n") > 0)
+        | F.substring(s, 1, 1).isin(" ", "\t")
+        | (s == "\\.")
+    )
+    quoted = F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"'))
+    return F.when(needs, quoted).otherwise(s)
+
+
+def csv_line_expr(cols: list[str], delimiter: str, null_value: str) -> Column:
+    """One CSV record (no line terminator) as a single expression."""
+    return F.concat_ws(
+        delimiter, *[csv_field_expr(F.col(c), delimiter, null_value) for c in cols]
+    )
 
 
 def _go_csv_field(s: str, delimiter: str) -> str:
@@ -51,33 +77,45 @@ class CSVFormatter(BaseFormatter):
         spec = self.spec
         header = spec.header_names(df)
         out = spec.compile(df)
+        # record strings are assembled JVM-side (codegen) — the driver
+        # only concatenates; quoting parity with Go encoding/csv is in
+        # csv_field_expr / _go_csv_field (same rules, two dialects)
+        lines = out.select(
+            csv_line_expr(out.columns, spec.delimiter, spec.null_value).alias("__line__")
+        )
+        end = self._line_end()
         wrote_header = False
         if spec.header and spec.header_when_no_data:
             # eager header (codec/csv/csv.go:147-151)
             yield self._row(header)
             wrote_header = True
-        for row in out.toLocalIterator():
+        for row in lines.toLocalIterator():
             if spec.header and not wrote_header:
                 # lazy header: only once a surviving row exists (:175-179)
                 yield self._row(header)
                 wrote_header = True
-            cells = [
-                spec.null_value if row[c] is None else row[c] for c in out.columns
-            ]
-            yield self._row(cells)
+            yield row["__line__"] + end
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str) -> None:
+    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
         spec = self.spec
         out = spec.compile(df)
         if spec.custom_header is not None:
             out = out.toDF(*spec.header_names(df))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         (
-            out.write.mode("overwrite")
+            writer
             .option("header", str(spec.header).lower())
             .option("sep", spec.delimiter)
             .option("nullValue", spec.null_value)
             .option("emptyValue", "")
+            # escape = quote char ⇒ RFC-4180 quote doubling, matching
+            # Go encoding/csv and our fidelity path (Spark's default
+            # backslash-escape would write "\"" instead of "\"\"")
+            .option("quote", '"')
+            .option("escape", '"')
             .option("lineSep", "\r\n" if spec.crlf else "\n")
             .csv(path)
         )

@@ -90,7 +90,9 @@ class HTMLFormatter(BaseFormatter):
             yield self._FOOT
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str) -> None:
+    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+        if partition_by:
+            raise ValueError("HTML sink does not support partitioned layout")
         spec = self.spec
         names, types = self._header_parts(df)
         out = spec.compile(df)

@@ -103,7 +103,7 @@ class JSONFormatter(BaseFormatter):
         # empty result ⇒ empty output, not "[]" (json.go:94-98)
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str) -> None:
+    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
         """Distributed NDJSON via the native writer. Array framing is a
         single-stream format by construction; for scale we still write
         NDJSON part files (callers needing one array concatenate with
@@ -112,8 +112,11 @@ class JSONFormatter(BaseFormatter):
         out = spec.compile_raw(df)
         if spec.sort_keys:
             out = out.select(*sorted(out.columns))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         (
-            out.write.mode("overwrite")
+            writer
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
             .option("ignoreNullFields", "false")
             .json(path)

@@ -49,19 +49,25 @@ def xml_escape(s: str) -> str:
     return s
 
 
-class XMLFormatter(BaseFormatter):
-    def _row_expr(self, cols: list[str], tags: list[str]) -> Column:
-        parts = [F.lit(f"<{self.spec.row_tag}>")]
-        for c, tag in zip(cols, tags):
-            parts.append(
-                F.when(F.col(c).isNull(), F.lit("")).otherwise(
-                    F.concat(
-                        F.lit(f"<{tag}>"), xml_escape_expr(F.col(c)), F.lit(f"</{tag}>")
-                    )
+def xml_row_expr(cols: list[str], tags: list[str], row_tag: str = "row") -> Column:
+    """One ``<row>...</row>`` record as a single Catalyst expression;
+    NULL cells omit their element (xml.go:113-115)."""
+    parts = [F.lit(f"<{row_tag}>")]
+    for c, tag in zip(cols, tags):
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("")).otherwise(
+                F.concat(
+                    F.lit(f"<{tag}>"), xml_escape_expr(F.col(c)), F.lit(f"</{tag}>")
                 )
             )
-        parts.append(F.lit(f"</{self.spec.row_tag}>"))
-        return F.concat(*parts).alias("__xml__")
+        )
+    parts.append(F.lit(f"</{row_tag}>"))
+    return F.concat(*parts).alias("__xml__")
+
+
+class XMLFormatter(BaseFormatter):
+    def _row_expr(self, cols: list[str], tags: list[str]) -> Column:
+        return xml_row_expr(cols, tags, self.spec.row_tag)
 
     # -- fidelity path ---------------------------------------------------------
     def iter_chunks(self, df: DataFrame) -> Iterator[str]:
@@ -82,13 +88,16 @@ class XMLFormatter(BaseFormatter):
         # empty input / limit=0 ⇒ no output at all (xml.go:68-70)
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str) -> None:
+    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
         spec = self.spec
         out = spec.compile(df)
         if spec.custom_header is not None:
             out = out.toDF(*spec.header_names(df))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         (
-            out.write.mode("overwrite")
+            writer
             .format("xml")
             .option("rootTag", spec.root_tag)
             .option("rowTag", spec.row_tag)

@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -288,6 +289,50 @@ def simhash32(text_col: str) -> Column:
     return F.expr("cast(" + " + ".join(lanes) + " as bigint)")
 
 
+def _make_simhash_udf():
+    """Vectorized SimHash (same md5-derived semantics as simhash32's
+    SQL expression, verified equivalent in tests) — the SQL version's
+    32 per-bit aggregate() folds are interpreted higher-order
+    functions and dominate runtime; numpy bit math is ~10× faster.
+    Self-contained closure: pickles by value, no package on executors."""
+    import hashlib as _hashlib
+    import re as _re
+
+    import numpy as _np
+    import pandas as _pd
+
+    def one(text):
+        toks = [t for t in _re.split(r"\s+", text) if t] if text else []
+        if not toks:
+            return 0
+        h = _np.array(
+            [int(_hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks],
+            dtype=_np.int64,
+        )
+        bits = (h[:, None] >> _np.arange(32)) & 1  # tokens × 32
+        lanes = (2 * bits - 1).sum(axis=0)
+        return int(((lanes > 0).astype(_np.int64) << _np.arange(32)).sum())
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return simhash
+
+
+_SIMHASH_FAST = None
+
+
+def _simhash32_fast():
+    global _SIMHASH_FAST
+    if _SIMHASH_FAST is None:
+        _SIMHASH_FAST = _make_simhash_udf()
+    return _SIMHASH_FAST
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -304,7 +349,7 @@ def simhash_near_dup_pairs(
     exact equi-join per chunk finds all of them without O(n²).
     """
     fp = _spread(df, id_col).select(
-        F.col(id_col).alias("__id__"), simhash32(text_col).alias("__fp__")
+        F.col(id_col).alias("__id__"), _simhash32_fast()(F.col(text_col)).alias("__fp__")
     )
     chunk_bits = 32 // num_tables
     chunks = fp.select(

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from exporter_spark.functions.tostring import display_expr
+from exporter_spark.functions.tostring import display_columns, display_expr
 from exporter_spark.operators import dedup, similarity, text
 from exporter_spark.operators.multimodal import extract_features
 from exporter_spark.sources.files import load_table
@@ -488,6 +488,112 @@ def tostring_events(spark, sf_dir):
         F.col("event_type"),
         F.col("props"),
     )
+
+
+# The display-string SQL fragments shared by the formatter-semantics
+# oracles (same expressions as the tostring_events oracle).
+_DUCK_TS = (
+    "strftime(ts, '%Y-%m-%dT%H:%M:%S') || CASE WHEN microsecond(ts) % 1000000 = 0 "
+    "THEN '' ELSE '.' || regexp_replace(printf('%06d', microsecond(ts) % 1000000), "
+    "'0+$', '') END || 'Z'"
+)
+_DUCK_VAL = (
+    "CASE WHEN value = trunc(value) THEN CAST(CAST(value AS BIGINT) AS VARCHAR) "
+    "ELSE CAST(value AS VARCHAR) END"
+)
+
+
+def _duck_csv_q(expr: str) -> str:
+    """DuckDB replica of formatters.csv.csv_field_expr (delimiter ','
+    and null string '')."""
+    s = f"coalesce({expr}, '')"
+    return (
+        f"CASE WHEN instr({s}, ',') > 0 OR instr({s}, '\"') > 0 "
+        f"OR instr({s}, chr(13)) > 0 OR instr({s}, chr(10)) > 0 "
+        f"OR substr({s}, 1, 1) IN (' ', chr(9)) OR {s} = '\\.' "
+        f"THEN '\"' || replace({s}, '\"', '\"\"') || '\"' ELSE {s} END"
+    )
+
+
+def _duck_xml_esc(expr: str) -> str:
+    """DuckDB replica of formatters.xml.xml_escape_expr (Go
+    xml.EscapeText entity table, & first)."""
+    out = expr
+    for raw, ent in [
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"),
+        ("''", "&#39;"), ("\t", "&#x9;"), ("\n", "&#xA;"), ("\r", "&#xD;"),
+    ]:
+        raw_sql = "''''" if raw == "''" else f"'{raw}'"
+        out = f"replace({out}, {raw_sql}, '{ent}')"
+    return out
+
+
+_EV_DISPLAY = [
+    ("event_id", "CAST(event_id AS VARCHAR)"),
+    ("ts", _DUCK_TS),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type"),
+    ("value", _DUCK_VAL),
+    ("props", "props"),
+]
+
+
+@_register(
+    "csv_lines_events",
+    "SELECT "
+    + " || ',' || ".join(_duck_csv_q(e) for _, e in _EV_DISPLAY)
+    + " AS line FROM events",
+)
+def csv_lines_events(spark, sf_dir):
+    """The CSV sink's record semantics (Go quoting + tostring display
+    strings) as an oracle-checkable query: one formatted CSV record
+    per event (codec/csv/csv.go:156-190 parity, minus framing)."""
+    from exporter_spark.formatters.csv import csv_line_expr
+
+    e = load_table(spark, sf_dir, "events")
+    disp = e.select(
+        display_columns(e, float_mode="go")
+    )
+    return disp.select(csv_line_expr(disp.columns, ",", "").alias("line"))
+
+
+def _xml_rows_oracle() -> str:
+    parts = []
+    for name, expr in _EV_DISPLAY:
+        parts.append(
+            f"CASE WHEN ({expr}) IS NULL THEN '' "
+            f"ELSE '<{name}>' || {_duck_xml_esc(expr)} || '</{name}>' END"
+        )
+    return (
+        "SELECT '<row>' || " + " || ".join(parts) + " || '</row>' AS xml_row FROM events"
+    )
+
+
+@_register("xml_rows_events", _xml_rows_oracle())
+def xml_rows_events(spark, sf_dir):
+    """The XML sink's record semantics (entity escaping, NULL-element
+    omission) as an oracle-checkable query (codec/xml/xml.go:81-127
+    parity, minus framing)."""
+    from exporter_spark.formatters.xml import xml_row_expr
+
+    e = load_table(spark, sf_dir, "events")
+    disp = e.select(display_columns(e, float_mode="go"))
+    return disp.select(xml_row_expr(disp.columns, disp.columns).alias("xml_row"))
+
+
+@_register(
+    "ndjson_lines_docs",
+    """
+    SELECT to_json(struct_pack(doc_id := doc_id, lang := lang,
+                               source := source))::VARCHAR AS line
+    FROM documents
+    """,
+)
+def ndjson_lines_docs(spark, sf_dir):
+    """NDJSON record framing (sorted keys, compact separators) as an
+    oracle-checkable query (codec/json/json.go:103-153 parity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.to_json(F.struct("doc_id", "lang", "source")).alias("line"))
 
 
 # =====================================================================
