@@ -448,6 +448,55 @@ def purchase_attribution(spark, sf_dir):
     )
 
 
+@_register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+
+
+@_register(
+    "running_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def running_customer_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
 @_register("approx_distinct_events", None)  # HLL sketches differ per engine
 def approx_distinct_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
