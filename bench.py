@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from exporter_spark import Exporter, ExportSpec  # noqa: E402
 from exporter_spark.queries import QUERIES  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
@@ -54,6 +56,11 @@ def main() -> None:
     spark = get_spark("exporter_spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+
+    # steady-state warmup: JVM/codegen/Arrow init and one file-scan so
+    # per-query numbers aren't dominated by first-action startup
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    load_table(spark, SF_DIR, "lineitem").limit(1000).count()
 
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
