@@ -103,3 +103,25 @@ class HTMLFormatter(BaseFormatter):
                 fh.write(self._head(names, types))
             with open(f"{path}/_footer.html", "w", encoding="utf-8") as fh:
                 fh.write(self._FOOT)
+
+
+def assemble_html(parts_dir: str, out_file: str) -> None:
+    """Concatenate a distributed HTML write (header + row part files +
+    footer) into one document without re-reading the data."""
+    import glob
+
+    with open(out_file, "w", encoding="utf-8") as out:
+        header = f"{parts_dir}/_header.html"
+        import os
+
+        if os.path.exists(header):
+            out.write(open(header, encoding="utf-8").read())
+        for part in sorted(glob.glob(f"{parts_dir}/part-*")):
+            if part.endswith(".crc"):
+                continue
+            with open(part, encoding="utf-8") as fh:
+                for line in fh:
+                    out.write(line)
+        footer = f"{parts_dir}/_footer.html"
+        if os.path.exists(footer):
+            out.write(open(footer, encoding="utf-8").read())

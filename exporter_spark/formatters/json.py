@@ -22,6 +22,7 @@ import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from exporter_spark.formatters.base import BaseFormatter
 from exporter_spark.functions.tostring import _go_fixed_repr
@@ -110,6 +111,21 @@ class JSONFormatter(BaseFormatter):
         the fidelity path)."""
         spec = self.spec
         out = spec.compile_raw(df)
+        # Timestamps must serialize as RFC3339Nano with TRIMMED
+        # fractional zeros (Go time.Time marshaling); no writer
+        # timestampFormat can trim, so convert to the display string
+        # first — keeps the distributed output byte-compatible with
+        # the fidelity path (same class of divergence as the CSV
+        # quote-escape bug).
+        from pyspark.sql import types as T
+
+        from exporter_spark.functions.tostring import _rfc3339nano
+
+        for f in out.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                out = out.withColumn(f.name, _rfc3339nano(F.col(f.name)))
+            elif isinstance(f.dataType, T.DateType):
+                out = out.withColumn(f.name, F.date_format(f.name, "yyyy-MM-dd"))
         if spec.sort_keys:
             out = out.select(*sorted(out.columns))
         writer = out.write.mode("overwrite")
@@ -117,7 +133,6 @@ class JSONFormatter(BaseFormatter):
             writer = writer.partitionBy(*partition_by)
         (
             writer
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
             .option("ignoreNullFields", "false")
             .json(path)
         )

@@ -268,6 +268,78 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------- dedup clustering
+
+def connected_components(
+    pairs: DataFrame, *, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """Cluster duplicate PAIRS into components: (id, component) where
+    component = min id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup graphs are shallow — dup
+    clusters are cliques or short chains). Each round is one shuffle
+    on node id; the loop stops early at a fixed point, checked with a
+    cheap count. This is the standard Spark shape for the
+    'keep one copy per duplicate cluster' stage after
+    minhash/simhash/embedding pair generation.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iter):
+        # neighbor labels: for each node, the min label among neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # fixed point: no label changed this round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint truncates the growing lineage — without it,
+        # each iteration re-plans the whole history (exponential plans)
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every row whose id belongs to a duplicate cluster but is
+    not the cluster's minimum id — the final stage of a near-dup
+    pipeline."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash32(text_col: str) -> Column:

@@ -840,6 +840,32 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure of the minhash pair graph via a recursive
+    CTE — the SQL mirror of the iterative min-label propagation in
+    operators.dedup.connected_components."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    )
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
+@_register("dedup_clusters", _dedup_clusters_oracle())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: minhash pairs → connected components
+    (iterative label propagation vs the oracle's recursive CTE)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+    return dedup.connected_components(pairs).select("id", "component")
+
+
 @_register("simhash_near_dup_pairs", None)  # bit ops not portable → rows-only check
 def simhash_near_dup_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

@@ -34,6 +34,21 @@ def test_write_single_part(spark, sf_dir, tmp_path):
     assert back.count() == 50
 
 
+def test_ndjson_paths_agree_on_timestamps(spark, sf_dir, tmp_path):
+    """Distributed NDJSON and the fidelity stream must serialize
+    timestamps identically (RFC3339Nano, trimmed fractional zeros)."""
+    e = load_table(spark, sf_dir, "events").limit(10)
+    spec = ExportSpec().with_newline_delimited(True).with_order_by("event_id")
+    fid = set(Exporter(e, "json", spec).write_string().splitlines())
+    out = str(tmp_path / "nd")
+    Exporter(e, "json", spec).write(out)
+    native = set()
+    for p in glob.glob(f"{out}/part-*"):
+        if not p.endswith(".crc"):
+            native.update(l for l in open(p).read().splitlines() if l)
+    assert fid == native
+
+
 def test_csv_paths_agree_on_quoting(spark, tmp_path):
     """The distributed writer and the fidelity stream must emit
     byte-identical records (regression: Spark's default backslash
