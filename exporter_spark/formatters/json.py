@@ -74,6 +74,29 @@ def _json_token(v) -> str:
     return json.dumps(str(v), ensure_ascii=False)
 
 
+def assemble_json_array(parts_dir: str, out_file: str) -> None:
+    """Concatenate a distributed NDJSON write into the reference's
+    array framing ('[' with first row, ',\\n' separators, ']\\n'
+    close, empty ⇒ empty file) without re-reading through Spark."""
+    import glob
+
+    first = True
+    with open(out_file, "w", encoding="utf-8") as out:
+        for part in sorted(glob.glob(f"{parts_dir}/part-*")):
+            if part.endswith(".crc"):
+                continue
+            with open(part, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    out.write("[\n" if first else ",\n")
+                    out.write(line)
+                    first = False
+        if not first:
+            out.write("\n]\n")
+
+
 class JSONFormatter(BaseFormatter):
     def _obj(self, row, cols: list[str]) -> str:
         names = sorted(cols) if self.spec.sort_keys else cols

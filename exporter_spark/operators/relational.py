@@ -19,7 +19,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    fact_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: fact rows matched to every interval with
+    lo <= fact < hi (half-open), on integer-valued columns (e.g.
+    epoch micros via unix_micros).
+
+    Spark's native plan for a pure range predicate is a broadcast
+    nested loop — O(facts × intervals). This implementation buckets
+    both sides at ``bucket`` granularity: facts land in one bucket,
+    intervals explode into the buckets they overlap, and the range
+    predicate only runs on the equi-joined bucket pairs. Cost is
+    O(facts + intervals × span/bucket + true matches) — pick bucket
+    near the typical interval length.
+    """
+    f = facts.withColumn("__b__", F.floor(F.col(fact_col) / bucket).cast("long"))
+    i = intervals.withColumn(
+        "__b__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket).cast("long"),
+                # hi is exclusive: the last covered bucket holds hi-1
+                F.floor((F.col(hi_col) - 1) / bucket).cast("long"),
+            )
+        ),
+    )
+    joined = f.join(
+        i,
+        (f["__b__"] == i["__b__"])
+        & (F.col(fact_col) >= F.col(lo_col))
+        & (F.col(fact_col) < F.col(hi_col)),
+        how,
+    )
+    return joined.drop("__b__")
 
 
 def asof_join(

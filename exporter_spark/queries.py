@@ -497,6 +497,56 @@ def running_customer_revenue(spark, sf_dir):
     )
 
 
+@_register(
+    "purchases_near_errors",
+    """
+    WITH errors AS (SELECT epoch_us(ts) AS et FROM events WHERE event_type = 'error'),
+    purch AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pt
+              FROM events WHERE event_type = 'purchase')
+    SELECT purchase_id, COUNT(*) AS n_nearby_errors
+    FROM purch JOIN errors
+      ON pt >= et - 600000000 AND pt < et + 600000000
+    GROUP BY purchase_id
+    """,
+)
+def purchases_near_errors(spark, sf_dir):
+    """Range join (operators/relational.py): purchases within ±10min
+    of any error event, bucketized to avoid the nested-loop plan."""
+    from exporter_spark.operators.relational import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("pt")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        (F.unix_micros("ts") - 600_000_000).alias("lo"),
+        (F.unix_micros("ts") + 600_000_000).alias("hi"),
+    )
+    joined = range_join(
+        purch, errors, fact_col="pt", lo_col="lo", hi_col="hi", bucket=600_000_000
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_nearby_errors"))
+
+
+@_register(
+    "lineitem_dispersion",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(stddev_pop(l_extendedprice), 2) AS sdp_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_dispersion(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+    )
+
+
 @_register("approx_distinct_events", None)  # HLL sketches differ per engine
 def approx_distinct_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")

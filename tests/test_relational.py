@@ -1,0 +1,62 @@
+"""as-of join and range join operator semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from exporter_spark import Exporter, ExportSpec
+from exporter_spark.formatters.json import assemble_json_array
+from exporter_spark.operators.relational import asof_join, range_join
+from exporter_spark.sources.files import load_table
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 12, m, 0)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(20)), (3, _ts(5))], "lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(10)), (101, _ts(15))], "rid long, ts timestamp"
+    )
+    left = left.withColumn("k", F.lit(1))
+    right = right.withColumn("k", F.lit(1))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"])
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+    # equal timestamp matches (inclusive); earlier left row has no match
+    assert got == {1: 100, 2: 101, 3: None}
+
+
+def test_range_join_half_open_and_multi_match(spark):
+    facts = spark.createDataFrame([(1, 100), (2, 250), (3, 999)], "fid long, v long")
+    ivals = spark.createDataFrame(
+        [(10, 100, 200), (11, 50, 300), (12, 200, 250)], "iid long, lo long, hi long"
+    )
+    out = range_join(facts, ivals, fact_col="v", lo_col="lo", hi_col="hi", bucket=100)
+    got = sorted((r["fid"], r["iid"]) for r in out.collect())
+    # v=100: in [100,200) and [50,300); NOT in [200,250)
+    # v=250: in [50,300) only (hi exclusive kills [200,250))
+    # v=999: nowhere
+    assert got == [(1, 10), (1, 11), (2, 11)]
+
+
+def test_assemble_json_array(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").limit(7)
+    parts = str(tmp_path / "nd_parts")
+    Exporter(e, "json", ExportSpec()).write(parts)
+    target = str(tmp_path / "all.json")
+    assemble_json_array(parts, target)
+    data = json.loads(open(target).read())
+    assert len(data) == 7
+    assert {d["event_id"] for d in data} == {r["event_id"] for r in e.collect()}
+    # empty input ⇒ empty file, not "[]"
+    empty_parts = str(tmp_path / "empty_parts")
+    Exporter(e.limit(0), "json", ExportSpec()).write(empty_parts)
+    empty_target = str(tmp_path / "empty.json")
+    assemble_json_array(empty_parts, empty_target)
+    assert open(empty_target).read() == ""
