@@ -192,6 +192,78 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the
+    corpus, probe each query's ``n_probe`` nearest centroids, exact
+    cosine rerank within the probed cells.
+
+    The scale shape: clustering is a one-time O(corpus) pass (sampled
+    KMeans training); per query, only corpus_size × n_probe/n_clusters
+    vectors are scored instead of the full corpus. Recall is tuned by
+    n_probe. Centroids are tiny and broadcast; the corpus↔assignment
+    join is an equi-join on cluster id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _spread(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__").fit(corpus)
+    assigned = model.transform(corpus).select(
+        "neighbor_id", "__cv__", F.col("prediction").alias("__cell__")
+    )
+
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cell__ int, __centroid__ array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    # each query's n_probe nearest centroids (tiny cross join: Q × n_clusters)
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "__qv__",
+        "__cell__",
+        cosine("__qv__", "__centroid__").alias("__csim__"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim__").desc(), F.col("__cell__").asc()
+    )
+    probes = qc.withColumn("__pr__", F.row_number().over(w_probe)).filter(
+        F.col("__pr__") <= n_probe
+    ).select("query_id", "__qv__", "__cell__")
+
+    cands = probes.join(assigned, "__cell__").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id", "neighbor_id", F.round(cosine("__qv__", "__cv__"), 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,

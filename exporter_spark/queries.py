@@ -1006,6 +1006,15 @@ def embedding_near_dup(spark, sf_dir):
 # =====================================================================
 
 
+@_register("ivf_ann_topk", None)  # KMeans training → rows-only check
+def ivf_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: KMeans cells + n_probe
+    centroid probing + exact rerank (the production-scale ANN path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, q, k=5, n_clusters=16, n_probe=4)
+
+
 @_register("multimodal_feature_stats", None)  # pandas-UDF decode → rows-only check
 def multimodal_feature_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

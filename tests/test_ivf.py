@@ -1,0 +1,40 @@
+"""IVF ANN: structure and recall against the exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exporter_spark.operators import similarity
+from exporter_spark.sources.files import load_table
+
+
+def test_ivf_topk_structure_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk(emb, q, k=5, n_clusters=8, n_probe=4).collect()
+
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_approx = {}
+    best_exact = {r["query_id"]: r["sim"] for r in exact if r["rank"] == 1}
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["sim"] <= best_exact[r["query_id"]] + 1e-9
+        assert r["neighbor_id"] != r["query_id"]
+
+    assert set(by_q_approx) == {0, 1, 2, 3, 4}
+    # probing half the cells should recover a decent share of true top-5
+    total_overlap = sum(
+        len(by_q_exact[q_] & by_q_approx.get(q_, set())) for q_ in by_q_exact
+    )
+    assert total_overlap >= 10  # ≥40% recall across 25 true neighbors
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    a = sorted(map(tuple, similarity.ivf_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(emb, q, k=3).collect()))
+    assert a == b  # fixed seed ⇒ reproducible cells and results
