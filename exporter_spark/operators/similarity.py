@@ -83,7 +83,7 @@ def cosine_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -186,7 +186,7 @@ def lsh_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -258,7 +258,7 @@ def ivf_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -247,7 +247,7 @@ def top_customers_per_nation(spark, sf_dir):
         F.col("total_spend").desc(), F.col("c_custkey").asc()
     )
     return (
-        spend.withColumn("rnk", F.row_number().over(w))
+        spend.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
     )
@@ -709,7 +709,7 @@ _TOKENS_SQL = (
     "token_stats_by_lang",
     f"""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM({_TOKENS_SQL}) AS total_tokens,
+           CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
            MIN({_TOKENS_SQL}) AS min_tokens,
            MAX({_TOKENS_SQL}) AS max_tokens
     FROM documents GROUP BY lang
@@ -721,8 +721,8 @@ def token_stats_by_lang(spark, sf_dir):
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).alias("total_tokens"),
-        F.min(toks).alias("min_tokens"),
-        F.max(toks).alias("max_tokens"),
+        F.min(toks).cast("long").alias("min_tokens"),
+        F.max(toks).cast("long").alias("max_tokens"),
     )
 
 

@@ -23,6 +23,42 @@ def con():
     return con
 
 
+# The driver's value-hash is dtype-sensitive: Spark int32 vs DuckDB
+# BIGINT hash-mismatches even when values are identical (round-1
+# token_stats_by_lang). Canonicalize both engines' column types to a
+# width-exact lattice and assert equality per column. Decimals are
+# collapsed (driver accepted Spark decimal(22,2) vs DuckDB
+# DECIMAL(38,2) for q1), as are timestamp flavors.
+_SPARK_DTYPE = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "str", "boolean": "bool", "date": "date",
+}
+_DUCK_DTYPE = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128", "FLOAT": "float32",
+    "DOUBLE": "float64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date",
+}
+
+
+def _canon_spark_type(dt: str) -> str:
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return _SPARK_DTYPE.get(dt, dt)
+
+
+def _canon_duck_type(dt: str) -> str:
+    dt = str(dt)
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    return _DUCK_DTYPE.get(dt, dt.lower())
+
+
 def _canon(v):
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, 9)
@@ -47,6 +83,12 @@ def test_query_matches_oracle(spark, con, name):
     dcols = rel.columns
     drows = rel.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    stypes = {c: _canon_spark_type(t) for c, t in sdf.dtypes}
+    dtypes_ = {c: _canon_duck_type(t) for c, t in zip(dcols, rel.types)}
+    dtype_diffs = {
+        c: (stypes[c], dtypes_[c]) for c in stypes if stypes[c] != dtypes_[c]
+    }
+    assert not dtype_diffs, f"{name}: dtype mismatches {dtype_diffs}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
     mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
