@@ -18,6 +18,7 @@ to absorb engine-level FP noise in the last bits.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +54,122 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ------------------------------------------------------- numpy kernels
+#
+# Where Python kernels do and do NOT pay (measured at sf0.1,
+# local[32]):
+#
+#   * Per-ROW work (LSH signatures: planes × dims multiply-adds per
+#     vector) — numpy wins big. The SQL signature expression costs a
+#     multi-second one-time analysis/compile on first execution
+#     (~7s at 8×64) and each vector crosses no process boundary
+#     anyway, so an Arrow batch → numpy matmul is strictly better:
+#     first-run 3.2s vs 11.4s for embedding_near_dup_pairs.
+#   * Per-PAIR work (dot products on join output) — numpy LOSES.
+#     Every joined row must ship both vectors through Arrow to the
+#     Python worker; at 1M pairs that is ~1 GB of transfer for ~6 ms
+#     of FLOPs (measured 13s numpy vs 6s JVM HOF, warm). Pair
+#     verification therefore stays JVM-side, with norms precomputed
+#     per vector so the HOF runs once per vector, not per pair.
+#   * Full-corpus exact scoring — ``cosine_topk_scan`` below avoids
+#     the pair materialization entirely: mapInPandas streams corpus
+#     batches once, scores against the whole query matrix in C, and
+#     emits only per-batch top-k survivors.
+#
+# All kernels compute the SAME doubles bit-for-bit as the HOF path:
+# products are single IEEE float64 ops, and np.cumsum accumulates
+# strictly left-to-right, which is exactly the fold order of
+# ``aggregate(..., 0D, (acc, v) -> acc + v)`` and of the DuckDB
+# oracle's explicit left-associated sums. Division and F.round(…, 6)
+# stay JVM-side, so results are identical to the SQL path
+# (equivalence-tested in tests/test_operators.py).
+#
+# Self-contained closures: the inner functions only touch numpy/pandas
+# (importable on any executor) — never exporter_spark globals — so
+# they pickle by value and survive driver harnesses that build their
+# own SparkSession without PYTHONPATH injection.
+
+
+def _make_dot_udf():
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def vec_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = _np.stack(a.to_numpy()).astype(_np.float64)
+        bv = _np.stack(b.to_numpy()).astype(_np.float64)
+        return pd.Series(_np.cumsum(av * bv, axis=1)[:, -1])
+
+    return vec_dot
+
+
+def _make_norm_udf():
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def vec_norm(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = _np.stack(a.to_numpy()).astype(_np.float64)
+        return pd.Series(_np.sqrt(_np.cumsum(av * av, axis=1)[:, -1]))
+
+    return vec_norm
+
+
+def _make_sig_udf(H):
+    """LSH signature kernel with the hyperplane matrix baked into the
+    closure as a plain list-of-lists (identical literals to the SQL
+    path and the DuckDB oracle)."""
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def vec_sig(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        Hm = _np.asarray(H, dtype=_np.float64)  # planes × dims
+        av = _np.stack(a.to_numpy()).astype(_np.float64)  # batch × dims
+        # batch × planes × dims products, left-assoc summed per plane
+        sums = _np.cumsum(av[:, None, :] * Hm[None, :, :], axis=2)[:, :, -1]
+        bits = (sums > 0).astype(_np.int64) << _np.arange(Hm.shape[0])
+        return pd.Series(bits.sum(axis=1))
+
+    return vec_sig
+
+
+_DOT_UDF = None
+_NORM_UDF = None
+_SIG_UDFS: dict = {}
+
+
+def dot_fast(a: str, b: str) -> Column:
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = _make_dot_udf()
+    return _DOT_UDF(F.col(a), F.col(b))
+
+
+def norm_fast(a: str) -> Column:
+    global _NORM_UDF
+    if _NORM_UDF is None:
+        _NORM_UDF = _make_norm_udf()
+    return _NORM_UDF(F.col(a))
+
+
+def _kernel_fns(kernel: str):
+    if kernel == "numpy":
+        return dot_fast, norm_fast
+    if kernel == "sql":
+        return dot, norm
+    raise ValueError(f"unknown kernel {kernel!r} (expected 'numpy' or 'sql')")
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -60,24 +177,126 @@ def cosine_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "sql",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, sim, rank); a query is never its
     own neighbor. Ties break by neighbor_id ascending so results are
-    total-ordered and oracle-comparable.
+    total-ordered and oracle-comparable. Norms are computed once per
+    vector (before the join), not once per pair.
     """
+    kdot, knorm = _kernel_fns(kernel)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    )
+    ).withColumn("__qn__", knorm("__qv__"))
     c = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    )
+    ).withColumn("__cn__", knorm("__cv__"))
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("__qv__", "__cv__"), 6).alias("sim"),
+        F.round(
+            kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_topk_scan(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 16,
+) -> DataFrame:
+    """Exact top-k cosine neighbors — the 100 TB shape of the exact
+    brute-force tier. Same contract and same results as
+    ``cosine_topk`` (the query set must be small enough to ship to
+    every task), but instead of materializing corpus × queries joined
+    rows and scoring each pair with an interpreted expression, a
+    mapInPandas kernel streams each corpus batch ONCE, scores it
+    against the whole query matrix in C, and emits only rows that can
+    still reach the global top-k. Shuffle volume is
+    O(k × queries × batches), independent of corpus size.
+
+    Bit-exactness: products and left-assoc sums via np.cumsum match
+    the HOF fold and the DuckDB oracle exactly; division and
+    F.round(…, 6) happen JVM-side after the scan. Because rounding
+    can reorder raw-sim ties, the per-batch cut keeps everything
+    within 1e-6 (the rounding quantum) of the batch's k-th best raw
+    sim — a superset of the rounded winners — and the final windowed
+    rank reproduces cosine_topk's total order.
+    """
+    q_rows = sorted(
+        (r[0], r[1]) for r in queries.select(id_col, vec_col).collect()
+    )
+    qids = [int(i) for i, _ in q_rows]
+    qvecs = [[float(x) for x in v] for _, v in q_rows]
+
+    def make_scan(qids, qvecs, k, chunk, id_name, vec_name):
+        import numpy as _np
+        import pandas as _pd
+
+        def scan(batches):
+            Q = _np.asarray(qvecs, dtype=_np.float64)  # nq × D
+            Qn = _np.sqrt(_np.cumsum(Q * Q, axis=1)[:, -1])
+            qid_arr = _np.asarray(qids, dtype=_np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _np.stack(pdf[vec_name].to_numpy()).astype(_np.float64)
+                ids = pdf[id_name].to_numpy().astype(_np.int64)
+                Vn = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
+                out = []
+                for c0 in range(0, len(qid_arr), chunk):
+                    Qc = Q[c0 : c0 + chunk]
+                    dots = _np.cumsum(
+                        V[:, None, :] * Qc[None, :, :], axis=2
+                    )[:, :, -1]  # B × q
+                    sims = dots / (Vn[:, None] * Qn[None, c0 : c0 + chunk])
+                    for j in range(Qc.shape[0]):
+                        qid = qid_arr[c0 + j]
+                        col = sims[:, j]
+                        keep = ids != qid
+                        if keep.sum() == 0:
+                            continue
+                        vals = col[keep]
+                        cand_ids = ids[keep]
+                        if len(vals) > k:
+                            kth = _np.partition(vals, len(vals) - k)[len(vals) - k]
+                            mask = vals >= kth - 1e-6
+                            vals, cand_ids = vals[mask], cand_ids[mask]
+                        out.append(
+                            _pd.DataFrame(
+                                {
+                                    "query_id": qid,
+                                    "neighbor_id": cand_ids,
+                                    "__raw__": vals,
+                                }
+                            )
+                        )
+                if out:
+                    yield _pd.concat(out, ignore_index=True)
+
+        return scan
+
+    partials = _spread(emb, id_col).select(id_col, vec_col).mapInPandas(
+        make_scan(qids, qvecs, k, query_chunk, id_col, vec_col),
+        schema="query_id long, neighbor_id long, __raw__ double",
+    )
+    sims = partials.select(
+        "query_id", "neighbor_id", F.round(F.col("__raw__"), 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -130,10 +349,20 @@ _SIG_EXPR = (
 
 
 def with_lsh_signature(
-    df: DataFrame, vec_col: str, dims: int, planes: int, out: str = "__sig__"
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    planes: int,
+    out: str = "__sig__",
+    kernel: str = "numpy",
 ) -> DataFrame:
-    spark = df.sparkSession
     H = [[hyperplane_component(p, d) for d in range(dims)] for p in range(planes)]
+    if kernel == "numpy":
+        key = (dims, planes)
+        if key not in _SIG_UDFS:
+            _SIG_UDFS[key] = _make_sig_udf(H)
+        return df.withColumn(out, _SIG_UDFS[key](F.col(vec_col)))
+    spark = df.sparkSession
     planes_df = spark.createDataFrame([(H,)], "__H__: array<array<double>>")
     return (
         df.crossJoin(F.broadcast(planes_df))
@@ -151,6 +380,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     planes: int = 8,
+    kernel: str = "sql",
+    sig_kernel: str = "numpy",
 ) -> DataFrame:
     """ANN top-k: candidates share an exact LSH signature bucket, then
     exact cosine re-ranks within candidates.
@@ -160,27 +391,32 @@ def lsh_topk(
     broadcast — both sides shuffle on the signature, so this is the
     path when queries are also huge.
     """
+    kdot, knorm = _kernel_fns(kernel)
     q = with_lsh_signature(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-        ),
+        ).withColumn("__qn__", knorm("__qv__")),
         "__qv__",
         dims,
         planes,
+        kernel=sig_kernel,
     )
     c = with_lsh_signature(
         _spread(emb, id_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-        ),
+        ).withColumn("__cn__", knorm("__cv__")),
         "__cv__",
         dims,
         planes,
+        kernel=sig_kernel,
     )
     joined = c.join(q, ["__sig__"]).filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("__qv__", "__cv__"), 6).alias("sim"),
+        F.round(
+            kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -202,6 +438,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    kernel: str = "sql",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
     corpus, probe each query's ``n_probe`` nearest centroids, exact
@@ -216,6 +453,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    kdot, knorm = _kernel_fns(kernel)
     corpus = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
@@ -224,7 +462,7 @@ def ivf_topk(
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__").fit(corpus)
     assigned = model.transform(corpus).select(
         "neighbor_id", "__cv__", F.col("prediction").alias("__cell__")
-    )
+    ).withColumn("__cn__", knorm("__cv__"))
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
@@ -233,11 +471,12 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    )
+    ).withColumn("__qn__", knorm("__qv__"))
     # each query's n_probe nearest centroids (tiny cross join: Q × n_clusters)
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "__qv__",
+        "__qn__",
         "__cell__",
         cosine("__qv__", "__centroid__").alias("__csim__"),
     )
@@ -246,13 +485,17 @@ def ivf_topk(
     )
     probes = qc.withColumn("__pr__", F.row_number().over(w_probe)).filter(
         F.col("__pr__") <= n_probe
-    ).select("query_id", "__qv__", "__cell__")
+    ).select("query_id", "__qv__", "__qn__", "__cell__")
 
     cands = probes.join(assigned, "__cell__").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     sims = cands.select(
-        "query_id", "neighbor_id", F.round(cosine("__qv__", "__cv__"), 6).alias("sim")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -272,9 +515,28 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dims: int = 64,
     planes: int = 8,
+    mode: str = "grouped",
+    sig_kernel: str = "numpy",
 ) -> DataFrame:
     """Near-duplicate vectors (cosine ≥ threshold) via LSH bucketing +
-    exact verification; returns (a_id, b_id, sim)."""
+    exact verification; returns (a_id, b_id, sim).
+
+    ``mode="grouped"`` (default, the 100 TB shape): ONE shuffle
+    hash-partitions vectors by signature, and each bucket verifies
+    its own pairs in a C-speed applyInPandas matrix kernel — no
+    self-join, no per-pair Arrow transfer, each vector hashed and
+    shipped exactly once. Every pair lives in exactly one bucket, so
+    no cross-bucket dedup is needed. (A pathological bucket still
+    costs O(b²) pairs — identical to what the join would produce for
+    that bucket; more planes or banding bounds b.)
+
+    ``mode="join"`` is the declarative self-join used as the oracle
+    reference; its two branches each evaluate the signature (a
+    pandas-UDF column defeats Spark's ReusedExchange), so it exists
+    for verification, not production.
+
+    Results are identical in both modes (bit-exact cumsum fold +
+    JVM-side round; equivalence-tested)."""
     s = with_lsh_signature(
         _spread(emb, id_col).select(
             F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
@@ -282,18 +544,80 @@ def embedding_near_dup_pairs(
         "__v__",
         dims,
         planes,
-    ).repartition("__sig__")  # → ReusedExchange across the self-join
-    a = s.alias("a")
-    b = s.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__sig__") == F.col("b.__sig__"))
-        & (F.col("a.__id__") < F.col("b.__id__")),
-    ).select(
-        F.col("a.__id__").alias("a_id"),
-        F.col("b.__id__").alias("b_id"),
-        F.round(
-            dot("a.__v__", "b.__v__") / (norm("a.__v__") * norm("b.__v__")), 6
-        ).alias("sim"),
+        kernel=sig_kernel,
     )
-    return pairs.filter(F.col("sim") >= threshold)
+    if mode == "join":
+        s = s.withColumn("__n__", norm("__v__"))
+        a = s.alias("a")
+        b = s.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.__sig__") == F.col("b.__sig__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        ).select(
+            F.col("a.__id__").alias("a_id"),
+            F.col("b.__id__").alias("b_id"),
+            F.round(
+                dot("a.__v__", "b.__v__") / (F.col("a.__n__") * F.col("b.__n__")),
+                6,
+            ).alias("sim"),
+        )
+        return pairs.filter(F.col("sim") >= threshold)
+    if mode != "grouped":
+        raise ValueError(f"unknown mode {mode!r} (expected 'grouped' or 'join')")
+
+    def make_verify(threshold):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {
+                "a_id": _pd.Series([], dtype="int64"),
+                "b_id": _pd.Series([], dtype="int64"),
+                "__raw__": _pd.Series([], dtype="float64"),
+            }
+        )
+
+        def verify(pdf):
+            n = len(pdf)
+            if n < 2:
+                return empty
+            order = _np.argsort(pdf["__id__"].to_numpy())
+            ids = pdf["__id__"].to_numpy()[order].astype(_np.int64)
+            V = _np.stack(pdf["__v__"].to_numpy()[order]).astype(_np.float64)
+            norms = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
+            cut = threshold - 1e-6  # keep everything that could round up
+            out_a, out_b, out_s = [], [], []
+            B = 256
+            for i0 in range(0, n, B):
+                Vi, ni = V[i0 : i0 + B], norms[i0 : i0 + B]
+                for j0 in range(i0, n, B):
+                    Vj, nj = V[j0 : j0 + B], norms[j0 : j0 + B]
+                    dots = _np.cumsum(
+                        Vi[:, None, :] * Vj[None, :, :], axis=2
+                    )[:, :, -1]
+                    sims = dots / (ni[:, None] * nj[None, :])
+                    ii, jj = _np.nonzero(sims >= cut)
+                    keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
+                    ii, jj = ii[keep], jj[keep]
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+                    out_s.append(sims[ii, jj])
+            if not out_a:
+                return empty
+            return _pd.DataFrame(
+                {
+                    "a_id": _np.concatenate(out_a),
+                    "b_id": _np.concatenate(out_b),
+                    "__raw__": _np.concatenate(out_s),
+                }
+            )
+
+        return verify
+
+    pairs = s.groupBy("__sig__").applyInPandas(
+        make_verify(threshold), schema="a_id long, b_id long, __raw__ double"
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round(F.col("__raw__"), 6).alias("sim")
+    ).filter(F.col("sim") >= threshold)

@@ -951,6 +951,27 @@ def cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(e, q, k=5)
 
 
+@_register(
+    "cosine_topk_scan",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_SQL} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rank
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_scan(spark, sf_dir):
+    """Matrix-scan exact tier: same answer as cosine_topk, shuffle
+    volume O(k·queries·batches) instead of corpus × queries pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_scan(e, q, k=5)
+
+
 _LSH = dict(dims=64, planes=6)
 
 

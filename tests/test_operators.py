@@ -152,6 +152,67 @@ def test_lsh_topk_is_subset_quality(spark, sf_dir):
         assert r["sim"] <= best[r["query_id"]] + 1e-9
 
 
+def test_numpy_kernel_bit_exact_vs_sql(spark, sf_dir):
+    """The Arrow numpy kernels must reproduce the interpreted HOF
+    path bit-for-bit (cumsum = left-assoc fold), or oracle hashes
+    drift. Compare raw doubles with zero tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pairs = (
+        emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .filter(F.expr("a.vec_id < b.vec_id"))
+        .select(
+            F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+        )
+    )
+    got = pairs.select(
+        similarity.dot("va", "vb").alias("d_sql"),
+        similarity.dot_fast("va", "vb").alias("d_np"),
+        similarity.norm("va").alias("n_sql"),
+        similarity.norm_fast("va").alias("n_np"),
+    ).collect()
+    assert got and all(r["d_sql"] == r["d_np"] for r in got)
+    assert all(r["n_sql"] == r["n_np"] for r in got)
+
+
+def test_lsh_signature_kernels_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    sql_sig = similarity.with_lsh_signature(
+        emb, "embedding", dims=64, planes=8, kernel="sql"
+    ).select("vec_id", F.col("__sig__").alias("s"))
+    np_sig = similarity.with_lsh_signature(
+        emb, "embedding", dims=64, planes=8, kernel="numpy"
+    ).select("vec_id", F.col("__sig__").alias("s"))
+    a = {r["vec_id"]: r["s"] for r in sql_sig.collect()}
+    b = {r["vec_id"]: r["s"] for r in np_sig.collect()}
+    assert a == b
+
+
+def test_topk_kernels_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    key = lambda r: (r["query_id"], r["rank"])
+    exact_sql = sorted(
+        similarity.cosine_topk(emb, queries, k=5, kernel="sql").collect(), key=key
+    )
+    exact_np = sorted(
+        similarity.cosine_topk(emb, queries, k=5, kernel="numpy").collect(), key=key
+    )
+    assert [tuple(r) for r in exact_sql] == [tuple(r) for r in exact_np]
+    scan = sorted(
+        similarity.cosine_topk_scan(emb, queries, k=5).collect(), key=key
+    )
+    assert [tuple(r) for r in scan] == [tuple(r) for r in exact_sql]
+    nd_join = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, planes=4, mode="join", sig_kernel="sql"
+    ).collect()
+    nd_grouped = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, planes=4, mode="grouped"
+    ).collect()
+    assert sorted(map(tuple, nd_join)) == sorted(map(tuple, nd_grouped))
+    assert nd_grouped  # non-degenerate: buckets actually produced pairs
+
+
 # ---------------------------------------------------------------- multimodal
 
 
