@@ -916,10 +916,54 @@ def dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs).select("id", "component")
 
 
-@_register("simhash_near_dup_pairs", None)  # bit ops not portable → rows-only check
+def _simhash_oracle(max_hamming: int = 3, num_tables: int = 4) -> str:
+    """DuckDB replica of dedup.simhash32 + the pigeonhole chunk join:
+    per token, 32 bits of md5 ('0x'||hex → BIGINT); each bit votes ±1
+    into its lane; fingerprint = sign vector; candidates share an
+    exact 8-bit chunk. Tokenless docs get fingerprint 0 (the UDF
+    returns 0 for them), hence the LEFT JOIN + COALESCE."""
+    lanes = ", ".join(
+        f"SUM(2 * ((h >> {b}) & 1) - 1) AS l_{b}" for b in range(32)
+    )
+    fp_expr = " + ".join(f"((l_{b} > 0)::BIGINT << {b})" for b in range(32))
+    chunk_bits = 32 // num_tables
+    tbls = ", ".join(str(i) for i in range(num_tables))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS t
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+    ),
+    lanes AS (SELECT doc_id, {lanes} FROM hv GROUP BY doc_id),
+    fps AS (
+      SELECT d.doc_id, COALESCE({fp_expr}, 0) AS fp
+      FROM documents d LEFT JOIN lanes l ON d.doc_id = l.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, fp, tbl,
+             (fp >> (tbl * {chunk_bits})) & {(1 << chunk_bits) - 1} AS chunk
+      FROM fps, (SELECT unnest([{tbls}]) AS tbl)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.tbl = b.tbl AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@_register("simhash_near_dup_pairs", _simhash_oracle())
 def simhash_near_dup_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    pairs = dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # =====================================================================
