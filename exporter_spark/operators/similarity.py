@@ -319,16 +319,20 @@ def hyperplane_component(plane: int, dim: int) -> float:
     return int(h, 16) / 2147483648.0 - 1.0
 
 
-def lsh_signature_sql(vec_col: str, dims: int, planes: int) -> str:
+def lsh_signature_sql(
+    vec_col: str, dims: int, planes: int, plane_offset: int = 0
+) -> str:
     """DuckDB replica of the signature: explicit left-associated term
     sums per plane (same fold order as Spark's aggregate(), so the
     doubles — and therefore the sign bits — are identical).
     ``vec_col`` must already be double[] (pass '(embedding::DOUBLE[])'
-    — parenthesized, or the [] index binds to the cast type)."""
+    — parenthesized, or the [] index binds to the cast type).
+    ``plane_offset`` selects a table's slice of the hyperplane
+    sequence (banded LSH: table t passes offset t·planes)."""
     bits = []
     for p in range(planes):
         terms = " + ".join(
-            f"({vec_col})[{d + 1}] * ({hyperplane_component(p, d)!r})"
+            f"({vec_col})[{d + 1}] * ({hyperplane_component(plane_offset + p, d)!r})"
             for d in range(dims)
         )
         bits.append(f"(cast(({terms}) > 0 as bigint) * {1 << p})")
@@ -566,58 +570,149 @@ def embedding_near_dup_pairs(
     if mode != "grouped":
         raise ValueError(f"unknown mode {mode!r} (expected 'grouped' or 'join')")
 
-    def make_verify(threshold):
-        import numpy as _np
-        import pandas as _pd
-
-        empty = _pd.DataFrame(
-            {
-                "a_id": _pd.Series([], dtype="int64"),
-                "b_id": _pd.Series([], dtype="int64"),
-                "__raw__": _pd.Series([], dtype="float64"),
-            }
-        )
-
-        def verify(pdf):
-            n = len(pdf)
-            if n < 2:
-                return empty
-            order = _np.argsort(pdf["__id__"].to_numpy())
-            ids = pdf["__id__"].to_numpy()[order].astype(_np.int64)
-            V = _np.stack(pdf["__v__"].to_numpy()[order]).astype(_np.float64)
-            norms = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
-            cut = threshold - 1e-6  # keep everything that could round up
-            out_a, out_b, out_s = [], [], []
-            B = 256
-            for i0 in range(0, n, B):
-                Vi, ni = V[i0 : i0 + B], norms[i0 : i0 + B]
-                for j0 in range(i0, n, B):
-                    Vj, nj = V[j0 : j0 + B], norms[j0 : j0 + B]
-                    dots = _np.cumsum(
-                        Vi[:, None, :] * Vj[None, :, :], axis=2
-                    )[:, :, -1]
-                    sims = dots / (ni[:, None] * nj[None, :])
-                    ii, jj = _np.nonzero(sims >= cut)
-                    keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
-                    ii, jj = ii[keep], jj[keep]
-                    out_a.append(ids[i0 + ii])
-                    out_b.append(ids[j0 + jj])
-                    out_s.append(sims[ii, jj])
-            if not out_a:
-                return empty
-            return _pd.DataFrame(
-                {
-                    "a_id": _np.concatenate(out_a),
-                    "b_id": _np.concatenate(out_b),
-                    "__raw__": _np.concatenate(out_s),
-                }
-            )
-
-        return verify
-
     pairs = s.groupBy("__sig__").applyInPandas(
-        make_verify(threshold), schema="a_id long, b_id long, __raw__ double"
+        _make_bucket_verify(threshold), schema="a_id long, b_id long, __raw__ double"
     )
     return pairs.select(
         "a_id", "b_id", F.round(F.col("__raw__"), 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+def _make_bucket_verify(threshold):
+    """applyInPandas kernel: all-pairs cosine within one bucket, in
+    blocked C-speed matrix chunks; emits the strict upper triangle
+    (by id) of pairs whose RAW sim could still round up past the
+    threshold. Self-contained closure (numpy/pandas only)."""
+    import numpy as _np
+    import pandas as _pd
+
+    empty = _pd.DataFrame(
+        {
+            "a_id": _pd.Series([], dtype="int64"),
+            "b_id": _pd.Series([], dtype="int64"),
+            "__raw__": _pd.Series([], dtype="float64"),
+        }
+    )
+
+    def verify(pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = _np.argsort(pdf["__id__"].to_numpy())
+        ids = pdf["__id__"].to_numpy()[order].astype(_np.int64)
+        V = _np.stack(pdf["__v__"].to_numpy()[order]).astype(_np.float64)
+        norms = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
+        cut = threshold - 1e-6  # keep everything that could round up
+        out_a, out_b, out_s = [], [], []
+        B = 256
+        for i0 in range(0, n, B):
+            Vi, ni = V[i0 : i0 + B], norms[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                Vj, nj = V[j0 : j0 + B], norms[j0 : j0 + B]
+                dots = _np.cumsum(
+                    Vi[:, None, :] * Vj[None, :, :], axis=2
+                )[:, :, -1]
+                sims = dots / (ni[:, None] * nj[None, :])
+                ii, jj = _np.nonzero(sims >= cut)
+                keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
+                ii, jj = ii[keep], jj[keep]
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+                out_s.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        return _pd.DataFrame(
+            {
+                "a_id": _np.concatenate(out_a),
+                "b_id": _np.concatenate(out_b),
+                "__raw__": _np.concatenate(out_s),
+            }
+        )
+
+    return verify
+
+
+def banded_hyperplanes(
+    dims: int, planes_per_table: int, num_tables: int
+) -> list[list[float]]:
+    """(num_tables × planes_per_table) hyperplanes; table t owns the
+    contiguous slice [t·b, (t+1)·b) of the deterministic
+    hyperplane_component sequence, so every table's planes are
+    independent and both engines can reproduce them as literals."""
+    return [
+        [hyperplane_component(t * planes_per_table + p, d) for d in range(dims)]
+        for t in range(num_tables)
+        for p in range(planes_per_table)
+    ]
+
+
+def _make_banded_sig_udf(H, num_tables, planes_per_table):
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def banded_sig(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        Hm = _np.asarray(H, dtype=_np.float64)  # (T·b) × D
+        av = _np.stack(a.to_numpy()).astype(_np.float64)
+        sums = _np.cumsum(av[:, None, :] * Hm[None, :, :], axis=2)[:, :, -1]
+        bits = (sums > 0).astype(_np.int64).reshape(
+            len(av), num_tables, planes_per_table
+        )
+        sigs = (bits << _np.arange(planes_per_table)).sum(axis=2)  # B × T
+        return pd.Series(list(sigs))
+
+    return banded_sig
+
+
+_BANDED_SIG_UDFS: dict = {}
+
+
+def embedding_near_dup_banded(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    planes_per_table: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Multi-table (banded) LSH near-dup pairs — the recall-safe
+    variant of ``embedding_near_dup_pairs``. A single w-plane
+    signature requires ALL w sign bits to agree (recall p^w — a
+    cliff); here a pair is a candidate if it matches in ANY of
+    ``num_tables`` independent ``planes_per_table``-bit tables
+    (recall 1-(1-p^b)^T), exactly how minhash bands work.
+
+    Shape: one banded-signature pass per vector (numpy kernel), ONE
+    shuffle on (table, signature), per-bucket C-speed verification,
+    then a distinct (a pair can match in several tables; sims are
+    bit-exact deterministic so distinct collapses them). No O(n²)
+    stage at any point."""
+    key = (dims, planes_per_table, num_tables)
+    if key not in _BANDED_SIG_UDFS:
+        H = banded_hyperplanes(dims, planes_per_table, num_tables)
+        _BANDED_SIG_UDFS[key] = _make_banded_sig_udf(
+            H, num_tables, planes_per_table
+        )
+    s = (
+        _spread(emb, id_col)
+        .select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+        .withColumn("__sigs__", _BANDED_SIG_UDFS[key](F.col("__v__")))
+        .select(
+            "__id__",
+            "__v__",
+            F.posexplode("__sigs__").alias("__tbl__", "__sig__"),
+        )
+    )
+    pairs = s.groupBy("__tbl__", "__sig__").applyInPandas(
+        _make_bucket_verify(threshold), schema="a_id long, b_id long, __raw__ double"
+    )
+    return (
+        pairs.select("a_id", "b_id", F.round(F.col("__raw__"), 6).alias("sim"))
+        .distinct()
+        .filter(F.col("sim") >= threshold)
+    )

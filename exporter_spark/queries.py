@@ -1066,6 +1066,37 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+_BANDED = dict(threshold=0.3, dims=64, planes_per_table=3, num_tables=12)
+
+
+def _emb_banded_oracle() -> str:
+    """Banded LSH replica: per-table signatures as UNION ALL branches
+    (table t uses hyperplane slice [t·b, (t+1)·b)), candidates match
+    in any table, DISTINCT collapses multi-table hits."""
+    b, T = _BANDED["planes_per_table"], _BANDED["num_tables"]
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, "
+        + similarity.lsh_signature_sql("v", _BANDED["dims"], b, plane_offset=t * b)
+        + " AS sig FROM e"
+        for t in range(T)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS ({branches})
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, {_COSINE_SQL} AS sim
+    FROM sigs a JOIN sigs b
+      ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL} >= {_BANDED["threshold"]}
+    """
+
+
+@_register("embedding_near_dup_banded", _emb_banded_oracle())
+def embedding_near_dup_banded(spark, sf_dir):
+    """Recall-safe multi-table variant of embedding_near_dup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_banded(e, **_BANDED)
+
+
 # =====================================================================
 # Multimodal plumbing (stubbed decode; Spark mechanics are real)
 # =====================================================================

@@ -213,6 +213,35 @@ def test_topk_kernels_agree(spark, sf_dir):
     assert nd_grouped  # non-degenerate: buckets actually produced pairs
 
 
+def test_banded_near_dup_recall_and_plan(spark, sf_dir):
+    """Banded LSH must (a) recover ≥0.9 of the true pairs that a
+    single-table signature would miss, (b) never fabricate a pair
+    (verification is exact), and (c) contain no O(n²) stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    V = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    th = 0.3
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[S[iu, ju] >= th], ju[S[iu, ju] >= th])
+    }
+    assert truth, "test needs a non-empty ground truth"
+    df = similarity.embedding_near_dup_banded(
+        emb, threshold=th, planes_per_table=3, num_tables=12
+    )
+    got = {(r["a_id"], r["b_id"]) for r in df.collect()}
+    assert got <= truth  # no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(truth)} true pairs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 # ---------------------------------------------------------------- multimodal
 
 
