@@ -15,7 +15,7 @@ Layers (see SURVEY.md §7):
 """
 
 from exporter_spark.exporter import Exporter
-from exporter_spark.plans.spec import ExportSpec
+from exporter_spark.plans.spec import CellMeta, ExportSpec
 
-__all__ = ["Exporter", "ExportSpec"]
+__all__ = ["Exporter", "ExportSpec", "CellMeta"]
 __version__ = "0.1.0"

@@ -10,8 +10,8 @@ codegen and writes partition-parallel part files.
 
 Fidelity path: Go ``encoding/csv`` quoting re-implemented exactly
 (quotes when the field contains the delimiter, a quote, CR/LF, or
-*begins with a space or tab* — the leading-whitespace rule is a Go
-quirk Python's csv module does not share).
+*begins with any unicode.IsSpace rune* — the leading-whitespace rule
+is a Go quirk Python's csv module does not share).
 """
 
 from __future__ import annotations
@@ -22,6 +22,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from exporter_spark.formatters.base import BaseFormatter
+
+# Go unicode.IsSpace set (encoding/csv fieldNeedsQuotes quotes a field
+# whose FIRST rune is any of these — not just space/tab):
+# Latin-1 fast path + the Unicode White_Space ranges.
+GO_SPACE_CHARS = (
+    "\t\n\v\f\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
 
 
 def csv_field_expr(col: Column, delimiter: str, null_value: str) -> Column:
@@ -35,7 +44,7 @@ def csv_field_expr(col: Column, delimiter: str, null_value: str) -> Column:
         | (F.instr(s, '"') > 0)
         | (F.instr(s, "\r") > 0)
         | (F.instr(s, "\n") > 0)
-        | F.substring(s, 1, 1).isin(" ", "\t")
+        | F.substring(s, 1, 1).isin(*GO_SPACE_CHARS)
         | (s == "\\.")
     )
     quoted = F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"'))
@@ -57,7 +66,7 @@ def _go_csv_field(s: str, delimiter: str) -> str:
         or '"' in s
         or "\r" in s
         or "\n" in s
-        or (s[:1] in (" ", "\t"))
+        or (s[:1] and s[0] in GO_SPACE_CHARS)
     )
     if not needs:
         return s
@@ -81,7 +90,9 @@ class CSVFormatter(BaseFormatter):
         # only concatenates; quoting parity with Go encoding/csv is in
         # csv_field_expr / _go_csv_field (same rules, two dialects)
         lines = out.select(
-            csv_line_expr(out.columns, spec.delimiter, spec.null_value).alias("__line__")
+            csv_line_expr(
+                out.columns, spec.delimiter, spec.resolved_null("")
+            ).alias("__line__")
         )
         end = self._line_end()
         wrote_header = False
@@ -109,7 +120,7 @@ class CSVFormatter(BaseFormatter):
             writer
             .option("header", str(spec.header).lower())
             .option("sep", spec.delimiter)
-            .option("nullValue", spec.null_value)
+            .option("nullValue", spec.resolved_null(""))
             .option("emptyValue", "")
             # escape = quote char ⇒ RFC-4180 quote doubling, matching
             # Go encoding/csv and our fidelity path (Spark's default

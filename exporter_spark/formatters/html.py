@@ -43,25 +43,38 @@ tr:hover td { background: #fafafa; }
 
 class HTMLFormatter(BaseFormatter):
     def _head(self, names: list[str], types: list[str]) -> str:
-        cells = "".join(
-            f"<th>{n}<br/><small>{t.lower()}</small></th>" for n, t in zip(names, types)
-        )
+        """Document skeleton; the <thead> block only when the spec asks
+        for a header (reference honors writeHeader — html.go:146-151;
+        the skeleton itself is always needed for a standalone doc)."""
+        thead = ""
+        if self.spec.header:
+            cells = "".join(
+                f"<th>{n}<br/><small>{t.lower()}</small></th>"
+                for n, t in zip(names, types)
+            )
+            thead = "<thead>\n<tr>" + cells + "</tr>\n</thead>\n"
         return (
             "<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"utf-8\"/>\n"
             + _STYLE
-            + "</head>\n<body>\n<table>\n<thead>\n<tr>"
-            + cells
-            + "</tr>\n</thead>\n<tbody>\n"
+            + "</head>\n<body>\n<table>\n"
+            + thead
+            + "<tbody>\n"
         )
 
     _FOOT = "</tbody>\n</table>\n</body>\n</html>\n"
 
+    def _null_rendering(self) -> str:
+        # WithCustomNULL (html.go:74-78); default is the gray span
+        return self.spec.resolved_null(NULL_SPAN)
+
     def _row_expr(self, cols: list[str]) -> Column:
+        null_s = self._null_rendering()
         parts: list[Column] = [F.lit("<tr>")]
         for c in cols:
             parts.append(F.lit("<td>"))
-            # NULL ⇒ gray span (html.go:36); values unescaped (html.go:160)
-            parts.append(F.coalesce(F.col(c), F.lit(NULL_SPAN)))
+            # NULL ⇒ configurable rendering (html.go:36,176-180);
+            # values unescaped (html.go:160)
+            parts.append(F.coalesce(F.col(c), F.lit(null_s)))
             parts.append(F.lit("</td>"))
         parts.append(F.lit("</tr>"))
         return F.concat(*parts).alias("__tr__")
@@ -78,7 +91,7 @@ class HTMLFormatter(BaseFormatter):
         out = spec.compile(df)
         rows = out.select(self._row_expr(out.columns))
         opened = False
-        if spec.header and spec.header_when_no_data:
+        if spec.header_when_no_data:
             yield self._head(names, types)
             opened = True
         for row in rows.toLocalIterator():
@@ -98,11 +111,10 @@ class HTMLFormatter(BaseFormatter):
         out = spec.compile(df)
         rows = out.select(self._row_expr(out.columns).alias("value"))
         rows.write.mode("overwrite").text(path)
-        if spec.header:
-            with open(f"{path}/_header.html", "w", encoding="utf-8") as fh:
-                fh.write(self._head(names, types))
-            with open(f"{path}/_footer.html", "w", encoding="utf-8") as fh:
-                fh.write(self._FOOT)
+        with open(f"{path}/_header.html", "w", encoding="utf-8") as fh:
+            fh.write(self._head(names, types))
+        with open(f"{path}/_footer.html", "w", encoding="utf-8") as fh:
+            fh.write(self._FOOT)
 
 
 def assemble_html(parts_dir: str, out_file: str) -> None:

@@ -29,6 +29,13 @@ from exporter_spark.functions.tostring import _go_fixed_repr
 
 
 def _rfc3339nano_py(v: dt.datetime) -> str:
+    """Fallback for temporals NESTED inside arrays/structs (top-level
+    timestamp columns are rendered JVM-side before collection, so the
+    driver's OS timezone never touches them). Aware datetimes are
+    converted to UTC; naive ones are trusted to already be UTC (the
+    engine session runs with spark.sql.session.timeZone=UTC)."""
+    if v.tzinfo is not None:
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
     s = v.strftime("%Y-%m-%dT%H:%M:%S")
     if v.microsecond:
         s += (".%06d" % v.microsecond).rstrip("0")
@@ -97,7 +104,61 @@ def assemble_json_array(parts_dir: str, out_file: str) -> None:
             out.write("\n]\n")
 
 
+def _render_temporals(out: DataFrame) -> DataFrame:
+    """Timestamps must serialize as RFC3339Nano with TRIMMED fractional
+    zeros (Go time.Time marshaling). Rendering happens JVM-side, under
+    the session timezone (UTC), BEFORE any collection — the fidelity
+    path's toLocalIterator would otherwise deserialize through the
+    driver's OS-local timezone and shift instants on non-UTC drivers;
+    the distributed writer has no trimming timestampFormat at all.
+    Both paths share this projection, so they stay byte-identical."""
+    from pyspark.sql import types as T
+
+    from exporter_spark.functions.tostring import _rfc3339nano
+
+    exprs = []
+    changed = False
+    for i, f in enumerate(out.schema.fields):
+        c = out[i]
+        if isinstance(f.dataType, T.TimestampType):
+            exprs.append(_rfc3339nano(c).alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, T.DateType):
+            exprs.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
+            changed = True
+        else:
+            exprs.append(c)
+    return out.select(*exprs) if changed else out
+
+
 class JSONFormatter(BaseFormatter):
+    def _dedup_columns(self, out: DataFrame) -> DataFrame:
+        """Duplicate output names: strict-reject by default; in
+        "collapse" mode the LAST occurrence wins — the reference's
+        map-overwrite semantics (codec/json/json.go:108-110), where
+        later row values silently replace earlier ones under the same
+        key. Selection is positional (duplicate names can't be
+        referenced by name)."""
+        cols = out.columns
+        if len(set(cols)) == len(cols):
+            return out
+        if self.spec.duplicate_columns == "error":
+            dups = sorted({c for c in cols if cols.count(c) > 1})
+            raise ValueError(
+                f"duplicate output column names {dups}; use "
+                f"with_duplicate_columns('collapse') for the reference's "
+                f"last-wins map semantics"
+            )
+        # df[name] / df[i] both resolve BY NAME in PySpark, so true
+        # positional selection needs a rename pass: unique temp names,
+        # select the kept positions, restore the real names.
+        last = {c: i for i, c in enumerate(cols)}
+        keep = sorted(last.values())
+        tmp = out.toDF(*[f"__c{i}__" for i in range(len(cols))])
+        return tmp.select(*[f"__c{i}__" for i in keep]).toDF(
+            *[cols[i] for i in keep]
+        )
+
     def _obj(self, row, cols: list[str]) -> str:
         names = sorted(cols) if self.spec.sort_keys else cols
         return (
@@ -112,7 +173,7 @@ class JSONFormatter(BaseFormatter):
     # -- fidelity path ---------------------------------------------------------
     def iter_chunks(self, df: DataFrame) -> Iterator[str]:
         spec = self.spec
-        out = spec.compile_raw(df)
+        out = _render_temporals(self._dedup_columns(spec.compile_raw(df)))
         cols = out.columns
         first = True
         for row in out.toLocalIterator():
@@ -133,22 +194,7 @@ class JSONFormatter(BaseFormatter):
         NDJSON part files (callers needing one array concatenate with
         the fidelity path)."""
         spec = self.spec
-        out = spec.compile_raw(df)
-        # Timestamps must serialize as RFC3339Nano with TRIMMED
-        # fractional zeros (Go time.Time marshaling); no writer
-        # timestampFormat can trim, so convert to the display string
-        # first — keeps the distributed output byte-compatible with
-        # the fidelity path (same class of divergence as the CSV
-        # quote-escape bug).
-        from pyspark.sql import types as T
-
-        from exporter_spark.functions.tostring import _rfc3339nano
-
-        for f in out.schema.fields:
-            if isinstance(f.dataType, T.TimestampType):
-                out = out.withColumn(f.name, _rfc3339nano(F.col(f.name)))
-            elif isinstance(f.dataType, T.DateType):
-                out = out.withColumn(f.name, F.date_format(f.name, "yyyy-MM-dd"))
+        out = _render_temporals(self._dedup_columns(spec.compile_raw(df)))
         if spec.sort_keys:
             out = out.select(*sorted(out.columns))
         writer = out.write.mode("overwrite")

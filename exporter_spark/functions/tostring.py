@@ -158,20 +158,25 @@ def display_columns(
     float_mode: str = "java",
     formatters: dict[str, Column] | None = None,
     timestamp_mode: str = "rfc3339nano",
+    only: list[str] | None = None,
 ) -> list[Column]:
     """One display-string Column per df column, preserving names.
 
     ``formatters`` maps column name → ready Column expression and
-    overrides the default (the Spark analog of the reference's
-    per-type custom mappers, codec/csv/csv.go:52-63; keyed by column
-    here because Spark schemas make per-type == per-column-set).
+    overrides the default (resolved by ExportSpec from its column- and
+    type-keyed mapper registries — the reference's custom-mapper
+    dispatch, codec/csv/csv.go:195-205). ``only`` restricts output to
+    the named columns (used to exclude internal helper columns like
+    the mapper RowID).
     """
     formatters = formatters or {}
     out = []
-    for f in df.schema.fields:
+    for i, f in enumerate(df.schema.fields):
+        if only is not None and f.name not in only:
+            continue
         if f.name in formatters:
             expr = formatters[f.name]
         else:
-            expr = display_expr(F.col(f.name), f.dataType, float_mode=float_mode)
+            expr = display_expr(df[i], f.dataType, float_mode=float_mode)
         out.append(expr.alias(f.name))
     return out

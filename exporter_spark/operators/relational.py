@@ -83,22 +83,32 @@ def asof_join(
     timestamps match (right sorts before left at the same instant).
     """
     right_cols = right_cols or [c for c in right.columns if c != on]
-    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r__")
 
+    # Each left row carries its FULL payload through the union/window,
+    # so no row id and no join-back are needed — one shuffle total,
+    # and nothing nondeterministic in the plan. (The previous shape
+    # tagged left with monotonically_increasing_id and referenced the
+    # tagged frame in two subtrees; a shuffle upstream could assign
+    # different ids per evaluation and silently mis-match.)
+    l = left.select(
+        F.col(on).alias("__k__"),
+        F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l__"),
+        F.lit(None)
+        .cast(
+            right.select(
+                F.struct(*[F.col(c) for c in right_cols]).alias("__r__")
+            ).schema["__r__"].dataType
+        )
+        .alias("__r__"),
+    )
     r = right.select(
         F.col(on).alias("__k__"),
         F.col(right_ts).alias("__t__"),
         F.lit(0).alias("__side__"),
-        payload,
-        F.lit(None).cast("long").alias("__rowid__"),
-    )
-    l_tagged = left.withColumn("__rowid__", F.monotonically_increasing_id())
-    l = l_tagged.select(
-        F.col(on).alias("__k__"),
-        F.col(left_ts).alias("__t__"),
-        F.lit(1).alias("__side__"),
-        F.lit(None).cast(r.schema["__r__"].dataType).alias("__r__"),
-        F.col("__rowid__"),
+        F.lit(None).cast(l.schema["__l__"].dataType).alias("__l__"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r__"),
     )
 
     w = (
@@ -110,9 +120,8 @@ def asof_join(
         r.unionByName(l)
         .withColumn("__match__", F.last("__r__", ignorenulls=True).over(w))
         .filter(F.col("__side__") == 1)
-        .select("__rowid__", "__match__")
     )
-    out = l_tagged.join(carried, "__rowid__", "left")
-    for c in right_cols:
-        out = out.withColumn(c + suffix, F.col("__match__")[c])
-    return out.drop("__rowid__", "__match__")
+    return carried.select(
+        F.col("__l__.*"),
+        *[F.col("__match__")[c].alias(c + suffix) for c in right_cols],
+    )

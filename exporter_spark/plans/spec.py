@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from exporter_spark.functions.tostring import display_columns
+from exporter_spark.functions.tostring import display_columns, display_expr
+from exporter_spark.sources.meta import driver_of
 
 # preprocessor: (row_id | None, {col: display_str|None}) -> (dict | None)
 # Returning None drops the row — the reference's (nil, false) return
@@ -33,6 +34,30 @@ from exporter_spark.functions.tostring import display_columns
 # and is only defined when the spec has an ``order_by`` (a distributed
 # engine has no inherent row order; the reference is single-threaded).
 PreProcessor = Callable[[int | None, dict[str, Any]], dict[str, Any] | None]
+
+
+@dataclass(frozen=True)
+class CellMeta:
+    """Expression-level analog of the reference's per-cell
+    ``scanner.Metadata{RowID, Driver, Column}``
+    (/root/reference/scanner/scanner.go:27-31). Custom mappers receive
+    it as their second argument and can fold any part into the
+    returned expression.
+
+    ``row_id`` is a Column: the 1-based output row number when the
+    spec has an ``order_by`` (the only setting under which a
+    distributed engine HAS a row number), NULL otherwise."""
+
+    row_id: Column
+    driver: str
+    column: T.StructField
+
+
+# mapper: (value column, CellMeta) -> replacement Column.
+# NULL inputs bypass the mapper and render as the codec's null —
+# reference toString dispatch, codec/csv/csv.go:195-205 (nil short-
+# circuits before the customMapper lookup).
+Mapper = Callable[[Column, CellMeta], Column]
 
 
 @dataclass(frozen=True)
@@ -45,16 +70,24 @@ class ExportSpec:
     custom_header: list[str] | None = None
     delimiter: str = ","
     crlf: bool = False
-    null_value: str = ""
+    # None ⇒ each codec's own default (CSV/streaming "", HTML the gray
+    # [NULL] span) — mirrors the reference, where every codec carries
+    # its own nullValue default and WithCustomNULL overrides it
+    # (codec/csv/csv.go:109-113, codec/html/html.go:36,74-78).
+    null_value: str | None = None
     limit: int = -1
     filter: Column | str | None = None
     order_by: list[str] | None = None
     preprocessor: PreProcessor | None = None
-    formatters: dict[str, Column] = field(default_factory=dict)
+    formatters: dict[str, Any] = field(default_factory=dict)
+    type_formatters: dict[Any, Mapper] = field(default_factory=dict)
     float_mode: str = "java"
     # JSON
     newline_delimited: bool = False
     sort_keys: bool = True  # jsoniter std-compat sorts map keys (json.go:17)
+    # duplicate output names: "error" (strict, default) or "collapse"
+    # (last-wins — the reference's map-overwrite, json.go:108-110)
+    duplicate_columns: str = "error"
     # XML
     root_tag: str = "data"
     row_tag: str = "row"
@@ -79,6 +112,10 @@ class ExportSpec:
     def with_null(self, s: str) -> "ExportSpec":
         return replace(self, null_value=s)
 
+    def resolved_null(self, codec_default: str = "") -> str:
+        """The NULL rendering this codec should use."""
+        return self.null_value if self.null_value is not None else codec_default
+
     def with_limit(self, n: int) -> "ExportSpec":
         return replace(self, limit=n)
 
@@ -91,11 +128,29 @@ class ExportSpec:
     def with_preprocessor(self, fn: PreProcessor) -> "ExportSpec":
         return replace(self, preprocessor=fn)
 
-    def with_formatter(self, column: str, expr: Column) -> "ExportSpec":
+    def with_formatter(self, column: str, expr: "Column | Mapper") -> "ExportSpec":
+        """Column-keyed custom mapper: a ready Column expression, or a
+        callable ``(value_col, CellMeta) -> Column`` that additionally
+        sees RowID/Driver/Column (reference Metadata dispatch,
+        codec/csv/csv.go:199-205). Column keys beat type keys."""
         return replace(self, formatters={**self.formatters, column: expr})
+
+    def with_type_formatter(self, dtype: Any, fn: Mapper) -> "ExportSpec":
+        """Type-keyed custom mapper — one registration covers every
+        column of the type (reference ``WithCustomType``'s
+        reflect.Type registry, codec/csv/csv.go:52-63). ``dtype``:
+        a DataType class (``T.TimestampType`` — isinstance match), a
+        DataType instance (exact match, e.g. ``T.DecimalType(12, 2)``),
+        or a simpleString like ``"timestamp"``."""
+        return replace(self, type_formatters={**self.type_formatters, dtype: fn})
 
     def with_newline_delimited(self, on: bool = True) -> "ExportSpec":
         return replace(self, newline_delimited=on)
+
+    def with_duplicate_columns(self, mode: str) -> "ExportSpec":
+        if mode not in ("error", "collapse"):
+            raise ValueError("duplicate_columns must be 'error' or 'collapse'")
+        return replace(self, duplicate_columns=mode)
 
     def with_float_mode(self, mode: str) -> "ExportSpec":
         if mode not in ("java", "go"):
@@ -135,16 +190,24 @@ class ExportSpec:
             df = df.filter(self.filter)
         if self.order_by:
             df = df.orderBy(*self.order_by)
+        out_cols = df.columns
+        rid, df = self._with_row_id(df)
+        resolved = self._resolve_formatters(df, rid, out_cols)
         if display:
             out = df.select(
                 display_columns(
-                    df, float_mode=self.float_mode, formatters=self.formatters
+                    df,
+                    float_mode=self.float_mode,
+                    formatters=resolved,
+                    only=out_cols,
                 )
             )
         else:
             out = df
-            for name, expr in self.formatters.items():
+            for name, expr in resolved.items():
                 out = out.withColumn(name, expr)
+            if "__rid__" in out.columns:
+                out = out.drop("__rid__")
         if self.preprocessor is not None:
             out = self._apply_preprocessor(out, schema=None if display else out.schema)
         if self.limit == 0:
@@ -152,6 +215,62 @@ class ExportSpec:
         elif self.limit > 0:
             out = out.limit(self.limit)
         return out
+
+    def _mapper_for(self, fld: T.StructField) -> "Column | Mapper | None":
+        """Column key beats type key; type keys match by class,
+        instance equality, or simpleString."""
+        if fld.name in self.formatters:
+            return self.formatters[fld.name]
+        for key, fn in self.type_formatters.items():
+            if isinstance(key, str):
+                if fld.dataType.simpleString() == key:
+                    return fn
+            elif isinstance(key, type):
+                if isinstance(fld.dataType, key):
+                    return fn
+            elif fld.dataType == key:
+                return fn
+        return None
+
+    def _with_row_id(self, df: DataFrame) -> tuple[Column, DataFrame]:
+        """RowID column for mapper CellMeta: 1-based output row number
+        under order_by (same single-window fidelity trick as the
+        preprocessor), NULL otherwise. Only materialized when some
+        registered mapper is a callable (can observe it)."""
+        needs = bool(self.type_formatters) or any(
+            not isinstance(v, Column) and callable(v)
+            for v in self.formatters.values()
+        )
+        if needs and self.order_by:
+            return F.col("__rid__"), df.withColumn(
+                "__rid__",
+                F.row_number()
+                .over(Window.orderBy(F.monotonically_increasing_id()))
+                .cast("long"),
+            )
+        return F.lit(None).cast("long"), df
+
+    def _resolve_formatters(
+        self, df: DataFrame, rid: Column, out_cols: list[str]
+    ) -> dict[str, Column]:
+        resolved: dict[str, Column] = {}
+        drv = driver_of(df)
+        for i, fld in enumerate(df.schema.fields):
+            if fld.name not in out_cols:
+                continue
+            m = self._mapper_for(fld)
+            if m is None:
+                continue
+            if isinstance(m, Column):
+                resolved[fld.name] = m
+            else:
+                meta = CellMeta(row_id=rid, driver=drv, column=fld)
+                col = df[i]
+                # nil never reaches reference mappers (csv.go:195-198)
+                resolved[fld.name] = F.when(col.isNull(), F.lit(None)).otherwise(
+                    m(col, meta)
+                )
+        return resolved
 
     def _apply_preprocessor(
         self, df: DataFrame, schema: T.StructType | None = None

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from exporter_spark.sources.meta import tag_driver
+
 TABLES = (
     "region",
     "nation",
@@ -47,7 +49,7 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # integer div — float division would round 64-bit nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return tag_driver(df, "parquet")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,12 +71,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def from_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     opts = {"header": "true", "inferSchema": "true", **options}
-    return spark.read.options(**opts).csv(path)
+    return tag_driver(spark.read.options(**opts).csv(path), "csv")
 
 
 def from_json(spark: SparkSession, path: str, **options) -> DataFrame:
-    return spark.read.options(**options).json(path)
+    return tag_driver(spark.read.options(**options).json(path), "json")
 
 
 def from_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
-    return spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
+    return tag_driver(
+        spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path),
+        "xml",
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from exporter_spark.sources.meta import tag_driver
+
 
 def dequalify_columns(df: DataFrame) -> DataFrame:
     """Strip a leading 'table.' qualifier from column names
@@ -37,5 +39,5 @@ def from_hive(spark: SparkSession, table_or_sql: str) -> DataFrame:
     Hive-enabled session."""
     s = table_or_sql.strip()
     if s.lower().startswith(("select", "with")):
-        return dequalify_columns(spark.sql(s))
-    return dequalify_columns(spark.table(s))
+        return tag_driver(dequalify_columns(spark.sql(s)), "hive")
+    return tag_driver(dequalify_columns(spark.table(s)), "hive")

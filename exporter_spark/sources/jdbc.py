@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from exporter_spark.sources.meta import tag_driver
+
 
 def from_jdbc(
     spark: SparkSession,
@@ -46,4 +48,4 @@ def from_jdbc(
         )
     for k, v in properties.items():
         reader = reader.option(k, v)
-    return reader.load()
+    return tag_driver(reader.load(), "sql")

@@ -55,8 +55,11 @@ def apply_spec_streaming(df: DataFrame, spec: ExportSpec) -> DataFrame:
         )
     if spec.filter is not None:
         df = df.filter(spec.filter)
+    resolved = spec._resolve_formatters(
+        df, F.lit(None).cast("long"), df.columns
+    )  # mappers run with row_id=NULL (unbounded input has no row number)
     return df.select(
-        display_columns(df, float_mode=spec.float_mode, formatters=spec.formatters)
+        display_columns(df, float_mode=spec.float_mode, formatters=resolved)
     )
 
 
@@ -77,7 +80,14 @@ def stream_export(
         writer = (
             writer.option("header", str(spec.header).lower())
             .option("sep", spec.delimiter)
-            .option("nullValue", spec.null_value)
+            .option("nullValue", spec.resolved_null(""))
+            .option("emptyValue", "")
+            # escape = quote ⇒ RFC-4180 quote doubling, same as the
+            # batch writer and the Go fidelity path (default backslash
+            # escaping would diverge on fields containing quotes)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("lineSep", "\r\n" if spec.crlf else "\n")
         )
     writer = writer.option("path", path).option(
         "checkpointLocation", checkpoint or f"{path}/_checkpoint"

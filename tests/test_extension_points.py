@@ -34,6 +34,76 @@ def test_custom_formatter_plugs_in(spark):
     assert lines[3] == "| 2 |  |"
 
 
+# --------------------------------------------- custom mappers + CellMeta
+
+
+def test_type_keyed_mapper_all_codecs(spark):
+    """Ported shape of reference TestWithCustomType
+    (codec/xml/xml_test.go:27-54): one type-keyed registration covers
+    every column of that type, across all four codecs, and the mapper
+    observes CellMeta (RowID + Driver + Column)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y")], "a long, b long, s string"
+    )
+
+    def custom(col, meta):
+        assert meta.driver == "memory"
+        assert meta.column.name in ("a", "b")
+        return F.concat(
+            F.lit("custom:"), col.cast("string"), F.lit("@"),
+            F.coalesce(meta.row_id.cast("string"), F.lit("-")),
+        )
+
+    spec = ExportSpec().with_order_by("a").with_type_formatter(T.LongType, custom)
+    csv = Exporter(df, "csv", spec).write_string()
+    assert "custom:1@1,custom:10@1,x" in csv
+    assert "custom:2@2,custom:20@2,y" in csv
+    xml = Exporter(df, "xml", spec).write_string()
+    assert "<a>custom:1@1</a>" in xml and "<b>custom:20@2</b>" in xml
+    html = Exporter(df, "html", spec).write_string()
+    assert "<td>custom:2@2</td>" in html
+    # JSON raw path: mapper output is the serialized value
+    js = Exporter(df, "json", spec).write_string()
+    assert '"a":"custom:1@1"' in js and '"b":"custom:20@2"' in js
+
+
+def test_type_mapper_null_bypass_and_column_key_wins(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, None), (2, "v")], "a long, s string")
+    spec = (
+        ExportSpec()
+        .with_order_by("a")
+        .with_null("[N]")
+        .with_type_formatter(T.StringType, lambda c, m: F.upper(c))
+        .with_formatter("a", lambda c, m: F.concat(F.lit(m.driver), c.cast("string")))
+    )
+    out = Exporter(df, "csv", spec).write_string().splitlines()
+    # NULL string bypasses the upper() mapper and renders the custom null
+    assert out[1] == "memory1,[N]"
+    assert out[2] == "memory2,V"
+
+
+def test_driver_tag_from_parquet(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from exporter_spark.sources.files import load_table
+    from exporter_spark.sources.meta import driver_of
+
+    df = load_table(spark, sf_dir, "region")
+    assert driver_of(df) == "parquet"
+    # tag survives projection/filter; mapper sees it
+    spec = ExportSpec().with_formatter(
+        "r_name", lambda c, m: F.concat(F.lit(m.driver + ":"), c)
+    ).with_order_by("r_regionkey").with_limit(1)
+    out = Exporter(df.select("r_regionkey", "r_name"), "csv", spec).write_string()
+    assert "parquet:" in out
+
+
 # --------------------------------------------------------- float property
 
 finite_floats = st.floats(allow_nan=False, allow_infinity=False)

@@ -234,3 +234,53 @@ def test_html_header_modes(spark):
     assert "<thead>" in out and "<td>" not in out
     spec = ExportSpec().with_header_when_no_data(False)
     assert Exporter(empty, HTMLFormatter(spec)).write_string() == ""
+
+
+def test_html_header_off_still_standalone_doc(spark):
+    """with_header(False) must suppress the <thead> but keep the doc
+    skeleton (reference honors writeHeader; html.go:146-151)."""
+    df = spark.createDataFrame([(1,)], "a long")
+    out = Exporter(df, HTMLFormatter(ExportSpec().with_header(False))).write_string()
+    assert "<thead>" not in out and "<th>" not in out
+    assert out.startswith("<!DOCTYPE html>") and "<td>1</td>" in out
+
+
+def test_html_custom_null(spark):
+    df = spark.createDataFrame([(1, None)], "a long, b string")
+    out = Exporter(df, HTMLFormatter(ExportSpec().with_null("(nil)"))).write_string()
+    assert "<td>(nil)</td>" in out and NULL_SPAN not in out
+
+
+def test_json_duplicate_columns_strict_and_collapse(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "s", 2.5)], "a long, b string, c double")
+    dup = df.select("a", "b", F.col("c").alias("b"))
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate output column"):
+        Exporter(dup, "json").write_string()
+    out = Exporter(
+        dup, "json", ExportSpec().with_duplicate_columns("collapse")
+    ).write_string()
+    assert '"b":2.5' in out and '"b":"s"' not in out  # last wins (json.go:108-110)
+
+
+def test_csv_go_unicode_space_quoting(spark):
+    """Go encoding/csv quotes any field whose first rune is
+    unicode.IsSpace — not just space/tab. NBSP and ideographic space
+    must quote; an *embedded* (non-leading) space must not."""
+    df = spark.createDataFrame(
+        [(1, " lead-nbsp"), (2, "　lead-ideo"), (3, "mid space")],
+        "a long, b string",
+    )
+    out = Exporter(df, "csv", ExportSpec().with_order_by("a")).write_string()
+    lines = out.splitlines()
+    assert lines[1] == '1," lead-nbsp"'
+    assert lines[2] == '2,"　lead-ideo"'
+    assert lines[3] == "3,mid space"
+    # dual-path parity: the Python fidelity quoting agrees
+    from exporter_spark.formatters.csv import _go_csv_field
+
+    assert _go_csv_field(" x", ",") == '" x"'
+    assert _go_csv_field("x y", ",") == "x y"
