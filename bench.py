@@ -68,6 +68,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    # q1 without the decimal-determinism tax (plain-double sums): the
+    # plan a parity-indifferent user actually runs.
+    from exporter_spark.queries import q1_pricing_summary
+
+    t0 = time.perf_counter()
+    _force(q1_pricing_summary(spark, SF_DIR, fast=True))
+    timings["q1_fast"] = round(time.perf_counter() - t0, 3)
+    print(f"[bench] q1_fast: {timings['q1_fast']}s", file=sys.stderr)
+
     # Export benches: lineitem through each distributed sink.
     li = load_table(spark, SF_DIR, "lineitem")
     out_root = tempfile.mkdtemp(prefix="exporter_spark_bench_")

@@ -79,22 +79,28 @@ def _dsum(col, scale: int):
     GROUP BY l_returnflag, l_linestatus
     """,
 )
-def q1_pricing_summary(spark, sf_dir):
+def q1_pricing_summary(spark, sf_dir, fast: bool = False):
+    """``fast=True`` swaps the decimal-cast determinism sums for plain
+    double aggregation — the plan a user runs when byte-level oracle
+    parity is not required (values agree to ~1e-12 relative; only the
+    last double bits differ with engine scan order). The oracle-paired
+    corpus entry keeps the decimal path."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp")
     )
+    s = (lambda col, scale: F.sum(col)) if fast else _dsum
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-        _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+        s(F.col("l_quantity"), 2).alias("sum_qty"),
+        s(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        s(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "sum_disc_price"
         ),
-        _dsum(
+        s(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
             6,
         ).alias("sum_charge"),
         F.round(
-            _dsum(F.col("l_quantity"), 2) / F.count("*"), 6
+            s(F.col("l_quantity"), 2) / F.count("*"), 6
         ).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )

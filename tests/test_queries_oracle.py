@@ -95,6 +95,22 @@ def test_query_matches_oracle(spark, con, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_q1_fast_mode_matches_decimal_path(spark):
+    """fast=True (plain-double sums) must agree with the decimal
+    determinism path to ~1e-9 relative — same answer, cheaper plan."""
+    from exporter_spark.queries import q1_pricing_summary
+
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])
+    slow = {key(r): r for r in q1_pricing_summary(spark, SF_DIR).collect()}
+    fast = {key(r): r for r in q1_pricing_summary(spark, SF_DIR, fast=True).collect()}
+    assert set(slow) == set(fast)
+    for k, s in slow.items():
+        f = fast[k]
+        assert s["count_order"] == f["count_order"]
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            assert abs(s[c] - f[c]) <= 1e-9 * max(1.0, abs(s[c])), (k, c)
+
+
 @pytest.mark.parametrize("name", [n for n, q in QUERIES.items() if q.oracle is None])
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name].fn(spark, SF_DIR)

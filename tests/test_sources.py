@@ -60,3 +60,70 @@ def test_dequalify_columns(spark):
     df = spark.createDataFrame([(1, "x")], ["t.a", "b"])
     out = dequalify_columns(df)
     assert out.columns == ["a", "b"]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """End-to-end JDBC scan parity (reference scanner/sql.go:20-78):
+    a real embedded database (Derby ships with Spark) is created and
+    populated over JDBC, read back with from_jdbc, and exported —
+    covering driver option plumbing, NULL round-trip, and the 'sql'
+    driver tag."""
+    from exporter_spark import Exporter, ExportSpec
+    from exporter_spark.sources.jdbc import from_jdbc
+    from exporter_spark.sources.meta import driver_of
+
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{tmp_path}/db;create=true"
+    )
+    st = conn.createStatement()
+    st.execute("CREATE TABLE people (id INT, name VARCHAR(20), score DOUBLE)")
+    st.execute("INSERT INTO people VALUES (1, 'ada', 1.5), (2, 'bob', NULL)")
+    st.close()
+    conn.close()
+
+    df = from_jdbc(
+        spark,
+        f"jdbc:derby:{tmp_path}/db",
+        table="people",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert driver_of(df) == "sql"
+    assert [f.name for f in df.schema.fields] == ["ID", "NAME", "SCORE"]
+    out = Exporter(df, "csv", ExportSpec().with_order_by("ID")).write_string()
+    assert out.splitlines() == ["ID,NAME,SCORE", "1,ada,1.5", "2,bob,"]
+
+
+def test_jdbc_partitioned_range_read(spark, tmp_path):
+    """Partitioned JDBC read: the option set a 1000-executor cluster
+    needs (concurrent range queries) against the same embedded DB."""
+    from exporter_spark.sources.jdbc import from_jdbc
+
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{tmp_path}/pdb;create=true"
+    )
+    st = conn.createStatement()
+    st.execute("CREATE TABLE nums (id INT, v INT)")
+    for i in range(20):
+        st.execute(f"INSERT INTO nums VALUES ({i}, {i * i})")
+    st.close()
+    conn.close()
+
+    df = from_jdbc(
+        spark,
+        f"jdbc:derby:{tmp_path}/pdb",
+        table="nums",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 20
+    assert df.agg({"v": "sum"}).first()[0] == sum(i * i for i in range(20))
