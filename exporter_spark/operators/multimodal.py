@@ -77,6 +77,33 @@ def stub_decoder(n_features: int = 8) -> Callable[[bytes], np.ndarray]:
     return decode
 
 
+def hex_chain_decoder(n_features: int = 8) -> Callable[[bytes], np.ndarray]:
+    """Oracle-expressible decoder variant. ``stub_decoder`` chains
+    sha256 over raw digest *bytes*, which DuckDB cannot replicate (its
+    ``sha256`` only accepts VARCHAR); this one chains over the *hex*
+    digest string so the exact same floats are computable in ANSI SQL:
+
+        feature_i = uint64(sha256(hex(sha256(payload)) || str(i))[:16]) / 2**64
+
+    each narrowed to float32. Use it when a query needs a value-level
+    correctness gate on the multimodal path; the Spark-side plumbing
+    (Arrow batches, mapInPandas, schema) is identical to the default.
+    Self-contained closure — pickles by value."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+
+    def decode(payload: bytes) -> _np.ndarray:
+        hh = _hashlib.sha256(payload or b"").hexdigest()
+        out = _np.empty(n_features, dtype=_np.float32)
+        for i in range(n_features):
+            hx = _hashlib.sha256((hh + str(i)).encode()).hexdigest()[:16]
+            out[i] = int(hx, 16) / 2**64
+        return out
+
+    return decode
+
+
 def extract_features(
     df: DataFrame,
     *,

@@ -476,13 +476,21 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     ).withColumn("__qn__", knorm("__qv__"))
-    # each query's n_probe nearest centroids (tiny cross join: Q × n_clusters)
+    return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
+
+
+def _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot):
+    """Shared IVF tail: probe each query's n_probe best cells (tiny
+    cross join: Q × n_clusters, centroids broadcast), then exact
+    cosine rerank restricted to the probed cells' members. Probe
+    scores round to 6 places so routing is deterministic (and, for the
+    fixed-centroid tier, engine-portable); cell-ascending tie-break."""
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "__qv__",
         "__qn__",
         "__cell__",
-        cosine("__qv__", "__centroid__").alias("__csim__"),
+        F.round(cosine("__qv__", "__centroid__"), 6).alias("__csim__"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__csim__").desc(), F.col("__cell__").asc()
@@ -509,6 +517,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_fixed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    centroid_ids: list,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "sql",
+) -> DataFrame:
+    """IVF with a deterministic sampled coarse quantizer: the centroids
+    are the corpus vectors named in ``centroid_ids`` (cell = rank of
+    the id within the sorted list), and every corpus vector joins the
+    cell of its most-cosine-similar centroid. Same probe/rerank tail —
+    and therefore the same scale shape — as the KMeans tier
+    (``ivf_topk``), but fully value-deterministic, so the whole
+    operator is oracle-comparable in ANSI SQL. Assignment and probe
+    scores round to 6 places (with cell-ascending tie-break) so both
+    engines make identical routing decisions.
+    """
+    kdot, knorm = _kernel_fns(kernel)
+    ids = sorted(centroid_ids)
+    cells = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i, vid) for i, vid in enumerate(ids)], "__cell__ int, __cid__ long"
+        )
+    )
+    centroids = (
+        emb.join(cells, F.col(id_col) == F.col("__cid__"))
+        .select("__cell__", F.col(vec_col).cast("array<double>").alias("__centroid__"))
+    )
+
+    corpus = _spread(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+    ).withColumn("__cn__", knorm("__cv__"))
+    ac = corpus.crossJoin(F.broadcast(centroids)).select(
+        "neighbor_id",
+        "__cv__",
+        "__cn__",
+        "__cell__",
+        F.round(cosine("__cv__", "__centroid__"), 6).alias("__asim__"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__asim__").desc(), F.col("__cell__").asc()
+    )
+    assigned = (
+        ac.withColumn("__rn__", F.row_number().over(w_assign))
+        .filter(F.col("__rn__") == 1)
+        .select("neighbor_id", "__cv__", "__cell__", "__cn__")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    ).withColumn("__qn__", knorm("__qv__"))
+    return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
 def embedding_near_dup_pairs(

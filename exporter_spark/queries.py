@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from exporter_spark.functions.tostring import display_columns, display_expr
 from exporter_spark.operators import dedup, similarity, text
+from exporter_spark.operators import multimodal
 from exporter_spark.operators.multimodal import extract_features
 from exporter_spark.sources.files import load_table
 
@@ -1117,14 +1118,93 @@ def ivf_ann_topk(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=5, n_clusters=16, n_probe=4)
 
 
-@_register("multimodal_feature_stats", None)  # pandas-UDF decode → rows-only check
+def _ivf_fixed_oracle(n_cent: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB replica of similarity.ivf_fixed_topk: centroids are the
+    16 lowest vec_ids; assignment/probe/rerank scores all round(6)
+    with cell- (resp. neighbor-) ascending tie-breaks, so both engines
+    route every vector identically."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_inner_product({a}, {b}) / "
+            f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
+      FROM e WHERE vec_id < {n_cent}
+    ),
+    asg AS (
+      SELECT vec_id AS neighbor_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.v', 'cent.c')} DESC, cent.cell ASC) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos('q.v', 'cent.c')} DESC, cent.cell ASC) AS rn
+        FROM e q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT p.query_id, a.neighbor_id, {cos('p.qv', 'a.v')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {cos('p.qv', 'a.v')} DESC, a.neighbor_id ASC) AS rank
+      FROM probes p JOIN asg a USING (cell)
+      WHERE a.neighbor_id != p.query_id)
+    WHERE rank <= {k}
+    """
+
+
+@_register("ivf_fixed_topk", _ivf_fixed_oracle())
+def ivf_fixed_topk(spark, sf_dir):
+    """Deterministic-quantizer IVF tier: same probe/rerank machinery as
+    ivf_ann_topk but with sampled (fixed-id) centroids, which makes the
+    whole operator value-comparable against the SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_fixed_topk(
+        e, q, k=5, centroid_ids=list(range(16)), n_probe=4
+    )
+
+
+def _multimodal_oracle(n_features: int = 4) -> str:
+    """DuckDB replica of multimodal.hex_chain_decoder + the Spark-side
+    left-assoc double fold: per feature, 64 bits of chained sha256 over
+    the hex digest → float32 → widened to double and summed in order.
+    0.0::DOUBLE is load-bearing — a bare 0.0 literal is DECIMAL and
+    DuckDB would collapse the whole sum to FLOAT."""
+    term = (
+        "((('0x' || substr(sha256(hh || '{i}'), 1, 16))::UBIGINT::DOUBLE"
+        " / 18446744073709551616.0)::FLOAT::DOUBLE)"
+    )
+    expr = "0.0::DOUBLE"
+    for i in range(n_features):
+        expr = f"({expr} + {term.format(i=i)})"
+    return f"""
+    WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hh FROM documents)
+    SELECT media_id, round({expr}, 6) AS feature_sum FROM d
+    """
+
+
+@_register("multimodal_feature_stats", _multimodal_oracle())
 def multimodal_feature_stats(spark, sf_dir):
+    """Decode runs as an Arrow-batched mapInPandas over binary payloads;
+    the hex-chain decoder variant keeps the floats SQL-expressible so
+    this path gets a value-level gate (the default byte-chain
+    stub_decoder stays the production default, pytest-covered)."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    feats = extract_features(media, n_features=4)
+    feats = extract_features(
+        media, n_features=4, decoder=multimodal.hex_chain_decoder(4)
+    )
     return feats.select(
         "media_id",
         F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).alias(

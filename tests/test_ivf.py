@@ -38,3 +38,35 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, similarity.ivf_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(emb, q, k=3).collect()))
     assert a == b  # fixed seed ⇒ reproducible cells and results
+
+
+def test_ivf_fixed_topk_structure_and_recall(spark, sf_dir):
+    """Deterministic-quantizer tier: sane structure, recall in the same
+    band as the KMeans tier, and stable across runs (no training)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_fixed_topk(
+        emb, q, k=5, centroid_ids=list(range(16)), n_probe=4
+    ).collect()
+
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    best_exact = {r["query_id"]: r["sim"] for r in exact if r["rank"] == 1}
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["sim"] <= best_exact[r["query_id"]] + 1e-9
+    assert set(by_q_approx) == {0, 1, 2, 3, 4}
+
+    total_overlap = sum(
+        len(by_q_exact[q_] & by_q_approx.get(q_, set())) for q_ in by_q_exact
+    )
+    assert total_overlap >= 10  # ≥40% recall across 25 true neighbors
+
+    again = similarity.ivf_fixed_topk(
+        emb, q, k=5, centroid_ids=list(range(16)), n_probe=4
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
