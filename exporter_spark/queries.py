@@ -225,6 +225,214 @@ def q4_priority_returns(spark, sf_dir):
 
 
 @_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H q13 shape: outer join survived into a double aggregation
+    (customers with zero qualifying orders must appear as c_count=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15 shape: aggregated CTE + scalar-subquery max selection.
+    The revenue sum is decimal-exact so the max-equality filter is
+    engine-portable; the scalar max broadcasts (no second scan shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx__"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "q16_brand_supply_gaps",
+    """
+    SELECT p_brand, COUNT(*) AS gap_parts
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_discount >= 0.095)
+    GROUP BY p_brand
+    """,
+)
+def q16_brand_supply_gaps(spark, sf_dir):
+    """TPC-H q16 shape: NOT EXISTS anti join with a pushed predicate on
+    the probe side, then aggregation over the survivors."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.095)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("gap_parts"))
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 shape: per-key correlated average, decorrelated into a
+    grouped aggregate + equi-join (what a 100 TB plan needs — the
+    correlated form would rescan lineitem per row). The mean is
+    decimal-exact-sum / count so the boundary filter is portable.
+    Brand filter broadcasts; the per-part average only aggregates the
+    brand's lineitems (partkey determines brand, so restricting first
+    is semantics-preserving)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # repartition on the join key right after the broadcast join: the
+    # aggregate branch and the probe branch then share ONE exchange
+    # (ReusedExchange) instead of scanning lineitem twice.
+    li23 = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).repartition(
+        "l_partkey"
+    )
+    avg_q = li23.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        (_dsum(F.col("l_quantity"), 4) / F.count("*")).alias("__avgq__")
+    )
+    return (
+        li23.join(avg_q, li23.l_partkey == F.col("__pk__"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avgq__"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice"), 4) / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250) big
+      ON big.l_orderkey = o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H q18 shape: HAVING on an aggregated subquery, joined back
+    to its parents, total-ordered top-k. The quantity sum is
+    decimal-exact so the >250 boundary is engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q22_wealthy_low_activity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey, avg_bal
+    WHERE c_acctbal > ab
+      AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) < 6
+    GROUP BY n_name
+    """,
+)
+def q22_wealthy_low_activity(spark, sf_dir):
+    """TPC-H q22 shape: global scalar subquery (broadcast, decimal-exact
+    mean) + a correlated count decorrelated into a grouped left join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal"), 2) / F.count("*")).alias("__ab__")
+    )
+    ord_counts = o.groupBy(F.col("o_custkey").alias("__ck__")).agg(
+        F.count("*").alias("__n_ord__")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab__"))
+        .join(ord_counts, F.col("c_custkey") == F.col("__ck__"), "left")
+        .filter(F.coalesce(F.col("__n_ord__"), F.lit(0)) < 6)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2).alias("totbal"),
+        )
+    )
+
+
+@_register(
     "top_customers_per_nation",
     """
     WITH spend AS (
