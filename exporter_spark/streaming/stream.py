@@ -148,3 +148,104 @@ def streaming_dedup(df: DataFrame, keys: list[str], *, ts_col: str, watermark: s
     """Exactly-once-per-key within the watermark horizon
     (dropDuplicates with bounded state)."""
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: event-time sessionization with an
+    inactivity gap, via ``applyInPandasWithState`` (the PySpark analog
+    of a hand-written stateful processor; reference exporters model
+    this with their preprocessor hooks, but Spark's state store gives
+    it fault-tolerant, bounded per-key state).
+
+    Emits one row per CLOSED session ``(user, session_start,
+    session_end, n_events, total_value)``. A session closes when a
+    later event for the same key arrives more than ``gap_minutes``
+    after the previous one (within or across micro-batches), or when
+    the event-time watermark passes ``session_end + gap`` (state
+    timeout — bounds state for keys that go quiet forever).
+
+    Scale shape: state is O(active keys) × one tuple; each micro-batch
+    shuffles only that batch's rows on ``user_col``; Arrow-batched
+    pandas transfer. Per-key state lives in the state store, never the
+    driver. The processing fn is a self-contained closure (pickles by
+    value; executors never import this package).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes * 60_000_000)
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+
+        def session_row(start_us, last_us, n, total):
+            return pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield session_row(start, last, n, total)
+            return
+
+        chunks = [pdf[[ts_col, value_col]] for pdf in pdf_iter]
+        ev = pd.concat(chunks).sort_values(ts_col)
+        ts_us = (ev[ts_col].astype("int64") // 1000).to_numpy()
+        vals = ev[value_col].to_numpy()
+
+        start = last = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t, v = int(t), float(v)
+            if start is None:
+                start, last, n, total = t, t, 1, v
+            elif t - last > gap_us:
+                closed.append((start, last, n, total))
+                start, last, n, total = t, t, 1, v
+            else:
+                last, n, total = max(last, t), n + 1, total + v
+        state.update((start, last, n, total))
+        # event-time timeout at session_end + gap (clamped above the
+        # current watermark: Spark rejects timeouts at/behind it)
+        timeout_ms = max(
+            (last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        for s in closed:
+            yield session_row(*s)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -86,3 +86,76 @@ def test_windowed_counts(spark, events_dir, tmp_path):
         .count()
     )
     assert bdf.agg(F.sum("count")).first()[0] == total
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emit
+    with exact bounds/aggregates; the trailing open session stays in
+    state (finite stream, watermark never passes its timeout)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 7: session A (2 events), 2h gap, session B (2 events),
+        # then an open session at t0+6h
+        (7, t0, 10.0),
+        (7, t0 + 10 * m, 5.0),
+        (7, t0 + 120 * m, 1.0),
+        (7, t0 + 125 * m, 2.0),
+        (7, t0 + 360 * m, 99.0),
+        # user 8: one never-closed session
+        (8, t0 + 1 * m, 4.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+        .coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    sessions = ss.sessionize(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    expected_closed = {
+        # closed by the 30m inactivity gap within the batch
+        (7, t0, t0 + 10 * m, 2, 15.0),
+        (7, t0 + 120 * m, t0 + 125 * m, 2, 3.0),
+        # closed by the event-time TIMEOUT: final watermark is
+        # t0+6h − 1h = t0+5h, past user 8's t0+31m timeout
+        (8, t0 + 1 * m, t0 + 1 * m, 1, 4.0),
+    }
+    assert got == expected_closed
+    # user 7's trailing session (t0+6h) stays open: its timeout
+    # (t0+6.5h) sits beyond the final watermark
+    assert all(r[1] < t0 + 360 * m for r in got)
+
+
+def test_sessionize_events_smoke(spark, events_dir, tmp_path):
+    """Real events feed: every emitted session respects the gap
+    invariant and aggregates are internally consistent."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    sessions = ss.sessionize(stream, gap_minutes=10, watermark="5 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_ev")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .start()
+    )
+    _wait(q)
+    out = spark.sql("SELECT * FROM sessions_ev").collect()
+    for r in out:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
