@@ -73,3 +73,44 @@ def test_simhash_udf_matches_sql_expr(spark, sf_dir):
     )
     rows = both.collect()
     assert all(r["sql_fp"] == r["udf_fp"] for r in rows)
+
+
+def test_xml_single_part_matches_fidelity(spark, sf_dir, tmp_path):
+    """XML single-part (executor-formatted row stream + wrapper) must
+    be byte-identical to the driver-streamed fidelity document."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(25)
+    spec = ExportSpec().with_order_by("event_id")
+    fmt = XMLFormatter(spec)
+    target = str(tmp_path / "events.xml")
+    fmt.write_single_part(e, target)
+    assert open(target, encoding="utf-8").read() == fmt.format_string(e)
+
+
+def test_xml_single_part_empty(spark, sf_dir, tmp_path):
+    """Empty input ⇒ empty file, matching the fidelity path's
+    no-output behavior (xml.go:68-70)."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(0)
+    target = str(tmp_path / "empty.xml")
+    XMLFormatter(ExportSpec()).write_single_part(e, target)
+    assert os.path.getsize(target) == 0
+
+
+def test_xml_stream_parts_concat(spark, sf_dir, tmp_path):
+    """stream_parts=True: concatenated parts + wrapper == the full
+    document body (rows come from the same Catalyst expression)."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(40)
+    out = str(tmp_path / "xml_stream")
+    fmt = XMLFormatter(ExportSpec())
+    fmt.write(e, out, stream_parts=True)
+    lines = []
+    for p in sorted(glob.glob(f"{out}/part-*")):
+        if not p.endswith(".crc"):
+            lines += open(p, encoding="utf-8").read().splitlines()
+    assert len(lines) == 40
+    assert all(l.startswith("<row>") and l.endswith("</row>") for l in lines)
