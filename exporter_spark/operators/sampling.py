@@ -1,0 +1,99 @@
+"""Deterministic sampling & corpus-curation operators.
+
+A training-data pipeline needs reproducible row selection: the same
+document must land in the same split on every run, on any cluster
+layout, regardless of partitioning. Spark's ``df.sample`` is
+seed-stable only for a fixed partitioning, so everything here derives
+selection from a content hash instead — md5 of (salt, id), first 32
+bits as a uniform integer. Pure column expressions: selection adds
+ZERO shuffles and survives any repartitioning; only ``cap_per_key``
+shuffles (one exchange on the quota key, which is inherent to a
+per-key quota). Every primitive (md5, substring, hex→int) exists in
+ANSI SQL, so all of these are oracle-comparable.
+
+Reference has no sampling surface (it exports what the query returns,
+/root/reference/scanner/scanner.go); these are the extension operators
+a 100 TB curation pipeline layers on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32: the hash below is uniform on [0, 2^32)
+_HASH_SPACE = 1 << 32
+
+
+def hash32(col: Column, salt: str) -> Column:
+    """Deterministic uniform hash in [0, 2^32): first 8 hex chars of
+    md5(salt || value). Engine-portable (DuckDB:
+    ``('0x' || substr(md5(salt || v), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _threshold(fraction: float) -> int:
+    return int(fraction * _HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, *, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~fraction of rows, selected by content hash: reproducible
+    across runs, partitionings, and engines. No shuffle — the filter
+    pushes into the scan stage."""
+    return df.filter(hash32(F.col(id_col), salt) < _threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    *,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 10% of English, all of Basque). Strata absent from
+    ``fractions`` are dropped. Still zero-shuffle: one hash, one
+    CASE-threshold compare."""
+    thr = F.lit(-1)  # unknown strata: below any hash ⇒ dropped
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(hash32(F.col(id_col), salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    test_fraction: float = 0.2,
+    salt: str = "tts",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' or 'test' by content hash — the split is
+    stable under reruns and data reshuffles, so no document ever
+    migrates between splits. Zero-shuffle column append."""
+    is_test = hash32(F.col(id_col), salt) < _threshold(test_fraction)
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, n: int, order_by: list[Column]
+) -> DataFrame:
+    """Quota sampling: at most ``n`` rows per key, best-first by
+    ``order_by`` (give it a total order — ties must break
+    deterministically). One shuffle on the key; with AQE, skewed keys
+    split automatically since each group only needs its own top-n."""
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn("__qr__", F.row_number().over(w))
+        .filter(F.col("__qr__") <= n)
+        .drop("__qr__")
+    )

@@ -96,6 +96,28 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 common subset
+# (no lookaround, [0-9] not \d, ASCII \b) so the exact same literals
+# run in Spark and the DuckDB oracle. Order matters: emails first
+# (their local part can contain digits), then 4-octet IPs, then
+# 3-3-4 phones (which an IP pattern must not half-consume).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders.
+    Chained regexp_replace — pure JVM expressions, zero shuffle, safe
+    in the 100 TB hot path."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit content fingerprint: md5 hex of the normalized text.
     Identical in Spark and DuckDB (both lowercase-hex UTF-8 md5), so

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from exporter_spark.functions.tostring import display_columns, display_expr
-from exporter_spark.operators import dedup, similarity, text
+from exporter_spark.operators import dedup, sampling, similarity, text
 from exporter_spark.operators import multimodal
 from exporter_spark.operators.multimodal import extract_features
 from exporter_spark.sources.files import load_table
@@ -1012,6 +1012,138 @@ def quality_by_source(spark, sf_dir):
 def doc_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# Sampling & curation (operators/sampling.py over documents)
+# =====================================================================
+
+# DuckDB replica of sampling.hash32: first 32 bits of md5(salt || id)
+_H32 = "('0x' || substr(md5('{salt}' || doc_id), 1, 8))::BIGINT"
+
+
+@_register(
+    "docs_sample_deterministic",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_H32.format(salt='sample')} < {int(0.25 * 2**32)}
+    """,
+)
+def docs_sample_deterministic(spark, sf_dir):
+    """Content-hash sampling: the kept set is a pure function of ids —
+    identical across engines, runs, and partitionings."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(d, "doc_id", 0.25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STRATA = {"en": 0.1, "de": 0.5, "fr": 0.3, "es": 0.2, "zh": 0.4}
+
+
+def _strata_oracle() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {int(f * 2**32)}" for s, f in sorted(_STRATA.items())
+    ) + " ELSE -1 END"
+    return f"""
+    SELECT lang, COUNT(*) AS n_kept FROM documents
+    WHERE {_H32.format(salt='strata')} < {case}
+    GROUP BY lang
+    """
+
+
+@_register("docs_stratified_sample", _strata_oracle())
+def docs_stratified_sample(spark, sf_dir):
+    """Language rebalancing: per-stratum keep-fractions, one hash +
+    one CASE threshold, zero shuffle before the count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(d, "lang", _STRATA, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@_register(
+    "docs_train_test_split",
+    f"""
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, n_chars,
+                 CASE WHEN {_H32.format(salt='tts')} < {int(0.2 * 2**32)}
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY split, lang
+    """,
+)
+def docs_train_test_split(spark, sf_dir):
+    """Hash-stable train/test tagging: no document ever migrates
+    between splits on rerun or reshuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(d, "doc_id", test_fraction=0.2)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "docs_capped_per_source",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+)
+def docs_capped_per_source(spark, sf_dir):
+    """Per-domain quota: at most 10 docs per source, largest first
+    (total order: doc_id tie-break). One shuffle on the quota key."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_key(
+        d, "source", 10, [F.desc("n_chars"), F.asc("doc_id")]
+    ).select("source", "doc_id", "n_chars")
+
+
+def _pii_oracle() -> str:
+    email, ip, phone = (p for p, _ in text.PII_PATTERNS)
+    return f"""
+    WITH inj AS (
+      SELECT doc_id,
+             'reach u' || doc_id || '@mail.example.org or 10.0.' ||
+             (doc_id % 256) || '.7 or 555-123-4567 re: ' || text AS t
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{email}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g')) AS redacted_md5
+    FROM inj
+    """
+
+
+@_register("pii_redaction_check", _pii_oracle())
+def pii_redaction_check(spark, sf_dir):
+    """Regex scrub parity: deterministic emails/IPs/phones are spliced
+    into every document in BOTH engines, redacted with the same
+    pattern literals (Java-regex ∩ RE2 subset), and compared by md5 —
+    a value-level gate on the actual replacement behavior."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-123-4567 re: "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", F.md5(text.redact_pii(injected)).alias("redacted_md5")
+    )
 
 
 # =====================================================================
