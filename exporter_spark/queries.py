@@ -1146,6 +1146,37 @@ def pii_redaction_check(spark, sf_dir):
     )
 
 
+@_register(
+    "top_tokens",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def top_tokens(spark, sf_dir):
+    """Corpus vocabulary head: explode → count → total-ordered top-k.
+    The partial (map-side) aggregation absorbs the token explosion
+    before the single shuffle; the final top-k is a TakeOrdered, not a
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Deduplication (operators/dedup.py over documents)
 # =====================================================================

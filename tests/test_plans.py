@@ -69,3 +69,48 @@ def test_go_float_uses_arrow_not_row_python(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def _n_shuffles(plan: str) -> int:
+    """Count shuffle Exchanges in formatted-explain output (each node
+    prints twice — tree and detail — and Broadcast/ReusedExchange must
+    not count as shuffles)."""
+    import re
+
+    return len(re.findall(r"\+- Exchange \(", plan))
+
+
+def test_sampling_queries_no_shuffle_before_agg(spark):
+    """Hash-sampling is a pure filter: the sample/split queries must
+    not add any Exchange beyond the (single) aggregation shuffle."""
+    plan = _plan(spark, "docs_sample_deterministic")
+    assert _n_shuffles(plan) == 0  # filter + project only
+    plan = _plan(spark, "docs_stratified_sample")
+    assert _n_shuffles(plan) <= 1  # just the groupBy(lang)
+
+
+def test_cap_per_key_single_exchange(spark):
+    plan = _plan(spark, "docs_capped_per_source")
+    # one hash-partition exchange on the quota key, nothing else
+    assert _n_shuffles(plan) == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_top_tokens_partial_agg_and_topk(spark):
+    plan = _plan(spark, "top_tokens")
+    # map-side combine before the shuffle: two HashAggregates
+    assert plan.count("HashAggregate") >= 2
+    # top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_q22_broadcast_scalars(spark):
+    for name in ("q15_top_supplier", "q22_wealthy_low_activity"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+
+
+def test_q16_anti_join_pushes_probe_filter(spark):
+    plan = _plan(spark, "q16_brand_supply_gaps")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(l_discount,0.095)" in plan
