@@ -13,7 +13,7 @@ parquet scan untouched.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword lang-ID
@@ -123,6 +123,75 @@ def fingerprint(text: Column) -> Column:
     Identical in Spark and DuckDB (both lowercase-hex UTF-8 md5), so
     exact-dup detection on the fingerprint is oracle-checkable."""
     return F.md5(normalize_text(text))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-gram of the normalized
+    text, slide a w-hash window, select each window's minimum
+    (rightmost on ties), dedupe. Guarantees: any substring match of
+    length ≥ k+w−1 between two documents shares at least one selected
+    fingerprint, and the density of selected hashes is ~2/(w+1).
+
+    Output: (id, pos, fp) — 1-based k-gram position and 32-bit hex
+    fingerprint. Returns nothing for docs shorter than k after
+    normalization; docs with fewer than w k-grams contribute their
+    single global minimum.
+
+    Scale shape: the k-gram explosion is O(doc length) rows but they
+    never leave their doc's partition — ONE exchange on ``id_col``
+    feeds the sliding-window min, and the distinct collapses map-side
+    before its (tiny, fingerprint-keyed) shuffle. All primitives are
+    engine-portable (md5 / substr / lpad / framed window min), so the
+    operator is oracle-comparable; the rightmost-tie-break rides a
+    single sortable key: hash_hex || zero-padded (9999999 − pos).
+    """
+    n = F.char_length(F.col("__t__")) - k + 1
+    grams = (
+        df.select(
+            F.col(id_col),
+            normalize_text(F.col(text_col)).alias("__t__"),
+        )
+        .filter(F.char_length(F.col("__t__")) >= k)
+        .select(
+            id_col,
+            n.alias("__n__"),
+            F.posexplode(F.expr(f"sequence(1, char_length(__t__) - {k} + 1)")).alias(
+                "__x__", "__i__"
+            ),
+            F.col("__t__"),
+        )
+        .select(
+            id_col,
+            "__n__",
+            "__i__",
+            F.concat(
+                F.substring(
+                    F.md5(F.expr(f"substring(__t__, __i__, {k})")), 1, 8
+                ),
+                F.lpad((F.lit(9999999) - F.col("__i__")).cast("string"), 7, "0"),
+            ).alias("__wk__"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("__i__").rowsBetween(0, w - 1)
+    selected = (
+        grams.withColumn("__mn__", F.min("__wk__").over(win))
+        .filter(F.col("__i__") <= F.greatest(F.lit(1), F.col("__n__") - (w - 1)))
+        .select(
+            id_col,
+            (F.lit(9999999) - F.substring("__mn__", 9, 7).cast("long")).alias("pos"),
+            F.substring("__mn__", 1, 8).alias("fp"),
+        )
+        .distinct()
+    )
+    return selected
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

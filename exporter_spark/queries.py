@@ -1146,6 +1146,41 @@ def pii_redaction_check(spark, sf_dir):
     )
 
 
+def _winnow_oracle(k: int = 8, w: int = 8) -> str:
+    """DuckDB replica of text.winnow_fingerprints: same normalization,
+    same md5 k-gram hash, same framed window min over the sortable
+    hash||(9999999-pos) key, same short-doc handling."""
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, length(t) - {k} + 1 AS n
+      FROM norm WHERE length(t) >= {k}),
+    grams AS (
+      SELECT doc_id, n, i,
+             substr(md5(substr(t, i::INT, {k})), 1, 8) ||
+             lpad(CAST(9999999 - i AS VARCHAR), 7, '0') AS wk
+      FROM base, unnest(generate_series(1, n)) AS u(i)),
+    wins AS (
+      SELECT doc_id, n, i,
+             min(wk) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn
+      FROM grams)
+    SELECT DISTINCT doc_id,
+           CAST(9999999 - CAST(substr(mn, 9, 7) AS BIGINT) AS BIGINT) AS pos,
+           substr(mn, 1, 8) AS fp
+    FROM wins WHERE i <= greatest(1, n - {w - 1})
+    """
+
+
+@_register("winnow_fingerprints", _winnow_oracle())
+def winnow_fingerprints(spark, sf_dir):
+    """Rolling k-gram winnowing (MOSS) fingerprints over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=8)
+
+
 @_register(
     "top_tokens",
     """

@@ -72,3 +72,29 @@ def test_redact_pii_values(spark):
     got = df.select(text.redact_pii(F.col("raw")).alias("got"), "expected").collect()
     for r in got:
         assert r["got"] == r["expected"], (r["got"], r["expected"])
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing invariants: (1) two docs sharing a substring of
+    length >= k+w-1 share at least one fingerprint; (2) fingerprints
+    are a sparse subset of k-grams; (3) disjoint docs don't collide."""
+    k = w = 8
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars >= k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA xxxx " + shared + " yyyy"),
+            (2, "zz qq " + shared + " ppp rrr"),
+            (3, "completely different content with no overlap at all 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = text.winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density ~2/(w+1): far fewer fingerprints than k-grams
+    n_grams_1 = len("aaaa xxxx " + shared + " yyyy") - k + 1
+    assert len(by_doc[1]) < n_grams_1 / 2
