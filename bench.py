@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "minhash_near_dup_pairs",
     "cosine_topk",
     "embedding_near_dup",
+    # round 2: vocab head, rolling-hash fingerprints, quota sampling
+    "top_tokens",
+    "winnow_fingerprints",
+    "docs_capped_per_source",
 ]
 
 

@@ -154,12 +154,18 @@ def winnow_fingerprints(
     single sortable key: hash_hex || zero-padded (9999999 − pos).
     """
     n = F.char_length(F.col("__t__")) - k + 1
+    src = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t__")
+    ).filter(F.char_length(F.col("__t__")) >= k)
+    # single-file inputs arrive as ONE partition; hash-spread on the id
+    # BEFORE the O(len) k-gram explosion so it runs cluster-wide — and
+    # since the spread partitioning matches the window's partitionBy,
+    # the window adds no second exchange.
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p, id_col)
     grams = (
-        df.select(
-            F.col(id_col),
-            normalize_text(F.col(text_col)).alias("__t__"),
-        )
-        .filter(F.char_length(F.col("__t__")) >= k)
+        src
         .select(
             id_col,
             n.alias("__n__"),
