@@ -200,6 +200,53 @@ def winnow_fingerprints(
     return selected
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF head terms: smooth idf
+    ``ln((N+1)/(df+1)) + 1``, score = tf · idf rounded to 6 places
+    (absorbing libm ulp differences so the ranking is
+    engine-portable), total-ordered top-``top_n`` per document.
+
+    Scale shape: token explosion collapses map-side into (doc, token)
+    counts before its one shuffle; document frequency re-aggregates
+    those counts (never the raw tokens); the corpus size N broadcasts;
+    the final per-doc window gets map-side top-n (WindowGroupLimit).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = df.agg(F.count("*").alias("__nd__"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__nd__") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "token", "score", "rank")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop profile: tokens, language guess, quality, fingerprint."""
     t = F.col(text_col)

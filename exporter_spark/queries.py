@@ -919,6 +919,19 @@ _TOKENS_SQL = (
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
 
+# DuckDB replica of text.quality_score (length / word-length /
+# punctuation penalties, round(6))
+_QUALITY_SQL = f"""ROUND(greatest(0.0, 1.0
+          - CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.0 ELSE 0.4 END
+          - CASE WHEN ({_TOKENS_SQL}) > 0
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) >= 3
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) <= 12
+                 THEN 0.0 ELSE 0.3 END
+          - CASE WHEN length(text) = 0 OR
+                      (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                      / length(text) <= 0.1
+                 THEN 0.0 ELSE 0.3 END), 6)"""
+
 
 @_register(
     "token_stats_by_lang",
@@ -975,19 +988,7 @@ def lang_id_confusion(spark, sf_dir):
 @_register(
     "quality_by_source",
     f"""
-    WITH q AS (
-      SELECT source,
-        ROUND(greatest(0.0, 1.0
-          - CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.0 ELSE 0.4 END
-          - CASE WHEN ({_TOKENS_SQL}) > 0
-                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) >= 3
-                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) <= 12
-                 THEN 0.0 ELSE 0.3 END
-          - CASE WHEN length(text) = 0 OR
-                      (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
-                      / length(text) <= 0.1
-                 THEN 0.0 ELSE 0.3 END), 6) AS quality
-      FROM documents)
+    WITH q AS (SELECT source, {_QUALITY_SQL} AS quality FROM documents)
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
     FROM q GROUP BY source
@@ -999,6 +1000,39 @@ def quality_by_source(spark, sf_dir):
     return d.select("source", q.alias("quality")).groupBy("source").agg(
         F.count("*").alias("n_docs"),
         _dsum(F.col("quality"), 6).alias("total_quality"),
+    )
+
+
+@_register(
+    "curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text, lang, n_chars, {_QUALITY_SQL} AS quality
+      FROM documents),
+    kept AS (SELECT * FROM q WHERE quality >= 0.7),
+    ded AS (SELECT * FROM kept
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    samp AS (SELECT * FROM ded
+             WHERE ('0x' || substr(md5('curate' || doc_id), 1, 8))::BIGINT
+                   < {int(0.5 * 2**32)})
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM samp GROUP BY lang
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition — the shape of a real training
+    -data job: quality gate → exact dedup → deterministic downsample →
+    per-language stats. Each stage is one of this repo's operators;
+    the whole chain stays declarative, so Catalyst runs the quality
+    filter and hash-sample in the scan stage and the only exchanges
+    are the dedup window and the final aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(text.quality_score(F.col("text")) >= 0.7)
+    ded = dedup.exact_dedup(kept, ["text"], "doc_id")
+    samp = sampling.deterministic_sample(ded, "doc_id", 0.5, salt="curate")
+    return samp.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )
 
 
@@ -1179,6 +1213,35 @@ def winnow_fingerprints(spark, sf_dir):
     """Rolling k-gram winnowing (MOSS) fingerprints over documents."""
     d = load_table(spark, sf_dir, "documents")
     return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=8)
+
+
+_TFIDF_SCORE = "round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6)"
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT doc_id, token, score, rank FROM (
+      SELECT tf.doc_id, tf.token, {_TFIDF_SCORE} AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY {_TFIDF_SCORE} DESC, tf.token ASC) AS rank
+      FROM tf JOIN dfreq USING (token), n)
+    WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF head terms (smooth idf, round(6) scores,
+    total-ordered top-5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", top_n=5)
 
 
 @_register(
