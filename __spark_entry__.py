@@ -4,8 +4,9 @@
 at sf0.001; ``queries``/``oracle_sql`` expose the full corpus from
 exporter_spark.queries — one entry per implemented operator family
 (SURVEY.md §2 + §2.5), each Spark implementation paired with a DuckDB
-oracle except the explicitly non-SQL-expressible ones (simhash bit
-ops, pandas-UDF multimodal decode → rows-only checks).
+oracle except the two genuinely non-portable ones (HLL approx
+distinct, trained-KMeans IVF — the latter has the oracle-paired
+deterministic sibling ``ivf_fixed_topk``).
 """
 
 from __future__ import annotations

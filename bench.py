@@ -90,6 +90,13 @@ def main() -> None:
             Exporter(li, fmt, ExportSpec()).write(f"{out_root}/{fmt}")
             timings[f"export_{fmt}"] = round(time.perf_counter() - t0, 3)
             print(f"[bench] export_{fmt}: {timings[f'export_{fmt}']}s", file=sys.stderr)
+        # XML fast path: bare-row text parts off the fidelity expression
+        from exporter_spark.formatters.xml import XMLFormatter
+
+        t0 = time.perf_counter()
+        XMLFormatter(ExportSpec()).write(li, f"{out_root}/xml_stream", stream_parts=True)
+        timings["export_xml_stream"] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] export_xml_stream: {timings['export_xml_stream']}s", file=sys.stderr)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
