@@ -138,6 +138,53 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: payload → resized payload + updated metadata,
+    via Arrow-batched mapInPandas (full-row pass-through, so it
+    composes anywhere in a pipeline). The actual pixel resample is
+    STUBBED like decode — the default fake emits a deterministic
+    digest-seeded payload of width·height/64 bytes so sizes scale
+    plausibly; swap in a real resizer (PIL ``Image.resize`` → bytes)
+    via ``resizer=`` in production. Self-contained closure — pickles
+    by value."""
+    if resizer is None:
+        import hashlib as _hashlib
+
+        def resizer(payload: bytes, w: int, h: int) -> bytes:
+            if payload is None or len(payload) == 0:
+                raise NotImplementedError(
+                    "media resize is stubbed in this environment; payload empty"
+                )
+            n = max(1, (w * h) // 64)
+            seed = _hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+            return (seed * (n // len(seed) + 1))[:n]
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                resizer(bytes(p), width, height) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            pdf[meta_col] = [
+                None if m is None else {**m, "width": width, "height": height}
+                for m in pdf[meta_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     *,

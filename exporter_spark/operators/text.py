@@ -36,6 +36,24 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-flavored pre-tokenizer pattern, restricted to the
+# Java-regex ∩ RE2 subset (the real GPT-2 pattern's trailing
+# lookahead `\s+(?!\S)` is dropped; contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches. A closer
+    proxy for LLM context cost than whitespace splitting (punctuation
+    and digit runs tokenize separately). Pure regexp_extract_all —
+    JVM-side, zero shuffle, and the same pattern literal replays in
+    DuckDB for oracle parity."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
 def word_marker_hits(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whole whitespace-delimited token:
     split on whitespace, count equal tokens. Lambda-based so the

@@ -954,6 +954,34 @@ def token_stats_by_lang(spark, sf_dir):
     )
 
 
+# the same pattern literal, with the SQL-quote escape for the
+# contraction apostrophe
+_BPE_SQL = "len(regexp_extract_all(text, '" + text.BPE_PATTERN.replace("'", "''") + "'))"
+
+
+@_register(
+    "bpe_token_stats_by_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM({_BPE_SQL}) AS BIGINT) AS total_bpe_tokens,
+           CAST(MIN({_BPE_SQL}) AS BIGINT) AS min_bpe_tokens,
+           CAST(MAX({_BPE_SQL}) AS BIGINT) AS max_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def bpe_token_stats_by_lang(spark, sf_dir):
+    """LLM-context-cost proxy: GPT-2-flavored pre-tokenizer counts
+    (same regex literal in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.bpe_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_bpe_tokens"),
+        F.min(toks).alias("min_bpe_tokens"),
+        F.max(toks).alias("max_bpe_tokens"),
+    )
+
+
 def _lang_id_sql() -> str:
     """DuckDB replica of operators.text.lang_id, generated from
     LANG_MARKERS so both dialects stay in sync."""

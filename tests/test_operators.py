@@ -261,3 +261,39 @@ def test_sample_frames(spark):
     out = multimodal.sample_frames(df, every_ms=1000).collect()
     assert [r["ts_ms"] for r in out] == [0, 1000, 2000, 3000]
     assert all(r["frame_ref"] for r in out)
+
+
+def test_resize_media_plumbing(spark):
+    rows = [
+        (1, bytearray(b"img-one-bytes"), ("image", "png", 640, 480, None)),
+        (2, bytearray(b"img-two-bytes"), ("image", "png", 1024, 768, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = multimodal.resize_media(df, 64, 64).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+        assert r["meta"]["media_type"] == "image"  # rest of meta preserved
+        assert len(r["payload"]) == 64 * 64 // 64
+    # deterministic: same payload + target dims -> same bytes
+    again = multimodal.resize_media(df, 64, 64).collect()
+    assert sorted(bytes(r["payload"]) for r in out) == sorted(
+        bytes(r["payload"]) for r in again
+    )
+    # different target dims -> different bytes (the stub varies by size)
+    other = multimodal.resize_media(df, 32, 32).collect()
+    assert sorted(bytes(r["payload"]) for r in out) != sorted(
+        bytes(r["payload"]) for r in other
+    )
+
+
+def test_resize_media_custom_resizer(spark):
+    rows = [(7, bytearray(b"abc"), ("image", "png", 10, 10, None))]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+
+    def thumb(payload: bytes, w: int, h: int) -> bytes:
+        return payload[: w * h]
+
+    out = multimodal.resize_media(df, 1, 2, resizer=thumb).collect()
+    assert bytes(out[0]["payload"]) == b"ab"
+    assert out[0]["meta"]["width"] == 1 and out[0]["meta"]["height"] == 2
