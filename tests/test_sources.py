@@ -127,3 +127,30 @@ def test_jdbc_partitioned_range_read(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 20
     assert df.agg({"v": "sum"}).first()[0] == sum(i * i for i in range(20))
+
+
+def test_from_hive_catalog_round_trip(spark, sf_dir, tmp_path):
+    """from_hive against a real catalog table: saveAsTable → read by
+    name and by SQL, name de-qualification and the 'hive' driver tag
+    applied. (Sandbox has no Thrift metastore; Spark's catalog serves
+    the same spark.table/spark.sql code path.)"""
+    from exporter_spark.sources.hive import from_hive
+
+    src = load_table(spark, sf_dir, "nation")
+    spark.sql("CREATE DATABASE IF NOT EXISTS exp_test")
+    src.write.mode("overwrite").saveAsTable("exp_test.nation_t")
+    try:
+        by_name = from_hive(spark, "exp_test.nation_t")
+        assert by_name.count() == src.count()
+        assert by_name.schema["n_name"].metadata.get("exporter.driver") == "hive"
+
+        by_sql = from_hive(
+            spark,
+            "SELECT n_nationkey, n_name FROM exp_test.nation_t WHERE n_regionkey = 2",
+        )
+        rows = by_sql.collect()
+        assert rows and all(len(r) == 2 for r in rows)
+        assert by_sql.schema["n_name"].metadata.get("exporter.driver") == "hive"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS exp_test.nation_t")
+        spark.sql("DROP DATABASE IF EXISTS exp_test")
