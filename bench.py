@@ -27,6 +27,11 @@ from exporter_spark.sources.files import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The host is shared and single runs have shown 2-10x outliers
+# (BASELINE.md); report the MIN of N runs per query so records track
+# the engine, not transient load. N=2 keeps total wall time ~90s.
+REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+
 # Representative slice of the corpus: scans+aggs, multi-join, window,
 # time-series agg, text ops, LSH dedup, vector search.
 BENCH_QUERIES = [
@@ -66,19 +71,24 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     load_table(spark, SF_DIR, "lineitem").limit(1000).count()
 
+    def timed(fn) -> float:
+        best = None
+        for _ in range(REPEAT):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _force(QUERIES[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: _force(QUERIES[name].fn(spark, SF_DIR)))
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     # q1 without the decimal-determinism tax (plain-double sums): the
     # plan a parity-indifferent user actually runs.
     from exporter_spark.queries import q1_pricing_summary
 
-    t0 = time.perf_counter()
-    _force(q1_pricing_summary(spark, SF_DIR, fast=True))
-    timings["q1_fast"] = round(time.perf_counter() - t0, 3)
+    timings["q1_fast"] = timed(lambda: _force(q1_pricing_summary(spark, SF_DIR, fast=True)))
     print(f"[bench] q1_fast: {timings['q1_fast']}s", file=sys.stderr)
 
     # Export benches: lineitem through each distributed sink.
@@ -86,16 +96,18 @@ def main() -> None:
     out_root = tempfile.mkdtemp(prefix="exporter_spark_bench_")
     try:
         for fmt in ("csv", "json", "xml"):
-            t0 = time.perf_counter()
-            Exporter(li, fmt, ExportSpec()).write(f"{out_root}/{fmt}")
-            timings[f"export_{fmt}"] = round(time.perf_counter() - t0, 3)
+            timings[f"export_{fmt}"] = timed(
+                lambda fmt=fmt: Exporter(li, fmt, ExportSpec()).write(f"{out_root}/{fmt}")
+            )
             print(f"[bench] export_{fmt}: {timings[f'export_{fmt}']}s", file=sys.stderr)
         # XML fast path: bare-row text parts off the fidelity expression
         from exporter_spark.formatters.xml import XMLFormatter
 
-        t0 = time.perf_counter()
-        XMLFormatter(ExportSpec()).write(li, f"{out_root}/xml_stream", stream_parts=True)
-        timings["export_xml_stream"] = round(time.perf_counter() - t0, 3)
+        timings["export_xml_stream"] = timed(
+            lambda: XMLFormatter(ExportSpec()).write(
+                li, f"{out_root}/xml_stream", stream_parts=True
+            )
+        )
         print(f"[bench] export_xml_stream: {timings['export_xml_stream']}s", file=sys.stderr)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
