@@ -297,3 +297,37 @@ def test_resize_media_custom_resizer(spark):
     out = multimodal.resize_media(df, 1, 2, resizer=thumb).collect()
     assert bytes(out[0]["payload"]) == b"ab"
     assert out[0]["meta"]["width"] == 1 and out[0]["meta"]["height"] == 2
+
+
+def test_minhash_collapse_exact_equivalence(spark, sf_dir):
+    """collapse_exact must be value-invisible: on a corpus with heavy
+    exact duplication, the collapsed pipeline returns exactly the
+    pairs of the direct pipeline (identical text ⇒ identical shingle
+    set ⇒ identical Jaccard, so expansion is lossless)."""
+    d = load_table(spark, sf_dir, "documents").limit(120).select("doc_id", "text")
+    # duplicated texts SHORTER than shingle_n: empty shingle set, so
+    # neither path may emit their pairs
+    shorts = spark.createDataFrame(
+        [(900001, "hi"), (900002, "hi"), (900003, "abc"), (900004, "abc")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(shorts)
+    copies = None
+    for i in range(3):
+        c = d.selectExpr(f"doc_id + {i * 1000000} AS doc_id", "text")
+        copies = c if copies is None else copies.unionByName(c)
+    kw = dict(num_hashes=16, bands=8, shingle_n=8, threshold=0.6)
+    direct = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(
+            copies, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    collapsed = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(
+            copies, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    assert collapsed == direct
+    assert collapsed  # non-trivial: the copies guarantee 1.0 pairs
