@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "top_tokens",
     "winnow_fingerprints",
     "docs_capped_per_source",
+    # round 2 late: Arrow-kernel quality signals, corpus-wide
+    # paragraph dedup
+    "gopher_quality_signals",
+    "paragraph_dedup_docs",
 ]
 
 

@@ -548,3 +548,60 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------- paragraph dedup
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-WIDE paragraph-level exact dedup: split every document
+    on ``sep`` (a Java regex; the default splits on blank lines), keep
+    only the FIRST occurrence of each distinct paragraph — first =
+    minimal (doc id, position) — and reassemble each document from its
+    surviving paragraphs in original order. Documents whose paragraphs
+    are all claimed by earlier documents vanish from the output.
+
+    This is the boilerplate-removal pass of a training-data pipeline
+    (nav bars, license headers, footer text repeated across millions
+    of pages). Returns (id_col, dedup_text, n_paras_kept).
+
+    Scale shape: the split/explode is map-side; one hash shuffle on
+    the paragraph md5 for the keep-first window, one on the doc id for
+    reassembly. Paragraph text rides both shuffles — acceptable
+    because post-dedup volume is the collapsed corpus; for extreme
+    duplication the window's partial row_number prunes nothing
+    map-side, but AQE's coalescing keeps the md5 shuffle balanced
+    (paragraph hashes are uniform by construction).
+
+    ``join_sep`` is the literal put back between paragraphs (defaults
+    to ``sep``, correct whenever ``sep`` is a literal string).
+    """
+    join_sep = sep if join_sep is None else join_sep
+    paras = _spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__para__"),
+    )
+    w = Window.partitionBy("__key__").orderBy(
+        F.col(id_col).asc(), F.col("__pos__").asc()
+    )
+    kept = (
+        paras.withColumn("__key__", F.md5("__para__"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__para__"))),
+                lambda s: s["__para__"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+        F.count("*").cast("long").alias("n_paras_kept"),
+    )

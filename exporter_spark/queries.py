@@ -1710,6 +1710,133 @@ def multimodal_feature_stats(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Gopher-style quality signals & filtering (operators/text.py)
+# =====================================================================
+
+_GOPHER_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+_GOPHER_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),"
+    " x -> x != '')"
+)
+
+
+def _gopher_signals_oracle() -> str:
+    """DuckDB replay of text.gopher_signals: identical split/filter/
+    distinct/replace primitives; divisions are float in both engines
+    (DuckDB `/` on BIGINT is float division; Spark try_divide)."""
+
+    def gram(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN list_transform("
+            f"generate_series(1, len(toks) - {n - 1}),"
+            f" i -> array_to_string(toks[i:i+{n - 1}], ' ')) ELSE [] END"
+        )
+
+    return f"""
+    WITH t AS (SELECT doc_id, lang, text, {_GOPHER_TOKS} AS toks,
+                      {_GOPHER_LINES} AS lines FROM documents),
+    g AS (SELECT *, {gram(2)} AS g2, {gram(3)} AS g3 FROM t)
+    SELECT doc_id, lang,
+      len(toks) AS word_cnt,
+      ROUND(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+            / len(toks), 6) AS mean_word_len,
+      ROUND(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            / len(toks), 6) AS alpha_word_frac,
+      ROUND((len(text) - len(replace(text, '#', ''))
+             + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT))
+            / len(toks), 6) AS symbol_word_ratio,
+      ROUND(1.0::DOUBLE - len(list_distinct(toks)) / len(toks), 6)
+        AS dup_word_frac,
+      ROUND(1.0::DOUBLE - len(list_distinct(lines)) / len(lines), 6)
+        AS dup_line_frac,
+      ROUND(len(list_filter(lines, x -> substr(x, 1, 2) IN ('- ', '* ', '• ')))
+            / len(lines), 6) AS bullet_line_frac,
+      ROUND(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…')))
+            / len(lines), 6) AS ellipsis_line_frac,
+      ROUND(list_max(list_transform(g2, x -> len(list_filter(g2, h -> h = x))))
+            / len(g2), 6) AS top_2gram_frac,
+      ROUND(list_max(list_transform(g3, x -> len(list_filter(g3, h -> h = x))))
+            / len(g3), 6) AS top_3gram_frac
+    FROM g
+    """
+
+
+@_register("gopher_quality_signals", _gopher_signals_oracle())
+def gopher_quality_signals(spark, sf_dir):
+    """Per-document Gopher quality signals (Rae et al. 2021 A1.1) —
+    pure column expressions, zero shuffle; text dropped from the
+    output so only (ids + signals) leave the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.gopher_signals(d.select("doc_id", "lang", "text")).drop("text")
+
+
+def _gopher_filter_oracle() -> str:
+    th = text.GOPHER_THRESHOLDS
+    keep = (
+        f"word_cnt BETWEEN {th['min_words']} AND {th['max_words']}"
+        f" AND mean_word_len BETWEEN {th['min_mean_word_len']} AND {th['max_mean_word_len']}"
+        f" AND symbol_word_ratio <= {th['max_symbol_word_ratio']}"
+        f" AND alpha_word_frac >= {th['min_alpha_word_frac']}"
+        f" AND dup_line_frac <= {th['max_dup_line_frac']}"
+        f" AND bullet_line_frac <= {th['max_bullet_line_frac']}"
+        f" AND ellipsis_line_frac <= {th['max_ellipsis_line_frac']}"
+        f" AND top_2gram_frac <= {th['max_top_2gram_frac']}"
+        f" AND top_3gram_frac <= {th['max_top_3gram_frac']}"
+    )
+    return f"""
+    WITH s AS ({_gopher_signals_oracle()})
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE {keep}) AS BIGINT) AS n_kept
+    FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+@_register("gopher_filter_stats", _gopher_filter_oracle())
+def gopher_filter_stats(spark, sf_dir):
+    """Per-language survival counts under the default Gopher rules
+    (the corpus median sits near min_words=50, so the split is
+    non-degenerate)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = text.gopher_signals(d.select("doc_id", "lang", "text"))
+    return (
+        sig.withColumn("__keep__", text.gopher_keep())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("__keep__"), F.lit(1))).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# The test corpus has no blank-line paragraphs, so the corpus query
+# splits on the filler token ' a ' (present in 3/4 of documents) —
+# the operator itself is separator-generic. Spark's 0-based pos and
+# DuckDB's 1-based subscript only ever feed ORDER BY, so first-
+# occurrence choice and reassembly order agree.
+_PARA_DEDUP_ORACLE = """
+WITH s AS (SELECT doc_id, string_split(text, ' a ') AS l FROM documents),
+p AS (SELECT doc_id, i AS pos, l[i] AS para
+      FROM s, UNNEST(generate_series(1, len(l))) AS t(i)),
+k AS (SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM p)
+SELECT doc_id, string_agg(para, ' a ' ORDER BY pos) AS dedup_text,
+       CAST(count(*) AS BIGINT) AS n_paras_kept
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@_register("paragraph_dedup_docs", _PARA_DEDUP_ORACLE)
+def paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-wide paragraph dedup: first occurrence of each distinct
+    paragraph survives; docs reassemble from their survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(d, "doc_id", "text", sep=" a ")
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

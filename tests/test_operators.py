@@ -331,3 +331,95 @@ def test_minhash_collapse_exact_equivalence(spark, sf_dir):
     }
     assert collapsed == direct
     assert collapsed  # non-trivial: the copies guarantee 1.0 pairs
+
+
+def test_gopher_signals_values(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world. hello world.\nP1\nP1\n- b\n- c\nend...")],
+        "doc_id long, text string",
+    )
+    row = text.gopher_signals(df).collect()[0]
+    assert row["word_cnt"] == 11
+    assert row["mean_word_len"] == round(36 / 11, 6)
+    assert row["alpha_word_frac"] == round(9 / 11, 6)  # '-' tokens have no letter
+    assert row["symbol_word_ratio"] == round(1 / 11, 6)  # one '...' run
+    assert row["dup_word_frac"] == round(1 - 7 / 11, 6)
+    assert row["dup_line_frac"] == round(1 - 5 / 6, 6)  # P1 repeats
+    assert row["bullet_line_frac"] == round(2 / 6, 6)
+    assert row["ellipsis_line_frac"] == round(1 / 6, 6)
+    assert row["top_2gram_frac"] == 0.2  # 'hello world.' twice / 10 bigrams
+
+
+def test_gopher_filter_thresholds(spark):
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "too few words"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, "")], "doc_id long, text string"
+    )
+    kept = [r["doc_id"] for r in text.gopher_filter(df).collect()]
+    assert kept == [1]  # short doc fails min_words; empty text rejects via NULLs
+    # a 3-word doc has only 2 bigrams, so the modal bigram fraction is
+    # 0.5 — relax the repetition caps along with the length floor
+    relaxed = text.gopher_filter(
+        df,
+        thresholds={
+            "min_words": 3,
+            "max_top_2gram_frac": 1.0,
+            "max_top_3gram_frac": 1.0,
+        },
+    )
+    assert sorted(r["doc_id"] for r in relaxed.collect()) == [1, 2]
+
+
+def test_paragraph_dedup_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "A|B|C"), (2, "B|D"), (3, "A|B")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_paras_kept"])
+        for r in dedup.paragraph_dedup(df, "doc_id", "text", sep="\\|", join_sep="|").collect()
+    }
+    # doc 1 owns A,B,C (first occurrence); doc 2 keeps only D; doc 3
+    # loses everything and vanishes
+    assert out == {1: ("A|B|C", 3), 2: ("D", 1)}
+
+
+def test_paragraph_dedup_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "X|Y"), (2, "Z|Y|W|Q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["dedup_text"]
+        for r in dedup.paragraph_dedup(df, "doc_id", "text", sep="\\|", join_sep="|").collect()
+    }
+    assert out[2] == "Z|W|Q"  # Y dropped, original order kept
+
+
+def test_gopher_kernels_bit_identical(spark, sf_dir):
+    """The Arrow counting kernel must reproduce the expr path exactly —
+    including Java-vs-Python whitespace-class edges (NBSP is NOT
+    whitespace to Java \\s; trim strips only spaces)."""
+    d = load_table(spark, sf_dir, "documents").limit(150).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (900001, "nb sp stays one token and\ttab splits"),
+            (900002, " \t leading mix\x0b\fweird\r\nlines\n- bullet\n* b2\nend…"),
+            (900003, ""),
+            (900004, "x"),
+            (900005, "## ## ... .... # words here"),
+            (900006, None),
+        ],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(edges)
+    cols = [
+        "doc_id", "word_cnt", "mean_word_len", "alpha_word_frac",
+        "symbol_word_ratio", "dup_word_frac", "dup_line_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "top_2gram_frac",
+        "top_3gram_frac",
+    ]
+    expr = {r["doc_id"]: r for r in text.gopher_signals(d, kernel="expr").select(cols).collect()}
+    fast = {r["doc_id"]: r for r in text.gopher_signals(d, kernel="pandas").select(cols).collect()}
+    assert expr.keys() == fast.keys()
+    for k in expr:
+        assert expr[k] == fast[k], k

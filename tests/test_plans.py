@@ -114,3 +114,53 @@ def test_q16_anti_join_pushes_probe_filter(spark):
     plan = _plan(spark, "q16_brand_supply_gaps")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(l_discount,0.095)" in plan
+
+
+def test_gopher_signals_map_only_and_arrow(spark):
+    """Quality signals are a pure map: no semantic shuffle (the only
+    Exchange is the local-input spread, absent on partitioned input),
+    the counting kernel must be Arrow-vectorized — never row-Python —
+    and the scan must not read unrelated columns."""
+    plan = _plan(spark, "gopher_quality_signals")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "n_chars" not in read
+
+
+def test_gopher_signals_expr_path_zero_shuffle(spark):
+    """The pure-Catalyst kernel (oracle twin) stays shuffle- and
+    Python-free."""
+    import contextlib
+    import io
+
+    from exporter_spark.operators import text
+    from exporter_spark.sources.files import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        text.gopher_signals(d, kernel="expr").explain("formatted")
+    plan = buf.getvalue()
+    assert _n_shuffles(plan) == 0
+    assert "EvalPython" not in plan
+
+
+def test_gopher_filter_single_agg_shuffle(spark):
+    plan = _plan(spark, "gopher_filter_stats")
+    # groupBy(lang) + the final orderBy range shuffle are the only
+    # semantic shuffles, and the count partial-aggregates map-side
+    assert plan.count("ENSURE_REQUIREMENTS") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final, ×2 print
+
+
+def test_paragraph_dedup_two_shuffles(spark):
+    """Split/explode is map-side; exactly one hash shuffle for the
+    keep-first window on the paragraph md5 and one for per-doc
+    reassembly. Anything more means the explode leaked an exchange."""
+    plan = _plan(spark, "paragraph_dedup_docs")
+    # _spread's REPARTITION_BY_NUM on the single-file local input is
+    # not a semantic shuffle (absent on well-partitioned input);
+    # the operator itself needs exactly two.
+    assert plan.count("ENSURE_REQUIREMENTS") == 2
+    assert "hashpartitioning(__key__" in plan
