@@ -605,3 +605,54 @@ def paragraph_dedup(
         ).alias("dedup_text"),
         F.count("*").cast("long").alias("n_paras_kept"),
     )
+
+
+# ------------------------------------------------------- decontamination
+
+def word_ngram_hashes(text_col: str, n: int) -> Column:
+    """Distinct md5 hashes of the word n-grams of ``text_col`` (SQL
+    fragment semantics shared with the DuckDB oracle). Fixed-width
+    hashes shuffle/broadcast instead of raw gram strings."""
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+    return F.expr(
+        f"if(size({toks}) < {n}, array(),"
+        f" array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> md5(concat_ws(' ', slice({toks}, i, {n}))))))"
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    probe_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Train-test decontamination (the Lee et al. / GPT-3 appendix-C
+    style n-gram overlap check): for each document, count how many of
+    its DISTINCT word n-grams appear anywhere in the ``probe``
+    (benchmark) corpus. Docs with n_shared_ngrams > 0 are
+    contamination candidates; callers drop or audit them.
+
+    Scale shape: the probe side is a benchmark suite — thousands of
+    documents against a 100 TB corpus — so its distinct gram-hash set
+    is broadcast and the corpus side NEVER shuffles its grams; the
+    only exchange is the per-doc count aggregation on ``id_col``
+    (map-side combined). Only flagged documents reach it.
+    """
+    probe_text_col = probe_text_col or text_col
+    doc_g = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_ngram_hashes(text_col, n)).alias("__g__"),
+    )
+    probe_g = (
+        probe.select(F.explode(word_ngram_hashes(probe_text_col, n)).alias("__g__"))
+        .distinct()
+    )
+    return (
+        doc_g.join(F.broadcast(probe_g), "__g__")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )

@@ -1837,6 +1837,44 @@ def paragraph_dedup_docs(spark, sf_dir):
     return dedup.paragraph_dedup(d, "doc_id", "text", sep=" a ")
 
 
+# Probe = every 50th doc plays the benchmark suite; n=3 keeps the
+# overlap non-trivial on the synthetic corpus (the operator default
+# is the realistic n=8 window). Probe docs themselves are excluded —
+# they trivially share all their own grams.
+_CONTAMINATION_N = 3
+
+
+def _contamination_oracle() -> str:
+    n = _CONTAMINATION_N
+    grams = (
+        f"list_distinct(CASE WHEN len(toks) >= {n} THEN"
+        f" list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> md5(array_to_string(toks[i:i+{n - 1}], ' ')))"
+        f" ELSE [] END)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_GOPHER_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({grams}) AS g FROM t),
+    pg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM g JOIN pg USING (g)
+    WHERE doc_id % 50 != 0
+    GROUP BY doc_id
+    """
+
+
+@_register("ngram_contamination_check", _contamination_oracle())
+def ngram_contamination_check(spark, sf_dir):
+    """Train-test decontamination: corpus docs sharing any word
+    n-gram with the probe set; probe gram hashes broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    probe = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.ngram_contamination(
+        corpus, probe, "doc_id", "text", n=_CONTAMINATION_N
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

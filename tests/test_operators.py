@@ -423,3 +423,26 @@ def test_gopher_kernels_bit_identical(spark, sf_dir):
     assert expr.keys() == fast.keys()
     for k in expr:
         assert expr[k] == fast[k], k
+
+
+def test_ngram_contamination(spark):
+    probe = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the secret benchmark answer is hidden here"),
+            (2, "completely unrelated text with no overlap whatsoever"),
+            (3, "the secret benchmark answer is forty two exactly verbatim copy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in dedup.ngram_contamination(corpus, probe, n=4).collect()
+    }
+    # doc 1 shares 'the secret benchmark answer' + 'secret benchmark
+    # answer is' (2 distinct 4-grams); doc 2 clean (absent); doc 3
+    # contains the full probe text => all 5 probe 4-grams
+    assert out == {1: 2, 3: 5}

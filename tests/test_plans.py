@@ -164,3 +164,14 @@ def test_paragraph_dedup_two_shuffles(spark):
     # the operator itself needs exactly two.
     assert plan.count("ENSURE_REQUIREMENTS") == 2
     assert "hashpartitioning(__key__" in plan
+
+
+def test_contamination_broadcasts_probe(spark):
+    """The benchmark gram set broadcasts (corpus grams never shuffle
+    for the join) and the id-spread partitioning is reused by the
+    per-doc count, leaving the probe-side distinct as the only
+    semantic shuffle."""
+    plan = _plan(spark, "ngram_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
