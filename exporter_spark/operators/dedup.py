@@ -249,23 +249,31 @@ def minhash_dedup_pairs(
             cands, df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
         )
 
-    members = _spread(df, id_col).select(
-        F.col(id_col).alias("__mid__"),
-        F.md5(F.col(text_col)).alias("__tk__"),
-        # identical text shorter than shingle_n has an EMPTY shingle
-        # set; the direct path drops such pairs (0/0 jaccard ⇒ NULL ⇒
-        # fails the threshold filter), so intra-group expansion must
-        # skip them too to stay value-invisible
-        (F.length(text_col) >= shingle_n).alias("__shok__"),
-    ).repartition("__tk__")
-    groups = members.groupBy("__tk__").agg(F.min("__mid__").alias("__rep__"))
-    reps = (
-        groups.join(
-            df.select(F.col(id_col).alias("__rep__"), F.col(text_col)),
-            "__rep__",
+    # ONE shuffle on the text hash feeds everything below: the
+    # keep-first window (reps = min-id member of each exact-text
+    # group), the members table, and the intra-group self-join all
+    # hang off the same exchange (ReusedExchange).
+    tagged = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(F.col(text_col)).alias("__tk__"),
+            # identical text shorter than shingle_n has an EMPTY
+            # shingle set; the direct path drops such pairs (0/0
+            # jaccard ⇒ NULL ⇒ fails the threshold filter), so
+            # intra-group expansion must skip them too to stay
+            # value-invisible
+            (F.length(text_col) >= shingle_n).alias("__shok__"),
         )
-        .select(F.col("__rep__").alias(id_col), text_col)
+        .repartition("__tk__")
     )
+    w_first = Window.partitionBy("__tk__").orderBy(F.col(id_col).asc())
+    tagged = tagged.withColumn("__rn__", F.row_number().over(w_first))
+    members = tagged.select(
+        F.col(id_col).alias("__mid__"), "__tk__", "__shok__"
+    )
+    reps = tagged.filter(F.col("__rn__") == 1).select(F.col(id_col), text_col)
     cands = minhash_candidate_pairs(
         reps, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
@@ -294,9 +302,9 @@ def minhash_dedup_pairs(
 
     # cross-group: expand each verified representative pair to all
     # member combinations (groups are disjoint, so no double counting)
-    rep_tk = groups.select(F.col("__rep__"), F.col("__tk__"))
-    ga = rep_tk.select(F.col("__rep__").alias("a_id"), F.col("__tk__").alias("__tka__"))
-    gb = rep_tk.select(F.col("__rep__").alias("b_id"), F.col("__tk__").alias("__tkb__"))
+    rep_tk = tagged.filter(F.col("__rn__") == 1).select(F.col(id_col), "__tk__")
+    ga = rep_tk.select(F.col(id_col).alias("a_id"), F.col("__tk__").alias("__tka__"))
+    gb = rep_tk.select(F.col(id_col).alias("b_id"), F.col("__tk__").alias("__tkb__"))
     ma = members.select(F.col("__mid__").alias("__a__"), F.col("__tk__").alias("__tka__"))
     mb = members.select(F.col("__mid__").alias("__b__"), F.col("__tk__").alias("__tkb__"))
     cross = (
@@ -656,3 +664,30 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
     )
+
+
+def paragraph_dedup_within(
+    text: Column, sep: str = "\n\n", join_sep: str | None = None
+) -> Column:
+    """Remove repeated spans WITHIN one document: split on ``sep`` (a
+    Java regex), keep only first occurrences in order, re-join with
+    ``join_sep`` (defaults to ``sep``; pass it when sep isn't a
+    literal). With ``sep=" "`` this is in-document repeated-token
+    removal; with blank-line separators it strips repeated
+    boilerplate paragraphs.
+
+    Pure column expression — zero shuffle, runs inside the scan
+    stage. Built as a single left fold with a seen-accumulator, NOT
+    the obvious filter-with-array_position form, which would re-paste
+    (and re-evaluate) the split per element (see SCALE.md on the
+    nested-lambda O(g²) trap)."""
+    join_sep = sep if join_sep is None else join_sep
+    arr = F.split(text, sep)
+    kept = F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return F.array_join(kept, join_sep)

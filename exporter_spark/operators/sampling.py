@@ -97,3 +97,47 @@ def cap_per_key(
         .filter(F.col("__qr__") <= n)
         .drop("__qr__")
     )
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample to a target key mixture (e.g. a
+    language distribution for training). ``weights`` are relative
+    shares; the operator computes the LARGEST total M every key can
+    supply (M = min over keys of n_k / w_k), then hash-selects
+    accept_k = (w_k · M) / n_k of each key — the argmin key keeps
+    everything, the rest downsample to match. Keys absent from
+    ``weights`` (or with weight 0) are dropped.
+
+    Scale shape: two dimension-sized aggregations (per-key counts and
+    their global min) broadcast back onto the corpus; the 100 TB side
+    sees one broadcast join and one hash filter — no corpus shuffle,
+    and the selection is reproducible across runs, partitionings and
+    engines (same md5 selection as deterministic_sample).
+    """
+    w = F.lit(None).cast("double")
+    for key, share in sorted(weights.items()):
+        w = F.when(F.col(key_col) == key, F.lit(float(share))).otherwise(w)
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("__n__"))
+        .withColumn("__w__", w)
+        .filter(F.col("__w__") > 0)
+    )
+    m = counts.agg(F.min(F.col("__n__") / F.col("__w__")).alias("__m__"))
+    accept = counts.crossJoin(F.broadcast(m)).select(
+        key_col,
+        ((F.col("__w__") * F.col("__m__")) / F.col("__n__")).alias("__accept__"),
+    )
+    thr = F.floor(F.col("__accept__") * F.lit(float(_HASH_SPACE))).cast("long")
+    return (
+        df.join(F.broadcast(accept), key_col)
+        .filter(hash32(F.col(id_col), salt) < thr)
+        .select(*df.columns)
+    )

@@ -1875,6 +1875,60 @@ def ngram_contamination_check(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+
+
+def _rebalance_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT lang, n, CASE lang {case} ELSE NULL END AS w FROM c),
+    m AS (SELECT min(n / w) AS m FROM t WHERE w > 0),
+    a AS (SELECT lang, CAST(floor(((w * m.m) / n) * 4294967296.0) AS BIGINT) AS thr
+          FROM t, m WHERE w > 0)
+    SELECT d.doc_id, d.lang FROM documents d JOIN a USING (lang)
+    WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < a.thr
+    """
+
+
+@_register("docs_rebalanced_mixture", _rebalance_oracle())
+def docs_rebalanced_mixture(spark, sf_dir):
+    """Uniform-language rebalance of the corpus: the scarcest language
+    survives whole, the rest hash-downsample to match. Selection is
+    reproducible across engines (same md5 + same double arithmetic
+    in the acceptance thresholds)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.rebalance_to_mixture(d, "lang", "doc_id", _MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )
+
+
+_DEDUP_WITHIN_ORACLE = """
+WITH p AS (SELECT doc_id, i AS pos, l[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                UNNEST(generate_series(1, len(l))) AS t(i)),
+k AS (SELECT doc_id, pos, w,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY pos) AS rn
+      FROM p)
+SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS dedup_text
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@_register("dedup_tokens_within_docs", _DEDUP_WITHIN_ORACLE)
+def dedup_tokens_within_docs(spark, sf_dir):
+    """In-document repeated-span removal with sep=' ' (repeated-token
+    mode — non-trivial on every document of this corpus). Zero
+    shuffle: the fold runs inside the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        dedup.paragraph_dedup_within(F.col("text"), sep=" ").alias("dedup_text"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

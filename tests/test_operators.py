@@ -446,3 +446,22 @@ def test_ngram_contamination(spark):
     # answer is' (2 distinct 4-grams); doc 2 clean (absent); doc 3
     # contains the full probe text => all 5 probe 4-grams
     assert out == {1: 2, 3: 5}
+
+
+def test_paragraph_dedup_within(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c b a"), (2, "x|y|x|z"), (3, "")],
+        "doc_id long, text string",
+    )
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", dedup.paragraph_dedup_within(F.col("text"), " ").alias("t")
+        ).collect()
+    }
+    assert toks[1] == "a b c"
+    assert toks[3] == ""  # empty text survives as-is
+    spans = df.select(
+        "doc_id", dedup.paragraph_dedup_within(F.col("text"), "\\|", join_sep="|").alias("t")
+    ).collect()
+    assert {r["doc_id"]: r["t"] for r in spans}[2] == "x|y|z"

@@ -98,3 +98,30 @@ def test_winnow_guarantee_and_density(spark):
     # density ~2/(w+1): far fewer fingerprints than k-grams
     n_grams_1 = len("aaaa xxxx " + shared + " yyyy") - k + 1
     assert len(by_doc[1]) < n_grams_1 / 2
+
+
+def test_rebalance_to_mixture(spark, sf_dir):
+    from exporter_spark.operators.sampling import rebalance_to_mixture
+    from exporter_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = rebalance_to_mixture(d, "lang", "doc_id", {"en": 0.5, "de": 0.5})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"en", "de"}  # other langs dropped
+    # the scarcer language survives whole; shares track the 50/50
+    # target within hash-selection noise
+    src = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    scarce = min(("en", "de"), key=lambda k: src[k])
+    assert counts[scarce] == src[scarce]
+    ratio = counts["en"] / counts["de"]
+    assert 0.6 < ratio < 1.67
+
+    # partitioning-invariant: identical selection after repartition
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in rebalance_to_mixture(
+            d.repartition(7), "lang", "doc_id", {"en": 0.5, "de": 0.5}
+        ).collect()
+    )
+    assert ids == ids2
