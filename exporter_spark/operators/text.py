@@ -406,22 +406,39 @@ def _modal_run_count(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, merge, lambda a: a["best"])
 
 
-def top_ngram_frac(text: Column, n: int) -> Column:
-    """Fraction of word n-gram occurrences taken by the modal n-gram.
-    One O(g log g) sort + O(g) fold per document — embarrassingly
-    parallel map, never cross-row. NULL when the document has fewer
-    than n tokens (0/0 try_divide), matching the oracle's
-    list_max-over-empty NULL."""
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram occurrence list (empty when fewer than n tokens)."""
     toks = word_list(text)
-    grams = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.slice(toks, 1, 0))
+
+
+def top_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of word n-gram occurrences taken by the modal n-gram.
+    One O(g log g) sort + O(g) fold per document — embarrassingly
+    parallel map, never cross-row. NULL when the document has fewer
+    than n tokens (0/0 try_divide), matching the oracle's
+    list_max-over-empty NULL."""
+    grams = _word_ngrams(text, n)
     return F.round(
         F.try_divide(_modal_run_count(F.array_sort(grams)), F.size(grams)), 6
+    )
+
+
+def dup_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of word n-gram occurrences that are repeats
+    (1 − distinct/total) — the Gopher duplicate-n-gram screen,
+    count-fraction variant. NULL when the doc has fewer than n
+    tokens."""
+    grams = _word_ngrams(text, n)
+    return F.round(
+        F.lit(1.0) - F.try_divide(F.size(F.array_distinct(grams)), F.size(grams)),
+        6,
     )
 
 
@@ -438,7 +455,17 @@ GOPHER_THRESHOLDS: dict[str, float] = {
     "max_ellipsis_line_frac": 0.3,
     "max_top_2gram_frac": 0.2,
     "max_top_3gram_frac": 0.18,
+    # duplicate n-gram screens (Gopher A1: 0.15 → 0.10 for n=5..10)
+    "max_dup_5gram_frac": 0.15,
+    "max_dup_6gram_frac": 0.14,
+    "max_dup_7gram_frac": 0.13,
+    "max_dup_8gram_frac": 0.12,
+    "max_dup_9gram_frac": 0.11,
+    "max_dup_10gram_frac": 0.10,
 }
+
+#: duplicate-n-gram window sizes screened by gopher_keep
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
 
 
 def _gopher_count_udf():
@@ -458,8 +485,11 @@ def _gopher_count_udf():
 
     schema = (
         "struct<wc:long,swl:long,alpha:long,sym:long,dw:long,nl:long,"
-        "dl:long,bul:long,ell:long,t2:long,n2:long,t3:long,n3:long>"
+        "dl:long,bul:long,ell:long,t2:long,n2:long,t3:long,n3:long,"
+        + ",".join(f"d{n}:long,g{n}:long" for n in DUP_NGRAM_NS)
+        + ">"
     )
+    dup_ns = DUP_NGRAM_NS
 
     @pandas_udf(schema)
     def counts(s):
@@ -473,7 +503,7 @@ def _gopher_count_udf():
         keys = (
             "wc", "swl", "alpha", "sym", "dw", "nl", "dl", "bul", "ell",
             "t2", "n2", "t3", "n3",
-        )
+        ) + tuple(f"{p}{n}" for n in dup_ns for p in ("d", "g"))
         out = {k: [] for k in keys}
         for t in s:
             if t is None:
@@ -503,6 +533,12 @@ def _gopher_count_udf():
             out["n2"].append(len(g2))
             out["t3"].append(max(Counter(g3).values()) if g3 else 0)
             out["n3"].append(len(g3))
+            for n in dup_ns:
+                gn = [
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+                ] if len(toks) >= n else []
+                out[f"d{n}"].append(len(set(gn)))
+                out[f"g{n}"].append(len(gn))
         return pd.DataFrame(out)
 
     return counts
@@ -533,15 +569,22 @@ def gopher_signals(
             ellipsis_line_frac(t).alias("ellipsis_line_frac"),
             top_ngram_frac(t, 2).alias("top_2gram_frac"),
             top_ngram_frac(t, 3).alias("top_3gram_frac"),
+            *[
+                dup_ngram_frac(t, n).alias(f"dup_{n}gram_frac")
+                for n in DUP_NGRAM_NS
+            ],
         )
     if kernel != "pandas":
         raise ValueError(f"unknown kernel: {kernel!r}")
     # single-file inputs arrive as ONE partition; spread before the
     # Arrow batches so the scan parallelizes (no-op on already-
-    # partitioned input — the 100 TB case)
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
+    # partitioned input — the 100 TB case). Streaming DataFrames
+    # can't be introspected via .rdd (and micro-batches are already
+    # split by the source), so they pass through untouched.
+    if not df.isStreaming:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
     s = df.select("*", _gopher_count_udf()(t).alias("__c__"))
     C = F.col("__c__")
     return s.select(
@@ -560,6 +603,12 @@ def gopher_signals(
         F.round(F.try_divide(C["ell"], C["nl"]), 6).alias("ellipsis_line_frac"),
         F.round(F.try_divide(C["t2"], C["n2"]), 6).alias("top_2gram_frac"),
         F.round(F.try_divide(C["t3"], C["n3"]), 6).alias("top_3gram_frac"),
+        *[
+            F.round(
+                F.lit(1.0) - F.try_divide(C[f"d{n}"], C[f"g{n}"]), 6
+            ).alias(f"dup_{n}gram_frac")
+            for n in DUP_NGRAM_NS
+        ],
     )
 
 
@@ -582,6 +631,13 @@ def gopher_keep(thresholds: dict[str, float] | None = None) -> Column:
         & (F.col("top_2gram_frac") <= th["max_top_2gram_frac"])
         & (F.col("top_3gram_frac") <= th["max_top_3gram_frac"])
     )
+    for n in DUP_NGRAM_NS:
+        # docs shorter than n tokens have no n-grams (NULL frac);
+        # they can't be repetitive at that window — treat as passing
+        c = c & F.coalesce(
+            F.col(f"dup_{n}gram_frac") <= th[f"max_dup_{n}gram_frac"],
+            F.col("word_cnt") < n,
+        )
     return F.coalesce(c, F.lit(False))
 
 

@@ -1243,6 +1243,36 @@ def winnow_fingerprints(spark, sf_dir):
     return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=8)
 
 
+@_register(
+    "boilerplate_spans",
+    f"""
+    WITH f AS ({_winnow_oracle()})
+    SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, fp ASC LIMIT 50
+    """,
+)
+def boilerplate_spans(spark, sf_dir):
+    """Cross-document repeated spans (boilerplate detection): winnow
+    fingerprints shared by ≥2 documents, heaviest first. The
+    guarantee inherited from winnowing: any repeated substring of
+    length ≥ k+w−1 surfaces here. Fingerprints partial-aggregate
+    map-side; only (fp, doc) pairs shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, "doc_id", "text", k=8, w=8)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(50)
+    )
+
+
 _TFIDF_SCORE = "round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6)"
 
 
@@ -1733,10 +1763,16 @@ def _gopher_signals_oracle() -> str:
             f" i -> array_to_string(toks[i:i+{n - 1}], ' ')) ELSE [] END"
         )
 
+    dup_cols = ", ".join(f"{gram(n)} AS g{n}" for n in text.DUP_NGRAM_NS)
+    dup_sel = ",\n      ".join(
+        f"ROUND(1.0::DOUBLE - len(list_distinct(g{n})) / len(g{n}), 6)"
+        f" AS dup_{n}gram_frac"
+        for n in text.DUP_NGRAM_NS
+    )
     return f"""
     WITH t AS (SELECT doc_id, lang, text, {_GOPHER_TOKS} AS toks,
                       {_GOPHER_LINES} AS lines FROM documents),
-    g AS (SELECT *, {gram(2)} AS g2, {gram(3)} AS g3 FROM t)
+    g AS (SELECT *, {gram(2)} AS g2, {gram(3)} AS g3, {dup_cols} FROM t)
     SELECT doc_id, lang,
       len(toks) AS word_cnt,
       ROUND(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
@@ -1757,7 +1793,8 @@ def _gopher_signals_oracle() -> str:
       ROUND(list_max(list_transform(g2, x -> len(list_filter(g2, h -> h = x))))
             / len(g2), 6) AS top_2gram_frac,
       ROUND(list_max(list_transform(g3, x -> len(list_filter(g3, h -> h = x))))
-            / len(g3), 6) AS top_3gram_frac
+            / len(g3), 6) AS top_3gram_frac,
+      {dup_sel}
     FROM g
     """
 
@@ -1783,6 +1820,11 @@ def _gopher_filter_oracle() -> str:
         f" AND ellipsis_line_frac <= {th['max_ellipsis_line_frac']}"
         f" AND top_2gram_frac <= {th['max_top_2gram_frac']}"
         f" AND top_3gram_frac <= {th['max_top_3gram_frac']}"
+        + "".join(
+            f" AND (dup_{n}gram_frac <= {th[f'max_dup_{n}gram_frac']}"
+            f" OR word_cnt < {n})"
+            for n in text.DUP_NGRAM_NS
+        )
     )
     return f"""
     WITH s AS ({_gopher_signals_oracle()})

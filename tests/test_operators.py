@@ -350,6 +350,18 @@ def test_gopher_signals_values(spark):
     assert row["top_2gram_frac"] == 0.2  # 'hello world.' twice / 10 bigrams
 
 
+def test_gopher_dup_ngram_frac(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_signals(df).collect()}
+    # doc 1: 6 5-grams, 'a b c d e' twice => 1 - 5/6
+    assert rows[1]["dup_5gram_frac"] == round(1 - 5 / 6, 6)
+    assert rows[2]["dup_5gram_frac"] == 0.0
+    assert rows[2]["dup_10gram_frac"] is None  # only 6 tokens
+
+
 def test_gopher_filter_thresholds(spark):
     good = " ".join(f"word{i}" for i in range(60))
     short = "too few words"
@@ -412,13 +424,10 @@ def test_gopher_kernels_bit_identical(spark, sf_dir):
         "doc_id long, text string",
     )
     d = d.unionByName(edges)
-    cols = [
-        "doc_id", "word_cnt", "mean_word_len", "alpha_word_frac",
-        "symbol_word_ratio", "dup_word_frac", "dup_line_frac",
-        "bullet_line_frac", "ellipsis_line_frac", "top_2gram_frac",
-        "top_3gram_frac",
-    ]
-    expr = {r["doc_id"]: r for r in text.gopher_signals(d, kernel="expr").select(cols).collect()}
+    sig = text.gopher_signals(d, kernel="expr")
+    cols = [c for c in sig.columns if c != "text"]  # every signal column
+    assert len(cols) >= 17
+    expr = {r["doc_id"]: r for r in sig.select(cols).collect()}
     fast = {r["doc_id"]: r for r in text.gopher_signals(d, kernel="pandas").select(cols).collect()}
     assert expr.keys() == fast.keys()
     for k in expr:
@@ -465,3 +474,30 @@ def test_paragraph_dedup_within(spark):
         "doc_id", dedup.paragraph_dedup_within(F.col("text"), "\\|", join_sep="|").alias("t")
     ).collect()
     assert {r["doc_id"]: r["t"] for r in spans}[2] == "x|y|z"
+
+
+def test_gopher_kernels_fuzz(spark):
+    """Randomized dual-path check: 200 seeded strings over an
+    alphabet rich in whitespace flavors, bullets, symbols and
+    repeats must produce identical signals from both kernels."""
+    import random
+
+    rng = random.Random(1337)
+    alphabet = [
+        "word", "the", "a", "##", "...", "…", "-", "*", "x1",
+        " ", "  ", "\t", "\n", "\x0b", "\f", "\r", " ", "",
+    ]
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = text.gopher_signals(df, kernel="expr")
+    cols = [c for c in sig.columns if c != "text"]
+    expr = {r["doc_id"]: r for r in sig.select(cols).collect()}
+    fast = {
+        r["doc_id"]: r
+        for r in text.gopher_signals(df, kernel="pandas").select(cols).collect()
+    }
+    for k in expr:
+        assert expr[k] == fast[k], (k, dict(rows)[k])

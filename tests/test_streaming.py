@@ -159,3 +159,32 @@ def test_sessionize_events_smoke(spark, events_dir, tmp_path):
     for r in out:
         assert r["session_start"] <= r["session_end"]
         assert r["n_events"] >= 1
+
+
+def test_streaming_gopher_filter(spark, sf_dir, tmp_path):
+    """Quality filtering composes with Structured Streaming: the
+    Arrow counting kernel runs per micro-batch and the streamed
+    survivors equal the batch survivors."""
+    from exporter_spark.operators import text
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.parquet(src)
+
+    stream = ss.stream_from_files(spark, src, "parquet", schema=docs.schema)
+    filtered = text.gopher_filter(stream)
+    assert filtered.isStreaming
+    out = str(tmp_path / "kept")
+    q = (
+        filtered.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    streamed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        r["doc_id"] for r in text.gopher_filter(spark.read.parquet(src)).collect()
+    )
+    assert streamed == batch and streamed
