@@ -433,6 +433,412 @@ def q22_wealthy_low_activity(spark, sf_dir):
 
 
 @_register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H q7 shape (volume shipping): the same dimension table joined
+    twice under different roles — supplier nation and customer nation —
+    with a symmetric pair filter. Both nation sides broadcast; the only
+    shuffle is the final group-by. Mirrors reference query semantics at
+    the engine level (any-DataFrame source, scanner/scanner.go:14-25)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+                                ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6
+           ) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8 shape (national market share): conditional aggregation —
+    share of one supplier nation inside a filtered denominator. Both
+    sums are decimal-exact before the rounded division, so the ratio is
+    bit-stable across engines and partitionings."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _dsum(
+                    F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)), 4
+                )
+                / _dsum(vol, 4),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1::DOUBLE AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H q9 shape (product-type profit), adapted: the testdata has
+    no partsupp table, so supply cost is proxied as 10% of
+    p_retailprice × quantity. Same plan skeleton as the original —
+    part-name filter pushed to the broadcast side, profit expression
+    evaluated in the scan stage, one shuffle for (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(amount, 4).alias("sum_profit"))
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H q10 (returned item reporting): revenue lost to returns per
+    customer in one quarter, top 20 under a total order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_register(
+    "q12_late_shipments",
+    """
+    SELECT l_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT year(l_shipdate) AS l_year, o_orderpriority
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+    ) late
+    GROUP BY l_year
+    """,
+)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H q12 shape (shipping-priority split), adapted: the testdata
+    has no l_shipmode/l_commitdate, so 'late' is shipped >60 days after
+    the order date and the grouping key is the ship year. Same
+    conditional-count skeleton as the original."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0::DOUBLE
+             * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6
+           ) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H q14 (promotion effect): percentage of one month's revenue
+    from promo parts. Part side broadcasts; decimal-exact numerator and
+    denominator, rounded once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * _dsum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)), 4
+                )
+                / _dsum(vol, 4),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H q19 shape (discounted revenue): disjunction of
+    brand/size/quantity envelopes, adapted to the available part
+    columns. The join is still an equi-join on partkey — the OR only
+    filters — so Catalyst keeps the broadcast-hash plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def env(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            env("Brand#12", 5, 1, 11) | env("Brand#23", 10, 10, 20) | env("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 shape (suppliers who kept orders waiting), adapted to
+    l_returnflag as the fault signal (no receipt/commit dates in the
+    testdata): the supplier's line was returned on a finished
+    multi-supplier order where no OTHER supplier's line was returned.
+    EXISTS → left-semi join, NOT EXISTS → left-anti join, both with a
+    non-equi suppkey-differs term riding on the orderkey equi-join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("k3")) & (l1.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+        .join(o, l1.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@_register(
     "top_customers_per_nation",
     """
     WITH spend AS (
