@@ -839,6 +839,181 @@ def q21_waiting_suppliers(spark, sf_dir):
 
 
 @_register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eps AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT eps.*, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+      FROM eps
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost AS supplycost
+    FROM best JOIN part ON ps_partkey = p_partkey
+    WHERE ps_supplycost = min_cost AND p_size <= 15 AND p_type = 'PROMO'
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape (minimum-cost supplier): the testdata has no
+    partsupp table, so the part-supplier supply relation is derived
+    from lineitem (supply cost = cheapest observed unit price). The
+    correlated MIN subquery is decorrelated into a window min over the
+    region-filtered supply relation — one shuffle on partkey serves
+    both the window and the final part join. Per-row double division
+    and MIN are bit-identical across engines, so no decimal staging is
+    needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    eps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eps.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH natline AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_13'
+    ), tot AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT(DISTINCT l_partkey) AS nparts
+      FROM natline
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM natline, tot
+    GROUP BY l_partkey, total, nparts
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         > total * 1.5 / nparts
+    ORDER BY part_value DESC, p_partkey ASC
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H q11 shape (important stock identification): per-part
+    "inventory value" held by one nation's suppliers, keeping parts
+    whose value exceeds 1.5x the average share (the scalar-subquery
+    HAVING of the original; the fraction self-scales with part count
+    so the filter bites at every SF). Decimal-exact sums on both
+    sides of the comparison; the scalar aggregate broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    natline = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    tot = natline.agg(
+        _dsum(F.col("l_extendedprice"), 2).alias("total"),
+        F.countDistinct("l_partkey").alias("nparts"),
+    )
+    return (
+        natline.groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice"), 2).alias("part_value"))
+        .join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total") * F.lit(1.5) / F.col("nparts"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+@_register(
+    "q20_promo_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_13'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 75)
+    ORDER BY s_name ASC
+    """,
+)
+def q20_promo_suppliers(spark, sf_dir):
+    """TPC-H q20 shape (potential part promotion): suppliers in one
+    nation who moved a meaningful volume of a name-matched part family
+    in one year. The availqty comparison of the original becomes a
+    HAVING over shipped quantity (no partsupp in the testdata). Both
+    IN subqueries become left-semi joins: part-family probe broadcasts
+    into the lineitem scan; the qualifying-supplier set semi-joins the
+    nation-filtered supplier dimension."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    movers = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 75)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+@_register(
     "top_customers_per_nation",
     """
     WITH spend AS (
