@@ -782,3 +782,98 @@ def embedding_near_dup_banded(
         .distinct()
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _make_greedy_semdedup(threshold):
+    """applyInPandas kernel: greedy SemDeDup scan of one LSH bucket in
+    ascending-id order — a vector is dropped iff its cosine to some
+    already-KEPT smaller-id vector rounds to >= threshold (so a
+    dropped vector never knocks out later ones). The per-bucket scan
+    is sequential by construction, but each step is a vectorized
+    matrix-vector product against the kept set. Self-contained
+    closure (numpy/pandas only, pickles by value)."""
+    import numpy as _np
+    import pandas as _pd
+
+    def survivors(pdf):
+        order = _np.argsort(pdf["__id__"].to_numpy())
+        ids = pdf["__id__"].to_numpy()[order].astype(_np.int64)
+        if len(ids) == 1:
+            return _pd.DataFrame({"__id__": ids})
+        V = _np.stack(pdf["__v__"].to_numpy()[order]).astype(_np.float64)
+        V = V / _np.sqrt((V * V).sum(axis=1, keepdims=True))
+        kept = [0]
+        for i in range(1, len(ids)):
+            sims = _np.round(V[kept] @ V[i], 6)
+            if not (sims >= threshold).any():
+                kept.append(i)
+        return _pd.DataFrame({"__id__": ids[kept]})
+
+    return survivors
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    planes: int = 8,
+    policy: str = "greedy",
+    sig_kernel: str = "numpy",
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540): partition the corpus into
+    buckets by a deterministic literal-hyperplane LSH signature (the
+    paper's k-means cells, made engine-reproducible), then within each
+    bucket drop vectors that are near-duplicates (cosine >= threshold)
+    of a smaller-id vector. Returns the surviving rows of ``emb``
+    unchanged in schema.
+
+    ``policy="greedy"`` (the paper's semantics): sequential
+    keep-lowest-id scan per bucket — dropped vectors cannot knock out
+    later ones. One shuffle on signature, per-bucket vectorized
+    kernel; no oracle (the kept-set recursion isn't plain SQL).
+
+    ``policy="dominated"``: drop any vector within rounded-cosine
+    threshold of ANY smaller-id bucket-mate (kept or not) — a
+    slightly over-eager variant whose drop set is exactly the b_id
+    side of :func:`embedding_near_dup_pairs`, hence fully
+    SQL-expressible and DuckDB-oracle-paired. Greedy survivors are
+    always a superset of dominated survivors.
+
+    Scale shape (both policies): each vector is hashed and shuffled
+    exactly once on its signature; the only quadratic work is within
+    a bucket (bounded by planes; band with
+    :func:`embedding_near_dup_banded` for recall instead of more
+    planes). No global O(n²) stage, nothing on the driver."""
+    if policy == "dominated":
+        pairs = embedding_near_dup_pairs(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            dims=dims,
+            planes=planes,
+            sig_kernel=sig_kernel,
+        )
+        drops = pairs.select(F.col("b_id").alias("__drop__")).distinct()
+        return emb.join(
+            drops, emb[id_col] == F.col("__drop__"), "left_anti"
+        )
+    if policy != "greedy":
+        raise ValueError(f"unknown policy {policy!r} (expected 'greedy' or 'dominated')")
+    s = with_lsh_signature(
+        _spread(emb, id_col).select(
+            F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
+        ),
+        "__v__",
+        dims,
+        planes,
+        kernel=sig_kernel,
+    )
+    kept = s.groupBy("__sig__").applyInPandas(
+        _make_greedy_semdedup(threshold), schema="__id__ long"
+    )
+    return emb.join(kept, emb[id_col] == F.col("__id__"), "left_semi")

@@ -2212,6 +2212,56 @@ def embedding_near_dup_banded(spark, sf_dir):
     return similarity.embedding_near_dup_banded(e, **_BANDED)
 
 
+def _semdedup_oracle() -> str:
+    """Dominated-policy SemDeDup replica: the drop set is exactly the
+    b_id side of the near-dup pair join; survivors are the anti-set."""
+    sig = similarity.lsh_signature_sql(
+        "(embedding::DOUBLE[])", _NEARDUP["dims"], _NEARDUP["planes"]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS sig FROM embeddings),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {_COSINE_SQL} >= {_NEARDUP["threshold"]})
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vid FROM drops)
+    """
+
+
+@_register("semdedup_survivors", _semdedup_oracle())
+def semdedup_survivors(spark, sf_dir):
+    """Semantic dedup (SemDeDup, arXiv:2303.09540) survivors under the
+    SQL-expressible 'dominated' policy: a vector is dropped when any
+    smaller-id LSH-bucket-mate sits within the cosine threshold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        e,
+        threshold=_NEARDUP["threshold"],
+        dims=_NEARDUP["dims"],
+        planes=_NEARDUP["planes"],
+        policy="dominated",
+    ).select("vec_id", "label")
+
+
+@_register("semdedup_survivors_greedy", None)
+def semdedup_survivors_greedy(spark, sf_dir):
+    """Greedy (paper-semantics) SemDeDup: dropped vectors cannot knock
+    out later ones, so the kept set is the sequential scan's fixpoint.
+    No oracle: the kept-set recursion isn't expressible as plain SQL
+    (each keep decision depends on all previous keep decisions);
+    pytest pins it against a pure-python reference and the dominated
+    lower bound instead."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        e,
+        threshold=_NEARDUP["threshold"],
+        dims=_NEARDUP["dims"],
+        planes=_NEARDUP["planes"],
+        policy="greedy",
+    ).select("vec_id", "label")
+
+
 # =====================================================================
 # Multimodal plumbing (stubbed decode; Spark mechanics are real)
 # =====================================================================

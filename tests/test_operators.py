@@ -501,3 +501,45 @@ def test_gopher_kernels_fuzz(spark):
     }
     for k in expr:
         assert expr[k] == fast[k], (k, dict(rows)[k])
+
+
+def test_semdedup_policies(spark, sf_dir):
+    """Greedy SemDeDup must match a pure-python reference scan of the
+    same LSH buckets; dominated survivors are a subset of greedy
+    survivors; neither plan contains an O(n^2) global stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    th, planes = 0.3, 4
+    sigs = similarity.with_lsh_signature(
+        emb.select(F.col("vec_id").alias("__id__"), F.col("embedding").alias("__v__")),
+        "__v__", 64, planes,
+    ).collect()
+    buckets = {}
+    for r in sigs:
+        buckets.setdefault(r["__sig__"], []).append(
+            (r["__id__"], np.array(r["__v__"], dtype=np.float64))
+        )
+    expect_kept = set()
+    for rows in buckets.values():
+        rows.sort(key=lambda t: t[0])
+        kept = []
+        for vid, v in rows:
+            vn = v / np.linalg.norm(v)
+            if not any(np.round(float(kn @ vn), 6) >= th for _, kn in kept):
+                kept.append((vid, vn))
+        expect_kept.update(vid for vid, _ in kept)
+
+    greedy = similarity.semdedup(
+        emb, threshold=th, planes=planes, policy="greedy"
+    )
+    got = {r["vec_id"] for r in greedy.collect()}
+    assert got == expect_kept
+    dominated = similarity.semdedup(
+        emb, threshold=th, planes=planes, policy="dominated"
+    )
+    dom = {r["vec_id"] for r in dominated.collect()}
+    assert dom <= got
+    assert len(dom) < emb.count()  # the threshold actually bites
+    for df in (greedy, dominated):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
