@@ -141,3 +141,70 @@ def rebalance_to_mixture(
         .filter(hash32(F.col(id_col), salt) < thr)
         .select(*df.columns)
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    *,
+    budget: int = 2048,
+    streams: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: lay documents end-to-end in a
+    deterministic content-hash order and cut the concatenation into
+    fixed ``budget``-token training chunks. Returns one row per
+    (document, chunk) intersection:
+
+      id_col      — the document
+      stream      — independent packing lane (hash-assigned)
+      chunk       — chunk ordinal within the stream
+      off_in_doc  — first token of the slice, offset within the doc
+      off_in_chunk— where the slice lands inside the chunk
+      n_toks      — slice length (a doc longer than ``budget``
+                    spans several chunks; a short doc shares its
+                    chunk with its hash-neighbors)
+
+    Every chunk except the last of each stream is exactly full — the
+    concat-and-chunk packing used for LLM pretraining (zero padding),
+    not first-fit binning (which would leave per-bin tails and needs
+    a sequential scan anyway).
+
+    Scale shape: ``streams`` independent lanes, each a window cumsum
+    over its own hash-ordered run — ONE shuffle on stream, no global
+    sort, no driver state. Streams are hash-balanced, so lane skew is
+    O(1/sqrt(docs per lane)); raise ``streams`` with corpus size (it
+    only widens the shuffle). Zero-token docs are dropped (they have
+    no span). Integer-only arithmetic end to end, so the mapping is
+    reproducible bit-for-bit in any engine (DuckDB oracle replays the
+    same window + generate_series)."""
+    toks = tokens_col.cast("long")
+    h = hash32(F.col(id_col), salt)
+    d = (
+        df.select(F.col(id_col), toks.alias("__t__"), h.alias("__h__"))
+        .filter(F.col("__t__") > 0)
+        .withColumn("__stream__", (F.col("__h__") % streams).cast("int"))
+    )
+    w = (
+        Window.partitionBy("__stream__")
+        .orderBy("__h__", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("__start__", F.sum("__t__").over(w) - F.col("__t__"))
+    b = F.lit(budget).cast("long")
+    # `div` is exact integer division (double `/` + cast would wobble
+    # once a lane's cumulative token count nears 2^53)
+    first = F.expr(f"__start__ div {budget}")
+    last = F.expr(f"(__start__ + __t__ - 1) div {budget}")
+    e = c.withColumn("chunk", F.explode(F.sequence(first, last)))
+    lo = F.greatest(F.col("__start__"), F.col("chunk") * b)
+    hi = F.least(F.col("__start__") + F.col("__t__"), (F.col("chunk") + 1) * b)
+    return e.select(
+        F.col(id_col),
+        F.col("__stream__").alias("stream"),
+        F.col("chunk"),
+        (lo - F.col("__start__")).alias("off_in_doc"),
+        (lo - F.col("chunk") * b).alias("off_in_chunk"),
+        (hi - lo).alias("n_toks"),
+    )

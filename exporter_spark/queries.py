@@ -1681,6 +1681,43 @@ def docs_sample_deterministic(spark, sf_dir):
     )
 
 
+_PACK = dict(budget=512, streams=8)
+
+
+@_register(
+    "pack_chunks_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS t,
+             {_H32.format(salt='pack')} AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, t, h, CAST(h % {_PACK["streams"]} AS INTEGER) AS stream,
+             CAST(SUM(t) OVER (PARTITION BY h % {_PACK["streams"]}
+                               ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS start
+      FROM d WHERE t > 0)
+    SELECT doc_id, stream, chunk,
+           GREATEST(start, chunk * {_PACK["budget"]}) - start AS off_in_doc,
+           GREATEST(start, chunk * {_PACK["budget"]})
+             - chunk * {_PACK["budget"]} AS off_in_chunk,
+           LEAST(start + t, (chunk + 1) * {_PACK["budget"]})
+             - GREATEST(start, chunk * {_PACK["budget"]}) AS n_toks
+    FROM c, UNNEST(generate_series(start // {_PACK["budget"]},
+                                   (start + t - 1) // {_PACK["budget"]})) AS u(chunk)
+    """,
+)
+def pack_chunks_docs(spark, sf_dir):
+    """Sequence packing for LLM pretraining: documents laid end-to-end
+    in deterministic hash order across independent lanes, cut into
+    512-token chunks (sampling.pack_chunks). One row per
+    (document, chunk) slice; integer-exact in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.pack_chunks(
+        d, "doc_id", text.token_count(F.col("text")), salt="pack", **_PACK
+    )
+
+
 _STRATA = {"en": 0.1, "de": 0.5, "fr": 0.3, "es": 0.2, "zh": 0.4}
 
 

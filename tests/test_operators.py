@@ -543,3 +543,55 @@ def test_semdedup_policies(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def test_pack_chunks_invariants(spark, sf_dir):
+    """Packing must cover every token of every doc exactly once, fill
+    every non-final chunk of each lane to the exact budget, and be a
+    pure function of content (invariant to input partitioning)."""
+    from exporter_spark.operators import sampling, text
+
+    d = load_table(spark, sf_dir, "documents")
+    budget, streams = 256, 4
+    packed = sampling.pack_chunks(
+        d, "doc_id", text.token_count(F.col("text")), budget=budget, streams=streams
+    )
+    rows = packed.collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in d.select(
+            "doc_id", text.token_count(F.col("text")).alias("t")
+        ).collect()
+    }
+    # per-doc slices partition [0, token_count)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, t in toks.items() if t > 0}
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["off_in_doc"])
+        assert rs[0]["off_in_doc"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["off_in_doc"] + a["n_toks"] == b["off_in_doc"]
+        assert rs[-1]["off_in_doc"] + rs[-1]["n_toks"] == toks[did]
+    # every non-final chunk of each lane is exactly full
+    fill = {}
+    for r in rows:
+        fill[(r["stream"], r["chunk"])] = fill.get((r["stream"], r["chunk"]), 0) + r["n_toks"]
+    last = {}
+    for s, c in fill:
+        last[s] = max(last.get(s, -1), c)
+    for (s, c), n in fill.items():
+        if c < last[s]:
+            assert n == budget, f"lane {s} chunk {c} holds {n} != {budget}"
+        else:
+            assert 0 < n <= budget
+    # chunk ordinals are dense per lane
+    for s in last:
+        assert {c for t, c in fill if t == s} == set(range(last[s] + 1))
+    # partitioning-invariant
+    re = sampling.pack_chunks(
+        d.repartition(13), "doc_id", text.token_count(F.col("text")),
+        budget=budget, streams=streams,
+    )
+    assert sorted(map(tuple, re.collect())) == sorted(map(tuple, rows))
