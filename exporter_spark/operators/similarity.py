@@ -877,3 +877,47 @@ def semdedup(
         _make_greedy_semdedup(threshold), schema="__id__ long"
     )
     return emb.join(kept, emb[id_col] == F.col("__id__"), "left_semi")
+
+
+def quantize_int8(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    scale = max(|v|)/127, q_i = round(v_i/scale) in [-127, 127].
+    Returns (id_col, q array<int>, scale double).
+
+    The point at 100 TB: int8 vectors cut ANN shuffle and storage
+    bytes 4x vs float32 (8x vs the widened float64), and dot products
+    on int8 stay exact integers — a candidate-generation tier that
+    shuffles a quarter of the bytes with bounded error (max
+    reconstruction error is scale/2 per component).
+
+    Determinism: every op is IEEE arithmetic (abs/max/divide/round —
+    no libm), and Spark ROUND and DuckDB round() both break ties away
+    from zero, so q and scale are bit-identical across engines. Zero
+    vectors quantize to all-zero q with scale 1 (guarded, no 0/0).
+    Pure column expressions, no shuffle, no Python; the scale column
+    is materialized in a first projection so the quantizing lambda
+    references a plain column (keeps the expression tree linear in
+    dims, not quadratic)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    staged = emb.select(
+        F.col(id_col), v.alias("__v__"), scale.alias("scale")
+    )
+    cols = [
+        F.col(id_col),
+        F.transform(
+            F.col("__v__"), lambda x: F.round(x / F.col("scale")).cast("int")
+        ).alias("q"),
+        F.col("scale"),
+    ]
+    if keep_vec:
+        # the float64-widened original, for reconstruction-error math
+        cols.append(F.col("__v__").alias("vec64"))
+    return staged.select(*cols)

@@ -651,3 +651,51 @@ def gopher_filter(
     only — signals are internal to the predicate)."""
     sig = gopher_signals(df, text_col, kernel=kernel)
     return sig.filter(gopher_keep(thresholds)).select(*df.columns)
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Self-trained unigram language-model score per document — the
+    CCNet-style quality signal (Wenzek et al. 2020, arXiv:1911.00359):
+    fit P(w) = count(w)/total on the corpus itself, then score each
+    document by its mean per-token log10 probability (higher = built
+    from more typical tokens; a cheap perplexity proxy for filtering).
+    Returns (id_col, n_tokens, lm_score).
+
+    Determinism across engines: per-token log10(count/total) terms are
+    staged to DECIMAL(18,9) before the per-doc SUM (exact, order-free
+    addition), and the final mean is rounded to 6 dp — absorbing the
+    <=2-ulp libm spread of log10 itself. Counts and totals are integer
+    hence identical everywhere.
+
+    Scale shape: explode -> count-by-token (map-side partial agg) ->
+    token-keyed shuffle join back -> re-aggregate by doc. Two shuffles
+    total, both on high-cardinality keys; AQE handles hot-token skew
+    (stopwords) by splitting oversized reduce partitions. Pass
+    ``broadcast_vocab=True`` when the vocabulary fits on executors
+    (e.g. a capped vocab) to drop the token shuffle entirely."""
+    trimmed = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(trimmed, r"\s+")).alias("__tok__"),
+    ).filter(F.length("__tok__") > 0)
+    vocab = toks.groupBy("__tok__").agg(F.count("*").alias("__cnt__"))
+    total = vocab.agg(F.sum("__cnt__").alias("__total__"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    term = F.log10(F.col("__cnt__") / F.col("__total__"))
+    return (
+        toks.join(v, "__tok__")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+            ).alias("lm_score"),
+        )
+    )

@@ -1681,6 +1681,74 @@ def docs_sample_deterministic(spark, sf_dir):
     )
 
 
+@_register(
+    "unigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS lm_score
+    FROM toks2 JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_lm_scores(spark, sf_dir):
+    """CCNet-style self-trained unigram LM quality signal
+    (arXiv:1911.00359): mean per-token log10 probability under the
+    corpus's own unigram distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_lm_scores(d)
+
+
+@_register(
+    "embedding_quantize_stats",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0::DOUBLE
+                  THEN 1.0::DOUBLE
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE
+             END AS scale
+      FROM e),
+    qq AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS q
+      FROM s)
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm,
+           list_max(list_transform(generate_series(1, len(v)),
+                                   i -> abs(v[i] - q[i] * scale))) AS max_err
+    FROM qq
+    """,
+)
+def embedding_quantize_stats(spark, sf_dir):
+    """Int8 quantization audit: per-vector scale, exact integer
+    squared norm of the quantized vector, and worst reconstruction
+    error. Every op is IEEE arithmetic (no libm), so all three stats
+    are bit-identical across engines with no rounding step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(e, keep_vec=True)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + (x * x).cast("long")
+        ).alias("qnorm"),
+        F.array_max(
+            F.zip_with(
+                "vec64", "q", lambda x, qi: F.abs(x - qi * F.col("scale"))
+            )
+        ).alias("max_err"),
+    )
+
+
 _PACK = dict(budget=512, streams=8)
 
 

@@ -595,3 +595,36 @@ def test_pack_chunks_invariants(spark, sf_dir):
         budget=budget, streams=streams,
     )
     assert sorted(map(tuple, re.collect())) == sorted(map(tuple, rows))
+
+
+def test_quantize_int8_bounds(spark):
+    from exporter_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(df, keep_vec=True).collect()}
+    assert all(abs(x) <= 127 for r in rows.values() for x in r["q"])
+    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["scale"] == 1.0
+    r = rows[1]
+    assert r["q"][1] in (-127,) and r["scale"] == 1.0 / 127.0
+    for x, qi in zip(r["vec64"], r["q"]):
+        assert abs(x - qi * r["scale"]) <= r["scale"] / 2 + 1e-12
+
+
+def test_unigram_lm_orders_common_above_rare(spark):
+    from exporter_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva qwertyuiop"), (3, "the the zyzzyva the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.unigram_lm_scores(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
+    assert got[1]["lm_score"] > got[3]["lm_score"] > got[2]["lm_score"]
+    # broadcast-vocab variant is value-identical
+    b = {r["doc_id"]: r for r in text.unigram_lm_scores(df, broadcast_vocab=True).collect()}
+    assert {k: (v["n_tokens"], v["lm_score"]) for k, v in got.items()} == {
+        k: (v["n_tokens"], v["lm_score"]) for k, v in b.items()
+    }
