@@ -921,3 +921,70 @@ def quantize_int8(
         # the float64-widened original, for reconstruction-error math
         cols.append(F.col("__v__").alias("vec64"))
     return staged.select(*cols)
+
+
+def _int_sqnorm(q: str) -> Column:
+    """Exact integer squared norm of an int8-quantized vector."""
+    return F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + (x.cast("long") * x)
+    )
+
+
+def _int_dot(a: str, b: str) -> Column:
+    """Exact integer dot product of two int8-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors on int8-quantized vectors (quantize_int8).
+    Returns (query_id, neighbor_id, sim, rank) like cosine_topk, with
+    sim the cosine of the QUANTIZED vectors.
+
+    Why this tier exists: the per-vector scales cancel in the cosine
+    (cos(q_a*s_a, q_b*s_b) = dot(q_a,q_b)/sqrt(|q_a|²|q_b|²)), so the
+    whole search runs on exact integer dot products and squared norms
+    — sims are bit-identical across engines (integers + IEEE
+    sqrt/divide, no libm) — while candidate vectors ship as int8:
+    4x fewer broadcast/shuffle bytes than float32, 8x fewer than the
+    widened float64 the exact tier carries. Quantization error bounds
+    the sim error by ~1/127 per normalized component, plenty for
+    candidate generation (recall is pytest-pinned against the exact
+    tier; rerank survivors with cosine_topk when exactness matters).
+    Same contract as cosine_topk: the query set must broadcast."""
+    cq = quantize_int8(emb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq__")
+    ).withColumn("__cn__", _int_sqnorm("__cq__"))
+    qq = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("__qq__")
+    ).withColumn("__qn__", _int_sqnorm("__qq__"))
+    joined = _spread(cq, "neighbor_id").join(
+        F.broadcast(qq), F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.when(
+        (F.col("__cn__") == 0) | (F.col("__qn__") == 0), F.lit(0.0)
+    ).otherwise(
+        _int_dot("__qq__", "__cq__").cast("double")
+        / F.sqrt((F.col("__qn__") * F.col("__cn__")).cast("double"))
+    )
+    sims = joined.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

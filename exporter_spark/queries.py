@@ -1681,6 +1681,51 @@ def docs_sample_deterministic(spark, sf_dir):
     )
 
 
+def _int8_topk_oracle() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.q)),"
+        " i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS DOUBLE)"
+    )
+    sim = (
+        "ROUND(CASE WHEN a.qn = 0 OR b.qn = 0 THEN 0.0::DOUBLE "
+        f"ELSE {dot} / sqrt(CAST(a.qn * b.qn AS DOUBLE)) END, 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0::DOUBLE
+                  THEN 1.0::DOUBLE
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE
+             END AS scale
+      FROM e),
+    qq AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS q
+      FROM s),
+    n AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+      FROM qq)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {sim} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {sim} DESC, b.vec_id ASC) AS rank
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10)
+    WHERE rank <= 5
+    """
+
+
+@_register("int8_ann_topk", _int8_topk_oracle())
+def int8_ann_topk(spark, sf_dir):
+    """Quantized top-k tier: int8 candidate vectors (4x fewer shuffle
+    bytes), exact-integer dot products, bit-exact sims."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.int8_topk(e, q, k=5)
+
+
 @_register(
     "unigram_lm_scores",
     """

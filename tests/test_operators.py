@@ -628,3 +628,28 @@ def test_unigram_lm_orders_common_above_rare(spark):
     assert {k: (v["n_tokens"], v["lm_score"]) for k, v in got.items()} == {
         k: (v["n_tokens"], v["lm_score"]) for k, v in b.items()
     }
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """The quantized tier must agree with the exact tier almost
+    everywhere (int8 error ~1/127 per component): recall@5 >= 0.9
+    over the sampled query set, and sims within 0.02."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    quant = similarity.int8_topk(emb, q, k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qu = {}
+    sims = {}
+    for r in quant:
+        qu.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        sims[(r["query_id"], r["neighbor_id"])] = r["sim"]
+    hits = sum(len(ex[k] & qu[k]) for k in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for key, s in sims.items():
+        if key in exact_sims:
+            assert abs(s - exact_sims[key]) <= 0.02, (key, s, exact_sims[key])
