@@ -31,11 +31,13 @@ TABLES = (
     "embeddings",
 )
 
-# Columns written as TIMESTAMP(NANOS) by the data generator. Spark's
-# reader has no nanos timestamp type; with
+# Columns historically written as TIMESTAMP(NANOS) by the data
+# generator. Spark's reader has no nanos timestamp type; with
 # spark.sql.legacy.parquet.nanosAsLong=true they arrive as LongType
 # (nanos since epoch) and are restored here at microsecond precision
 # (lossless for this data; DuckDB does the same ns→us truncation).
+# Newer generator runs write plain timestamp[us] instead — handled by
+# the generic NTZ normalization below.
 _NANOS_COLS = {"events": ["ts"]}
 
 
@@ -49,6 +51,13 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # integer div — float division would round 64-bit nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet timestamps without isAdjustedToUTC land as TIMESTAMP_NTZ,
+    # which many time functions (unix_micros, window, ...) reject. The
+    # engine runs with session.timeZone=UTC, so casting NTZ → session
+    # timestamp is value-preserving and matches DuckDB's naive reads.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return tag_driver(df, "parquet")
 
 
