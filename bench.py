@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     # paragraph dedup
     "gopher_quality_signals",
     "paragraph_dedup_docs",
+    # round 3: keyword retrieval (map-side tf + broadcast stats),
+    # hashed-unigram importance weights (token explode + tiny
+    # broadcast log-ratio table)
+    "bm25_topk_docs",
+    "dsir_importance_weights",
 ]
 
 

@@ -208,3 +208,96 @@ def pack_chunks(
         (lo - F.col("chunk") * b).alias("off_in_chunk"),
         (hi - lo).alias("n_toks"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) with hashed unigram features: estimate a target
+    and a raw feature distribution over ``buckets`` hash buckets, then
+    weight each document by the mean log-ratio of its tokens' buckets.
+    ``target_pred`` marks the in-domain rows (e.g. lang = 'en').
+    Returns (id_col, n_tokens, dsir_weight); documents whose tokens
+    look like the target distribution score high, and resampling by
+    this weight tilts a 100 TB crawl toward the target domain.
+
+    Determinism: bucket counts are integers; the per-bucket log-ratio
+    uses ln with Laplace (+1 over buckets) smoothing and the per-doc
+    mean is decimal-staged then rounded to 6 dp (same recipe as
+    unigram_lm_scores).
+
+    Scale shape: one token explode feeding a ``buckets``-row aggregate
+    (map-side partial, nothing hot), the tiny log-ratio table
+    broadcast back onto the token stream, and ONE doc-keyed shuffle
+    for the per-doc mean. No vocabulary-sized state anywhere — the
+    hash bucketing is what makes DSIR run at corpus scale.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("long").alias("__t__"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("__tok__"),
+    ).withColumn("__b__", hash32(F.col("__tok__"), salt) % buckets)
+    bt = toks.groupBy("__b__").agg(
+        F.count("*").alias("__cr__"), F.sum("__t__").alias("__ct__")
+    )
+    tot = bt.agg(
+        F.sum("__cr__").alias("__tr__"), F.sum("__ct__").alias("__tt__")
+    )
+    lr = bt.crossJoin(F.broadcast(tot)).select(
+        "__b__",
+        (
+            F.log((F.col("__ct__") + F.lit(1.0)) / (F.col("__tt__") + F.lit(float(buckets))))
+            - F.log((F.col("__cr__") + F.lit(1.0)) / (F.col("__tr__") + F.lit(float(buckets))))
+        ).alias("__lr__"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__lr__").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def training_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    content-derived shuffle key md5(seed:id), a bucket (first key
+    byte, 256 of them), and a dense position within its bucket.
+    Global order = (bucket, pos) — reproducible across runs, engines,
+    partitionings, and epochs (vary ``seed``).
+
+    Scale shape: NO global sort. The only shuffle is the 256-way
+    window partition; each bucket sorts independently (~1/256 of the
+    corpus) and readers stream buckets in order. This is the standard
+    scalable substitute for ORDER BY rand(seed), which would funnel
+    100 TB through one total-order range exchange."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    out = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))

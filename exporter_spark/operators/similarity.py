@@ -988,3 +988,90 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ------------------------------------------------- random projection
+
+
+def rp_component(j: int, i: int, salt: str = "rp") -> float:
+    """Deterministic Rademacher (±1) projection-matrix entry from
+    md5(salt:j:i) parity — driver-computed literal, inlined
+    identically in the Spark plan and the DuckDB oracle (same recipe
+    as hyperplane_component)."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+
+def rp_matrix(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[float]]:
+    return [
+        [rp_component(j, i, salt) for i in range(in_dim)] for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    Rademacher (±1) matrix (Achlioptas 2003, "Database-friendly
+    random projections"): p_j = <v, R_j> / sqrt(out_dim). Shrinking
+    embeddings (e.g. 64 -> 16 dims) before ANN indexing or near-dup
+    banding cuts shuffle bytes and distance-kernel cost ~4x while
+    approximately preserving pairwise geometry. Returns wide form
+    (id_col, p0..p{out_dim-1}), each component rounded to 6 dp.
+
+    Determinism: the matrix entries are ±1 literals; each component is
+    an ordered left fold of IEEE double multiply-adds (same fold order
+    as the oracle's explicit term sum) — only the final division by
+    sqrt(out_dim) touches libm, absorbed by round(6).
+
+    Scale shape: pure map-side column expressions — no shuffle, no
+    UDF, column pruning reaches the scan. out_dim*in_dim multiply-adds
+    per row is codegen'd; for very wide matrices the numpy per-row
+    kernel pattern (see _make_sig_udf) applies unchanged."""
+    R = rp_matrix(out_dim, in_dim, salt)
+    inv = 1.0 / float(out_dim) ** 0.5
+    cols = []
+    for j in range(out_dim):
+        rj = F.array(*[F.lit(x) for x in R[j]])
+        prod = F.zip_with(
+            F.col(vec_col), rj, lambda x, r: x.cast("double") * r
+        )
+        s = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        cols.append(F.round(s * F.lit(inv), 6).alias(f"p{j}"))
+    return df.select(F.col(id_col), *cols)
+
+
+def rp_oracle_sql(
+    out_dim: int,
+    in_dim: int,
+    *,
+    salt: str = "rp",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of random_projection: explicit left-associated
+    term sums (same fold order ⇒ same doubles)."""
+    R = rp_matrix(out_dim, in_dim, salt)
+    inv = 1.0 / float(out_dim) ** 0.5
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"v[{i + 1}] * ({R[j][i]!r})" for i in range(in_dim)
+        )
+        comps.append(f"ROUND(({terms}) * {inv!r}, 6) AS p{j}")
+    cols = ",\n           ".join(comps)
+    return f"""
+    WITH e AS (SELECT {id_col}, ({vec_col}::DOUBLE[]) AS v FROM {table})
+    SELECT {id_col},
+           {cols}
+    FROM e
+    """

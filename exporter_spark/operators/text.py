@@ -699,3 +699,53 @@ def unigram_lm_scores(
             ).alias("lm_score"),
         )
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality tiers (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): rank documents within each language by
+    the self-trained unigram-LM score and split into equal tiers
+    (head / middle / tail for the default 3). Returns one row per
+    (lang, tier): (lang, tier, tier_name, n_docs, avg_lm_score).
+
+    Determinism: the rank order is total (lm_score desc, id asc), so
+    ntile is deterministic; avg is decimal-staged then rounded.
+
+    Scale shape: the window partitions by language — each language
+    sorts independently (CCNet's own granularity). At 100 TB a single
+    language is still large; the production variant computes tier
+    cutoffs from approx percentiles (percentile_approx over lm_score)
+    and buckets by comparison, avoiding any within-language total
+    sort. ntile is kept here because its semantics (equal-count
+    tiers) are exactly replayable in the oracle."""
+    scores = unigram_lm_scores(df, id_col, text_col)
+    withlang = scores.join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("lm_score").desc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(n_buckets).over(w)
+    name = F.lit(None).cast("string")
+    if n_buckets == 3:
+        name = (
+            F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail")
+        )
+    return (
+        withlang.withColumn("tier", tier)
+        .withColumn("tier_name", name)
+        .groupBy(lang_col, "tier", "tier_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("lm_score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_lm_score"),
+        )
+    )

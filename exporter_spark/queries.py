@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from exporter_spark.functions.tostring import display_columns, display_expr
-from exporter_spark.operators import dedup, sampling, similarity, text
+from exporter_spark.operators import dedup, retrieval, sampling, similarity, text
 from exporter_spark.operators import multimodal
 from exporter_spark.operators.multimodal import extract_features
 from exporter_spark.sources.files import load_table
@@ -2749,6 +2749,142 @@ def dedup_tokens_within_docs(spark, sf_dir):
     return d.select(
         "doc_id",
         dedup.paragraph_dedup_within(F.col("text"), sep=" ").alias("dedup_text"),
+    )
+
+
+# =====================================================================
+# Round 3: retrieval, data selection, training order, projection
+# =====================================================================
+
+_BM25_TERMS = ["spark", "hash", "vector"]
+
+
+@_register("bm25_topk_docs", retrieval.bm25_oracle_sql(_BM25_TERMS, k=10))
+def bm25_topk_docs(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (Lucene idf variant) for a literal
+    term set. Stats (N, avgdl, per-term df) are ONE broadcast
+    single-row aggregate; tf/dl are map-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+@_register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    tb AS (
+      SELECT doc_id, t,
+             ('0x' || substr(md5('dsir' || tok), 1, 8))::BIGINT % 64 AS b
+      FROM toks),
+    bt AS (SELECT b, COUNT(*) AS cr, SUM(t) AS ct FROM tb GROUP BY b),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bt),
+    lr AS (SELECT b, ln((ct + 1.0) / (tt + 64.0)) - ln((cr + 1.0) / (tr + 64.0)) AS lrv
+           FROM bt, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(lrv AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+             AS dsir_weight
+    FROM tb JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (arXiv:2302.03169) importance weights toward the lang='en'
+    target slice, hashed-unigram features over 64 md5 buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_weights(d, F.col("lang") == "en", buckets=64)
+
+
+@_register(
+    "lm_quality_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scores AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM toks2 JOIN vocab USING (tok), tot
+      GROUP BY doc_id),
+    wl AS (
+      SELECT s.doc_id, s.lm_score, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+    tiers AS (
+      SELECT lang, lm_score,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY lm_score DESC, doc_id ASC) AS BIGINT)
+               AS tier
+      FROM wl)
+    SELECT lang, tier,
+           CASE WHEN tier = 1 THEN 'head'
+                WHEN tier = 2 THEN 'middle'
+                ELSE 'tail' END AS tier_name,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_lm_score
+    FROM tiers
+    GROUP BY lang, tier
+    """,
+)
+def lm_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail tiers (arXiv:1911.00359): per-language
+    ntile(3) over the self-trained unigram LM score."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text.lm_quality_buckets(d)
+    return out.select(
+        "lang",
+        F.col("tier").cast("long").alias("tier"),
+        "tier_name",
+        "n_docs",
+        "avg_lm_score",
+    )
+
+
+@_register(
+    "embedding_random_projection",
+    similarity.rp_oracle_sql(16, 64),
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 reduction with a deterministic
+    Rademacher (±1) matrix (Achlioptas 2003) — literal matrix inlined
+    in both engines, ordered fold, zero shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(e, 16, 64)
+
+
+@_register(
+    "training_shuffle_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents),
+    b AS (
+      SELECT doc_id, shuffle_key,
+             CAST(('0x' || substr(shuffle_key, 1, 2))::BIGINT AS INTEGER) AS bucket
+      FROM s)
+    SELECT doc_id, shuffle_key, bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def training_shuffle_docs(spark, sf_dir):
+    """Deterministic 256-bucket global training shuffle — the scalable
+    substitute for ORDER BY rand(): no total-order exchange, global
+    order = (bucket, pos), reproducible across engines and epochs."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.training_shuffle(d, seed="epoch0")
+    return out.select(
+        "doc_id", "shuffle_key", "bucket", F.col("pos").cast("long").alias("pos")
     )
 
 

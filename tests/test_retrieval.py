@@ -1,0 +1,168 @@
+"""Round-3 operators: BM25 retrieval, DSIR weighting, CCNet quality
+tiers, random projection, deterministic training shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exporter_spark.operators import retrieval, sampling, similarity, text
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "pandas only here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_orders_by_relevance(spark):
+    out = retrieval.bm25_topk(_docs(spark), ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 2]  # doc 3/4 have no match -> score 0 -> dropped
+    assert out[0]["bm25"] > out[1]["bm25"]  # higher tf wins at similar dl
+
+
+def test_bm25_k_and_determinism(spark):
+    d = _docs(spark)
+    one = retrieval.bm25_topk(d, ["spark", "engine"], k=1).collect()
+    assert len(one) == 1 and one[0]["doc_id"] == 1
+    a = retrieval.bm25_topk(d, ["spark", "engine"], k=10).collect()
+    b = retrieval.bm25_topk(d.repartition(7), ["spark", "engine"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_no_explode_in_plan(spark):
+    """tf/dl are map-side expressions; the plan must not contain a
+    Generate (explode) node, and corpus stats must broadcast."""
+    plan = retrieval.bm25_scores(
+        _docs(spark), ["spark"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert "Broadcast" in plan
+
+
+def test_bm25_empty_terms_rejected(spark):
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(_docs(spark), [])
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta alpha beta"),
+            (2, "en", "alpha beta gamma beta"),
+            (3, "de", "zeta omega zeta omega"),
+            (4, "de", "alpha beta alpha beta"),  # de doc with en-like tokens
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in sampling.dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    # docs made of target-distribution tokens outrank off-target ones,
+    # regardless of their own label
+    assert out[1] > out[3]
+    assert out[4] > out[3]
+
+
+def test_dsir_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"tok{i % 5} tok{i % 3} common") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    a = sorted(map(tuple, sampling.dsir_weights(df, F.col("lang") == "en").collect()))
+    b = sorted(
+        map(tuple, sampling.dsir_weights(df.repartition(11), F.col("lang") == "en").collect())
+    )
+    assert a == b
+
+
+# ------------------------------------------------------ quality tiers
+
+
+def test_lm_quality_buckets_tier_shape(spark):
+    df = spark.createDataFrame(
+        [(i, "en", f"w{i} common common") for i in range(9)]
+        + [(100 + i, "de", f"x{i} rare") for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    rows = text.lm_quality_buckets(df).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, tiers in by_lang.items():
+        assert sorted(t["tier"] for t in tiers) == [1, 2, 3]
+        names = {t["tier"]: t["tier_name"] for t in tiers}
+        assert names == {1: "head", 2: "middle", 3: "tail"}
+        counts = [t["n_docs"] for t in sorted(tiers, key=lambda t: t["tier"])]
+        assert max(counts) - min(counts) <= 1  # equal-count tiers
+        # head tier has the best (highest) mean LM score
+        scores = {t["tier"]: t["avg_lm_score"] for t in tiers}
+        assert scores[1] >= scores[2] >= scores[3]
+
+
+# -------------------------------------------------- random projection
+
+
+def test_random_projection_deterministic_and_shaped(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [0.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.random_projection(df, 4, 8)
+    assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
+    rows = {r["vec_id"]: (r["p0"], r["p1"], r["p2"], r["p3"]) for r in out.collect()}
+    assert rows[1] == rows[2]  # identical vectors -> identical projections
+    assert rows[3] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_random_projection_matrix_is_pm_one():
+    R = similarity.rp_matrix(4, 8)
+    assert all(x in (1.0, -1.0) for row in R for x in row)
+    # derivation is salted
+    assert similarity.rp_matrix(4, 8, "other") != R
+
+
+def test_random_projection_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = similarity.random_projection(df, 4, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------- training shuffle
+
+
+def test_training_shuffle_dense_positions(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = sampling.training_shuffle(df).collect()
+    assert len(out) == 300
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    for bucket, poss in by_bucket.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert len(by_bucket) > 100  # 300 ids spread over 256 buckets
+
+
+def test_training_shuffle_seed_and_partitioning(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = sorted(map(tuple, sampling.training_shuffle(df).collect()))
+    b = sorted(map(tuple, sampling.training_shuffle(df.repartition(13)).collect()))
+    assert a == b  # partitioning-invariant
+    c = sorted(map(tuple, sampling.training_shuffle(df, seed="epoch1").collect()))
+    assert a != c  # new epoch, new order

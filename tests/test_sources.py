@@ -56,6 +56,40 @@ def test_events_nanos_timestamp_restored(spark, sf_dir):
     assert first["ts"] == dt.datetime(2024, 1, 1, 0, 9, 58, 778549)
 
 
+def test_from_parquet_both_timestamp_encodings(spark, tmp_path):
+    """The data generator has shipped events.ts as TIMESTAMP(NANOS)
+    (read as long under nanosAsLong) and as plain timestamp[us]
+    (read as TIMESTAMP_NTZ). Both encodings must load as session
+    TimestampType with identical values, and time functions that
+    reject NTZ (unix_micros) must work on the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t = dt.datetime(2024, 1, 1, 0, 9, 58, 778549)
+    micros = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    ntz_path = str(tmp_path / "events_ntz.parquet")
+    pq.write_table(
+        pa.table({"event_id": [0], "ts": pa.array([t], pa.timestamp("us"))}),
+        ntz_path,
+    )
+    nanos_path = str(tmp_path / "events_ns.parquet")
+    pq.write_table(
+        pa.table({"event_id": [0], "ts": pa.array([t], pa.timestamp("ns"))}),
+        nanos_path,
+    )
+
+    from exporter_spark.sources.files import from_parquet
+
+    for path in (ntz_path, nanos_path):
+        df = from_parquet(spark, path, table="events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), path
+        row = df.select("ts", F.unix_micros("ts").alias("us")).first()
+        assert row["ts"] == t, path
+        assert row["us"] == micros, path
+
+
 def test_dequalify_columns(spark):
     df = spark.createDataFrame([(1, "x")], ["t.a", "b"])
     out = dequalify_columns(df)
