@@ -691,3 +691,64 @@ def paragraph_dedup_within(
         ),
     )
     return F.array_join(kept, join_sep)
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): mark every maximal token span whose length-k
+    word grams each occur >= min_count times corpus-wide. The paper
+    finds these with a suffix array; the distributed shape here is
+    fixed-k gram anchoring — every duplicated substring of >= k
+    tokens is covered by at least one duplicated k-gram, and merging
+    overlapping/adjacent duplicated grams reconstructs the maximal
+    span at granularity k. Downstream, the spans are what you cut
+    (or what triggers dropping the document).
+
+    Returns (id_col, span_start, span_end, span_tokens, n_dup_grams)
+    with 1-based inclusive token positions.
+
+    Scale shape: the gram explosion is O(total tokens) but map-side;
+    ONE gram-hash shuffle scores duplication (window count — hot
+    boilerplate grams are exactly what AQE skew-split handles), then
+    ONE doc-keyed shuffle merges positions into spans (two window
+    passes over the same partitioning, single exchange). Only
+    (id, pos, 32-hex) triples ever shuffle — never document text.
+    """
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__l__")
+    ).filter(F.size("__l__") >= k)
+    grams = toks.select(
+        id_col,
+        F.explode(F.expr(f"sequence(1, size(__l__) - {k} + 1)")).alias("i"),
+        "__l__",
+    ).select(
+        id_col,
+        "i",
+        F.md5(F.array_join(F.slice("__l__", F.col("i"), k), " ")).alias("__h__"),
+    )
+    cnt = F.count("*").over(Window.partitionBy("__h__"))
+    dup = grams.withColumn("__cnt__", cnt).filter(
+        F.col("__cnt__") >= min_count
+    )
+    byi = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(
+        F.col("i") > F.lag("i").over(byi) + k, F.lit(1)
+    ).otherwise(F.lit(0))
+    grp = dup.withColumn("__brk__", brk).withColumn(
+        "__grp__",
+        F.sum("__brk__").over(byi.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy(id_col, "__grp__").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") + k - 1).cast("long").alias("span_end"),
+        (F.max("i") + k - F.min("i")).cast("long").alias("span_tokens"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("__grp__")

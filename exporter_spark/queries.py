@@ -2888,6 +2888,71 @@ def training_shuffle_docs(spark, sf_dir):
     )
 
 
+@_register(
+    "exact_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(l) - 10 + 1)) AS t(i)
+      WHERE len(l) >= 10),
+    c AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt FROM g),
+    d AS (SELECT doc_id, i FROM c WHERE cnt >= 2),
+    r AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+    grp AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM r)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + 10 - 1 AS BIGINT) AS span_end,
+           CAST(MAX(i) + 10 - MIN(i) AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def exact_substring_spans(spark, sf_dir):
+    """ExactSubstr duplicate spans (arXiv:2107.06499) at k=10 word
+    grams: maximal token spans whose grams repeat corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(d, k=10, min_count=2)
+
+
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.25 ORDER BY value), 6) AS p25,
+           ROUND(quantile_cont(value, 0.5 ORDER BY value), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75 ORDER BY value), 6) AS p75,
+           ROUND(quantile_cont(value, 0.99 ORDER BY value), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event type — Spark's
+    percentile() and DuckDB's quantile_cont share the same definition,
+    so the result is oracle-exact (round 6 absorbs the interpolation
+    arithmetic's last bits). At 100 TB swap in percentile_approx
+    (KLL-sketch, map-side combinable) — exact percentile shuffles the
+    full value set per group and is the deliberate oracle mode here."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

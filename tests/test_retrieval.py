@@ -166,3 +166,57 @@ def test_training_shuffle_seed_and_partitioning(spark):
     assert a == b  # partitioning-invariant
     c = sorted(map(tuple, sampling.training_shuffle(df, seed="epoch1").collect()))
     assert a != c  # new epoch, new order
+
+
+# ------------------------------------------------- exact substr spans
+
+
+def test_exact_substring_spans_basic(spark):
+    from exporter_spark.operators import dedup
+
+    shared = "a b c d e"  # 5 tokens, k=3 -> grams at 1,2,3
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} x y z"),
+            (2, f"p q {shared} r"),
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.exact_substring_spans(df, k=3).collect()
+    }
+    # doc 1: shared tokens 1..5; doc 2: shared tokens 3..7; doc 3: none
+    assert rows[1] == (1, 5, 5)
+    assert rows[2] == (3, 7, 5)
+    assert 3 not in rows
+
+
+def test_exact_substring_spans_merges_and_splits(spark):
+    from exporter_spark.operators import dedup
+
+    # two duplicated regions far apart in one doc must yield two spans
+    dup1, dup2 = "m n o", "u v w"
+    df = spark.createDataFrame(
+        [
+            (1, f"{dup1} f1 f2 f3 f4 f5 {dup2}"),
+            (2, f"{dup1} g1 g2 g3 g4 g5 {dup2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_substring_spans(df, k=3).orderBy("doc_id", "span_start").collect()
+    spans = [(r["doc_id"], r["span_start"], r["span_end"]) for r in out]
+    assert spans == [(1, 1, 3), (1, 9, 11), (2, 1, 3), (2, 9, 11)]
+
+
+def test_exact_substring_spans_min_count(spark):
+    from exporter_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "same same same tokens here") for i in range(3)],
+        "doc_id long, text string",
+    )
+    # with min_count=4, three copies are not enough
+    assert dedup.exact_substring_spans(df, k=3, min_count=4).count() == 0
+    assert dedup.exact_substring_spans(df, k=3, min_count=3).count() == 3
