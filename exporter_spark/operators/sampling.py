@@ -301,3 +301,49 @@ def training_shuffle(
     )
     w = Window.partitionBy("bucket").orderBy("shuffle_key", id_col)
     return out.withColumn("pos", F.row_number().over(w))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the alpha-temperature
+    source reweighting of Gopher/PaLM-style data recipes): keep each
+    key's rows with probability proportional to cnt^(alpha-1),
+    normalized so the smallest source keeps everything when alpha<1 —
+    flattening the source distribution toward uniform as alpha -> 0
+    while alpha=1 keeps the natural mix. Selection is the engine's
+    deterministic content-hash rule, so the kept set is reproducible
+    across runs, engines, and partitionings.
+
+    Determinism: the one libm call (pow) is rounded to 6 dp before the
+    integer threshold is formed (floor of an exact power-of-two
+    scaling), so the hash cut-off is integer-identical everywhere.
+
+    Scale shape: one tiny per-key count aggregate (map-side partial),
+    its ~|keys|-row threshold table broadcast back, and a map-side
+    filter — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt__"))
+    w = counts.withColumn(
+        "__w__", F.pow(F.col("__cnt__").cast("double"), F.lit(alpha - 1.0))
+    )
+    mx = w.agg(F.max("__w__").alias("__mx__"))
+    thr = w.crossJoin(F.broadcast(mx)).select(
+        key_col,
+        F.col("__cnt__"),
+        F.floor(
+            F.round(F.col("__w__") / F.col("__mx__"), 6) * F.lit(float(_HASH_SPACE))
+        )
+        .cast("long")
+        .alias("__thr__"),
+    )
+    return (
+        df.join(F.broadcast(thr), key_col)
+        .filter(hash32(F.col(id_col), salt) < F.col("__thr__"))
+        .select(*df.columns)
+    )

@@ -2953,6 +2953,38 @@ def value_percentiles(spark, sf_dir):
     )
 
 
+@_register(
+    "temperature_mixture_docs",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    w AS (SELECT source, cnt, pow(CAST(cnt AS DOUBLE), -0.5) AS wt FROM c),
+    m AS (SELECT MAX(wt) AS mx FROM w),
+    p AS (SELECT source, cnt,
+                 CAST(floor(ROUND(wt / mx, 6) * 4294967296.0) AS BIGINT) AS thr
+          FROM w, m)
+    SELECT d.source,
+           MIN(p.cnt) AS n_total,
+           COUNT(*) AS n_kept
+    FROM documents d JOIN p USING (source)
+    WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < p.thr
+    GROUP BY d.source
+    """,
+)
+def temperature_mixture_docs(spark, sf_dir):
+    """Gopher/PaLM-style alpha-temperature source rebalancing
+    (alpha=0.5): keep-probability ∝ cnt^(alpha-1), smallest source
+    keeps all; deterministic content-hash selection."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    kept = sampling.temperature_mixture(d, "source", alpha=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .join(F.broadcast(totals), "source")
+        .select("source", "n_total", "n_kept")
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

@@ -220,3 +220,31 @@ def test_exact_substring_spans_min_count(spark):
     # with min_count=4, three copies are not enough
     assert dedup.exact_substring_spans(df, k=3, min_count=4).count() == 0
     assert dedup.exact_substring_spans(df, k=3, min_count=3).count() == 3
+
+
+# ---------------------------------------------- temperature mixture
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_mixture(df, "source", alpha=0.5).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    # alpha=0.5: big keeps ~sqrt(100/900)=1/3 of its rows, small keeps all
+    assert got["small"] == 100
+    assert 240 <= got["big"] <= 360
+    # alpha=1 keeps the natural mixture intact
+    kept1 = sampling.temperature_mixture(df, "source", alpha=1.0)
+    assert kept1.count() == 1000
+
+
+def test_temperature_mixture_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in sampling.temperature_mixture(df, "source").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.temperature_mixture(df.repartition(7), "source").collect()
+    )
+    assert a == b
+    assert df.columns == sampling.temperature_mixture(df, "source").columns
