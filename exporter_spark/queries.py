@@ -2985,6 +2985,94 @@ def temperature_mixture_docs(spark, sf_dir):
     )
 
 
+@_register(
+    "conversion_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def conversion_funnel(spark, sf_dir):
+    """Ordered three-stage funnel: users whose first click follows their
+    first signup, and first purchase follows that click. Three
+    stage-filtered aggregates chained by user-keyed joins — each
+    stage's survivor set shrinks, and AQE picks broadcast once a
+    stage fits."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, act.day) AS BIGINT) AS age_days,
+           COUNT(*) AS n_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY f.cohort, age_days
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day. Two user-keyed aggregates
+    and one join; the (cohort, age) output is dimension-sized."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).cast("date").alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("long").alias("age_days"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 
