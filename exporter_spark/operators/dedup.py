@@ -752,3 +752,58 @@ def exact_substring_spans(
         (F.max("i") + k - F.min("i")).cast("long").alias("span_tokens"),
         F.count("*").alias("n_dup_grams"),
     ).drop("__grp__")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The cut step of ExactSubstr dedup (arXiv:2107.06499 §4.2):
+    remove every token covered by a corpus-duplicated span (as found
+    by exact_substring_spans) and reassemble the remaining tokens in
+    order. Returns (id_col, clean_text) for documents with at least
+    one surviving token — fully-duplicated documents drop out, which
+    is the paper's intended effect.
+
+    Scale shape: on top of the span detection's two shuffles, tokens
+    join their doc's spans on the doc key (spans are few per doc, the
+    range predicate is a residual filter) and reassembly is one more
+    doc-keyed aggregate of an ordered (pos, token) collect — bounded
+    by document length, never corpus size.
+    """
+    spans = exact_substring_spans(
+        df, id_col, text_col, k=k, min_count=min_count
+    ).select(F.col(id_col).alias("__sid__"), "span_start", "span_end")
+    toks = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias(
+                "__p0__", "__w__"
+            ),
+        )
+        .select(
+            id_col, (F.col("__p0__") + 1).alias("__pos__"), F.col("__w__")
+        )
+    )
+    covered = toks.join(
+        spans,
+        (F.col(id_col) == F.col("__sid__"))
+        & (F.col("__pos__") >= F.col("span_start"))
+        & (F.col("__pos__") <= F.col("span_end")),
+        "left_semi",
+    )
+    kept = toks.join(covered, [id_col, "__pos__"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__w__"))),
+                lambda x: x["__w__"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )

@@ -2924,6 +2924,49 @@ def exact_substring_spans(spark, sf_dir):
 
 
 @_register(
+    "exact_substring_strip",
+    """
+    WITH toksrc AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS h
+      FROM toksrc, unnest(generate_series(1, len(l) - 10 + 1)) AS t(i)
+      WHERE len(l) >= 10),
+    c AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt FROM g),
+    d AS (SELECT doc_id, i FROM c WHERE cnt >= 2),
+    r AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+    grp AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grpid
+      FROM r),
+    spans AS (
+      SELECT doc_id, MIN(i) AS span_start, MAX(i) + 10 - 1 AS span_end
+      FROM grp GROUP BY doc_id, grpid),
+    toks AS (
+      SELECT doc_id, i AS pos, l[i] AS w
+      FROM toksrc, unnest(generate_series(1, len(l))) AS t(i)),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.w FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.pos BETWEEN s.span_start AND s.span_end))
+    SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+    FROM keep GROUP BY doc_id
+    """,
+)
+def exact_substring_strip(spark, sf_dir):
+    """ExactSubstr cut step: corpus-duplicated spans removed from each
+    document, survivors reassembled in token order."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.strip_duplicate_spans(d, k=10, min_count=2)
+
+
+@_register(
     "value_percentiles",
     """
     SELECT event_type,

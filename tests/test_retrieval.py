@@ -248,3 +248,21 @@ def test_temperature_mixture_deterministic(spark):
     )
     assert a == b
     assert df.columns == sampling.temperature_mixture(df, "source").columns
+
+
+def test_strip_duplicate_spans(spark):
+    from exporter_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "a b c"),  # fully covered -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_duplicate_spans(df, k=3).collect()
+    }
+    assert got == {1: "x y z", 2: "p q r"}
