@@ -104,7 +104,7 @@ def main() -> None:
     li = load_table(spark, SF_DIR, "lineitem")
     out_root = tempfile.mkdtemp(prefix="exporter_spark_bench_")
     try:
-        for fmt in ("csv", "json", "xml"):
+        for fmt in ("csv", "json", "xml", "parquet"):
             timings[f"export_{fmt}"] = timed(
                 lambda fmt=fmt: Exporter(li, fmt, ExportSpec()).write(f"{out_root}/{fmt}")
             )

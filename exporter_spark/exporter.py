@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.columnar import ORCFormatter, ParquetFormatter
 from exporter_spark.formatters.csv import CSVFormatter
 from exporter_spark.formatters.html import HTMLFormatter
 from exporter_spark.formatters.json import JSONFormatter
@@ -24,6 +25,10 @@ _FORMATTERS = {
     "json": JSONFormatter,
     "xml": XMLFormatter,
     "html": HTMLFormatter,
+    # beyond the reference's text codecs: the columnar formats the
+    # next pipeline stage actually reads (typed values, compile_raw)
+    "parquet": ParquetFormatter,
+    "orc": ORCFormatter,
 }
 
 

@@ -1,0 +1,63 @@
+"""Columnar sinks — Parquet and ORC.
+
+The reference ships only text codecs (CSV/JSON/XML/HTML,
+/root/reference/codec/codec.go:24-44); a training-data engine also
+needs the columnar formats the next pipeline stage actually reads.
+These ride Spark's native writers (vectorized, predicate-pushdown- and
+pruning-friendly on re-read) and reuse the ExportSpec pipeline:
+filter → ordering → per-type/column mappers → preprocessor →
+post-filter limit, with values kept in their native Spark types
+(``compile_raw`` — a columnar file stores typed columns, not display
+strings; the JSON codec precedent, codec/json/json.go:108-130).
+
+There is no fidelity string path: a columnar file is not a byte
+stream the reference's io.Writer model can produce. ``format_string``
+raises; ``write_single_part`` works (every part file is a complete,
+standalone parquet/ORC file).
+
+Scale notes: partition-parallel writes with no driver involvement;
+``partition_by`` gives hive-style directory pruning downstream;
+``compression`` defaults to the Spark session's codec (zstd/snappy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from exporter_spark.formatters.base import BaseFormatter
+
+
+class _ColumnarFormatter(BaseFormatter):
+    FORMAT: str = ""
+
+    def __init__(self, spec=None, *, compression: str | None = None):
+        super().__init__(spec)
+        self.compression = compression
+
+    def iter_chunks(self, df: DataFrame):
+        raise NotImplementedError(
+            f"{self.FORMAT} is a binary columnar format with no single-"
+            "stream text mode; use write()/write_single_part()"
+        )
+
+    def write(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        out = self.spec.compile_raw(df)
+        names = self.spec.header_names(out)
+        if names != out.columns:
+            out = out.toDF(*names)
+        w = out.write.mode("overwrite").format(self.FORMAT)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+
+
+class ParquetFormatter(_ColumnarFormatter):
+    FORMAT = "parquet"
+
+
+class ORCFormatter(_ColumnarFormatter):
+    FORMAT = "orc"
