@@ -233,11 +233,13 @@ def dsir_weights(
     mean is decimal-staged then rounded to 6 dp (same recipe as
     unigram_lm_scores).
 
-    Scale shape: one token explode feeding a ``buckets``-row aggregate
-    (map-side partial, nothing hot), the tiny log-ratio table
-    broadcast back onto the token stream, and ONE doc-keyed shuffle
-    for the per-doc mean. No vocabulary-sized state anywhere — the
-    hash bucketing is what makes DSIR run at corpus scale.
+    Scale shape: ONE token explode collapsing map-side into
+    (doc, bucket) counts — at most ``buckets`` rows per document ever
+    shuffle, never tokens. Bucket distributions re-aggregate those
+    counts; the tiny log-ratio table broadcasts back; the per-doc
+    mean weighs counts (decimal × integer, exact — bit-identical to
+    per-token staging). No vocabulary-sized state anywhere — the hash
+    bucketing is what makes DSIR run at corpus scale.
     """
     toks = df.select(
         F.col(id_col),
@@ -249,8 +251,20 @@ def dsir_weights(
             )
         ).alias("__tok__"),
     ).withColumn("__b__", hash32(F.col("__tok__"), salt) % buckets)
-    bt = toks.groupBy("__b__").agg(
-        F.count("*").alias("__cr__"), F.sum("__t__").alias("__ct__")
+    # Pre-aggregate to (doc, bucket) counts: the token stream is
+    # exploded ONCE, everything downstream — including the bucket
+    # distributions — derives from this ≤ docs×buckets row frame, so
+    # the doc-keyed shuffle carries bucket counts, not tokens.
+    db = toks.groupBy(id_col, "__b__").agg(
+        F.count("*").alias("__n__"), F.max("__t__").alias("__t__")
+    )
+    # db is consumed twice (bucket distribution + final join) and the
+    # differing column pruning defeats exchange reuse, so the explode
+    # runs twice — the same two passes as the paper's estimator; at
+    # cluster scale, cache db or checkpoint it if the scan dominates.
+    bt = db.groupBy("__b__").agg(
+        F.sum("__n__").alias("__cr__"),
+        F.sum(F.col("__n__") * F.col("__t__")).alias("__ct__"),
     )
     tot = bt.agg(
         F.sum("__cr__").alias("__tr__"), F.sum("__ct__").alias("__tt__")
@@ -262,14 +276,18 @@ def dsir_weights(
             - F.log((F.col("__cr__") + F.lit(1.0)) / (F.col("__tr__") + F.lit(float(buckets))))
         ).alias("__lr__"),
     )
+    # decimal-staged lr × integer count is exact, so the sum equals
+    # the per-token staging bit-for-bit (and so does the oracle's)
+    term = F.col("__lr__").cast("decimal(18,9)") * F.col("__n__").cast(
+        "decimal(18,0)"
+    )
     return (
-        toks.join(F.broadcast(lr), "__b__")
+        db.join(F.broadcast(lr), "__b__")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("__n__").alias("n_tokens"),
             F.round(
-                F.sum(F.col("__lr__").cast("decimal(18,9)")).cast("double")
-                / F.count("*"),
+                F.sum(term).cast("double") / F.sum("__n__"),
                 6,
             ).alias("dsir_weight"),
         )
