@@ -684,18 +684,27 @@ def unigram_lm_scores(
         F.col(id_col),
         F.explode(F.split(trimmed, r"\s+")).alias("__tok__"),
     ).filter(F.length("__tok__") > 0)
-    vocab = toks.groupBy("__tok__").agg(F.count("*").alias("__cnt__"))
+    # collapse to (doc, token) occurrence counts before anything
+    # shuffles: within-doc repetition (huge in natural text — stopwords)
+    # then costs one count row instead of one row per occurrence, on
+    # the vocab join AND on the per-doc aggregate
+    dt = toks.groupBy(id_col, "__tok__").agg(F.count("*").alias("__k__"))
+    vocab = dt.groupBy("__tok__").agg(F.sum("__k__").alias("__cnt__"))
     total = vocab.agg(F.sum("__cnt__").alias("__total__"))
     v = F.broadcast(vocab) if broadcast_vocab else vocab
-    term = F.log10(F.col("__cnt__") / F.col("__total__"))
+    # decimal-staged term × integer occurrence count is exact, so the
+    # sum is bit-identical to staging each occurrence separately
+    term = F.log10(F.col("__cnt__") / F.col("__total__")).cast(
+        "decimal(18,9)"
+    ) * F.col("__k__").cast("decimal(18,0)")
     return (
-        toks.join(v, "__tok__")
+        dt.join(v, "__tok__")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("__k__").alias("n_tokens"),
             F.round(
-                F.sum(term.cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+                F.sum(term).cast("double") / F.sum("__k__"), 6
             ).alias("lm_score"),
         )
     )
