@@ -266,3 +266,41 @@ def test_strip_duplicate_spans(spark):
         for r in dedup.strip_duplicate_spans(df, k=3).collect()
     }
     assert got == {1: "x y z", 2: "p q r"}
+
+
+# ------------------------------------------------- degenerate inputs
+
+
+def test_round3_ops_on_empty_corpus(spark):
+    from exporter_spark.operators import dedup
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_src = spark.createDataFrame([], "doc_id long, source string, lang string, text string")
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert retrieval.bm25_topk(empty_docs, ["spark"]).count() == 0
+    assert sampling.dsir_weights(empty_src, F.col("lang") == "en").count() == 0
+    assert sampling.training_shuffle(empty_docs).count() == 0
+    assert sampling.temperature_mixture(empty_src, "source").count() == 0
+    assert dedup.exact_substring_spans(empty_docs).count() == 0
+    assert dedup.strip_duplicate_spans(empty_docs).count() == 0
+    assert text.lm_quality_buckets(empty_src).count() == 0
+    assert similarity.random_projection(empty_vecs, 4, 8).count() == 0
+
+
+def test_round3_ops_on_single_doc(spark):
+    from exporter_spark.operators import dedup
+
+    one = spark.createDataFrame(
+        [(1, "src", "en", "only one document here")],
+        "doc_id long, source string, lang string, text string",
+    )
+    # bm25: single doc, term present -> idf = ln(1 + 0.5/1.5) > 0
+    got = retrieval.bm25_topk(one, ["document"]).collect()
+    assert len(got) == 1 and got[0]["bm25"] > 0
+    # no duplicated grams possible with one doc
+    assert dedup.exact_substring_spans(one, k=2).count() == 0
+    # ntile over one row: everything is tier 1 (head)
+    tiers = text.lm_quality_buckets(one).collect()
+    assert len(tiers) == 1 and tiers[0]["tier_name"] == "head"
+    assert sampling.temperature_mixture(one, "source").count() == 1
