@@ -175,3 +175,68 @@ def test_contamination_broadcasts_probe(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
+# ------------------------------------------------------------ round 3
+
+
+def test_bm25_prunes_and_broadcasts(spark):
+    plan = _plan(spark, "bm25_topk_docs")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no explode: tf/dl are map-side
+
+
+def test_dsir_prunes_to_needed_columns(spark):
+    plan = _plan(spark, "dsir_importance_weights")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # the weight branch prunes even lang (only the distribution branch
+    # needs the target flag); nobody reads source/n_chars
+    assert any("lang" in r for r in reads)
+    assert all("doc_id" in r and "text" in r for r in reads)
+    assert all("source" not in r and "n_chars" not in r for r in reads)
+    assert "BroadcastHashJoin" in plan  # log-ratio table broadcast
+
+
+def test_exact_substring_minimal_exchanges(spark):
+    from exporter_spark.operators import dedup
+    from exporter_spark.sources.files import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = (
+        dedup.exact_substring_spans(d, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # spread + gram-hash window + doc merge: exactly three exchanges
+    assert plan.count("Exchange") == 3
+
+
+def test_temperature_mixture_broadcast_no_corpus_shuffle(spark):
+    from exporter_spark.operators import sampling
+    from exporter_spark.sources.files import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    kept = sampling.temperature_mixture(d, "source")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_training_shuffle_single_bucket_exchange(spark):
+    from exporter_spark.operators import sampling
+    from exporter_spark.sources.files import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = (
+        sampling.training_shuffle(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one 256-way bucket exchange, no total-order range exchange
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
