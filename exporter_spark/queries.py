@@ -2181,6 +2181,40 @@ def dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs).select("id", "component")
 
 
+def _minhash_survivors_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.component <> c.id)
+    """
+
+
+@_register("minhash_dedup_survivors", _minhash_survivors_oracle())
+def minhash_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus itself: per near-dup cluster keep the
+    canonical (minimum-id) member, pass untouched documents through.
+    Composes minhash LSH pairs → connected components → anti join on
+    the non-canonical id set (ids only — AQE broadcasts it while it
+    fits, falls back to a shuffled anti join when a 100 TB corpus's
+    duplicate set doesn't)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+    clusters = dedup.connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("component")).select("id")
+    return d.join(drop, d["doc_id"] == drop["id"], "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3, num_tables: int = 4) -> str:
     """DuckDB replica of dedup.simhash32 + the pigeonhole chunk join:
     per token, 32 bits of md5 ('0x'||hex → BIGINT); each bit votes ±1
