@@ -82,10 +82,17 @@ def bm25_scores(
         tf = F.col(f"tf_{i}").cast("double")
         dft = F.col(f"df_{i}").cast("double")
         idf = F.log((F.col("n") - dft + F.lit(0.5)) / (dft + F.lit(0.5)) + F.lit(1.0))
+        # try_divide: an all-empty corpus has avgdl = 0 (ANSI division
+        # error otherwise); every such doc has tf = 0 and is filtered,
+        # identically to the oracle where x/0.0 yields inf/nan
         term = (
             idf
             * (tf * F.lit(k1 + 1.0))
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.try_divide(F.col("dl"), avgdl))
+            )
         )
         score = term if score is None else score + term
     return scored.select(

@@ -1,0 +1,99 @@
+"""Property-based checks: round-3 operators vs brute-force Python
+reference implementations on random inputs. Each example pays a full
+Spark job, so example counts are small — the point is shape coverage
+(overlaps, adjacency, ties) the fixed corpus can't enumerate."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exporter_spark.operators import dedup, retrieval
+
+# documents over a tiny alphabet => dense duplicate structure
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _brute_spans(texts: list[str], k: int, min_count: int):
+    """Reference implementation: count k-grams corpus-wide, mark
+    duplicated gram starts, merge overlapping/adjacent (gap <= k)."""
+    grams: dict[tuple, int] = {}
+    per_doc = []
+    for text in texts:
+        toks = text.split(" ")  # mirror split(trim(text), ' ') on clean input
+        starts = []
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+            starts.append((i + 1, g))
+        per_doc.append(starts)
+    out = []
+    for doc_id, starts in enumerate(per_doc):
+        dup = [p for p, g in starts if grams[g] >= min_count]
+        runs = []
+        for p in dup:
+            if runs and p <= runs[-1][1] + k:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            n = len([p for p in dup if s <= p <= e])
+            out.append((doc_id, s, e + k - 1, e + k - s, n))
+    return sorted(out)
+
+
+@given(_corpus)
+@settings(max_examples=15, deadline=None)
+def test_exact_substring_spans_matches_bruteforce(spark, texts):
+    k = 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_grams"])
+        for r in dedup.exact_substring_spans(df, k=k, min_count=2).collect()
+    )
+    assert got == _brute_spans(texts, k, 2)
+
+
+def _brute_bm25(texts, terms, k1=1.2, b=0.75):
+    docs = [t.lower().strip().split() if t.strip() else [] for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    if avgdl == 0.0:
+        return []  # no tokens anywhere: nothing can match
+    out = []
+    for i, d in enumerate(docs):
+        score = 0.0
+        for t in terms:
+            tf = float(d.count(t))
+            dft = float(sum(1 for dd in docs if t in dd))
+            idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+            score = score + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(d) / avgdl))
+            )
+        score = round(score, 6)
+        if score > 0:
+            out.append((i, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:10]
+
+
+@given(_corpus)
+@settings(max_examples=15, deadline=None)
+def test_bm25_matches_bruteforce(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in retrieval.bm25_topk(df, ["aa", "cc"], k=10).collect()
+    ]
+    expect = _brute_bm25(texts, ["aa", "cc"])
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (_, gs), (_, es) in zip(got, expect):
+        assert abs(gs - es) <= 1e-6  # float assoc differs at most in the last rounded digit
