@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     # broadcast log-ratio table)
     "bm25_topk_docs",
     "dsir_importance_weights",
+    # round 3 late: corpus-wide duplicate-span detection
+    "exact_substring_spans",
 ]
 
 

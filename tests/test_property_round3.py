@@ -47,7 +47,7 @@ def _brute_spans(texts: list[str], k: int, min_count: int):
 
 
 @given(_corpus)
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_exact_substring_spans_matches_bruteforce(spark, texts):
     k = 2
     df = spark.createDataFrame(
@@ -84,7 +84,7 @@ def _brute_bm25(texts, terms, k1=1.2, b=0.75):
 
 
 @given(_corpus)
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_bm25_matches_bruteforce(spark, texts):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
@@ -97,3 +97,22 @@ def test_bm25_matches_bruteforce(spark, texts):
     assert [g[0] for g in got] == [e[0] for e in expect]
     for (_, gs), (_, es) in zip(got, expect):
         assert abs(gs - es) <= 1e-6  # float assoc differs at most in the last rounded digit
+
+
+@given(_corpus)
+@settings(max_examples=6, deadline=None)
+def test_strip_plus_spans_conserve_tokens(spark, texts):
+    """Every original token is either in a duplicated span or in the
+    cleaned text: |clean| + sum(span_tokens) == |original| per doc."""
+    k = 2
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    spans = {}
+    for r in dedup.exact_substring_spans(df, k=k, min_count=2).collect():
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_tokens"]
+    clean = {
+        r["doc_id"]: len(r["clean_text"].split(" "))
+        for r in dedup.strip_duplicate_spans(df, k=k, min_count=2).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        n = len(text.split(" "))
+        assert clean.get(doc_id, 0) + spans.get(doc_id, 0) == n, (doc_id, text)
