@@ -2957,10 +2957,9 @@ def exact_substring_spans(spark, sf_dir):
     return dedup.exact_substring_spans(d, k=10, min_count=2)
 
 
-@_register(
-    "exact_substring_strip",
-    """
-    WITH toksrc AS (
+# Shared by exact_substring_strip and the pretraining-mix pipeline.
+_STRIP_SQL = """
+    toksrc AS (
       SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
     g AS (
       SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS h
@@ -2988,9 +2987,19 @@ def exact_substring_spans(spark, sf_dir):
       WHERE NOT EXISTS (
         SELECT 1 FROM spans s
         WHERE s.doc_id = t.doc_id
-          AND t.pos BETWEEN s.span_start AND s.span_end))
-    SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
-    FROM keep GROUP BY doc_id
+          AND t.pos BETWEEN s.span_start AND s.span_end)),
+    cleaned AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_clean_tokens
+      FROM keep GROUP BY doc_id)
+"""
+
+
+@_register(
+    "exact_substring_strip",
+    f"""
+    WITH {_STRIP_SQL}
+    SELECT doc_id, clean_text FROM cleaned
     """,
 )
 def exact_substring_strip(spark, sf_dir):
@@ -2998,6 +3007,53 @@ def exact_substring_strip(spark, sf_dir):
     document, survivors reassembled in token order."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.strip_duplicate_spans(d, k=10, min_count=2)
+
+
+@_register(
+    "pretraining_mix_stats",
+    f"""
+    WITH {_STRIP_SQL},
+    quality AS (
+      SELECT c.doc_id, c.n_clean_tokens, d.source, d.lang
+      FROM cleaned c JOIN documents d USING (doc_id)
+      WHERE c.n_clean_tokens >= 20),
+    cnt AS (SELECT source, COUNT(*) AS n FROM quality GROUP BY source),
+    w AS (SELECT source, n, pow(CAST(n AS DOUBLE), -0.5) AS wt FROM cnt),
+    m AS (SELECT MAX(wt) AS mx FROM w),
+    thr AS (SELECT source,
+                   CAST(floor(ROUND(wt / mx, 6) * 4294967296.0) AS BIGINT) AS t
+            FROM w, m),
+    kept AS (
+      SELECT q.* FROM quality q JOIN thr USING (source)
+      WHERE ('0x' || substr(md5('mixv1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < thr.t)
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_clean_tokens) AS n_tokens
+    FROM kept GROUP BY source, lang
+    """,
+)
+def pretraining_mix_stats(spark, sf_dir):
+    """End-to-end pretraining-mix pipeline composing the round-3
+    operators in one declarative plan: ExactSubstr span stripping →
+    minimum-length quality gate → alpha-temperature source
+    rebalancing → per-(source, lang) document and token budgets. What
+    a data-recipe owner actually reads before a training run."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = dedup.strip_duplicate_spans(d, k=10, min_count=2)
+    quality = (
+        clean.withColumn(
+            "n_clean_tokens", F.size(F.split(F.col("clean_text"), " ")).cast("long")
+        )
+        .filter(F.col("n_clean_tokens") >= 20)
+        .join(d.select("doc_id", "source", "lang"), "doc_id")
+    )
+    kept = sampling.temperature_mixture(
+        quality, "source", alpha=0.5, salt="mixv1"
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_clean_tokens").alias("n_tokens"),
+    )
 
 
 @_register(
