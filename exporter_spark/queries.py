@@ -3028,7 +3028,7 @@ def exact_substring_strip(spark, sf_dir):
       WHERE ('0x' || substr(md5('mixv1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             < thr.t)
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_clean_tokens) AS n_tokens
+           CAST(SUM(n_clean_tokens) AS BIGINT) AS n_tokens
     FROM kept GROUP BY source, lang
     """,
 )
