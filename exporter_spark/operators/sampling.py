@@ -365,3 +365,31 @@ def temperature_mixture(
         .filter(hash32(F.col(id_col), salt) < F.col("__thr__"))
         .select(*df.columns)
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[Column],
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained selection: walk each key's rows in
+    ``order_by`` order (give it a total order) and keep rows that
+    START before the per-key token ``budget`` is exhausted — so the
+    budget is always reached or slightly overshot by one document,
+    never undershot. Appends ``cum_tokens`` (inclusive running sum).
+
+    Scale shape: one window cumsum per key partition — a single
+    exchange on ``key_col``; no global sort, no driver state. This is
+    how a data recipe takes "the best N billion tokens per language"
+    from a scored corpus."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn("cum_tokens", cum).filter(
+        F.col("cum_tokens") - F.col(tokens_col) < budget
+    )

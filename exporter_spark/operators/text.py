@@ -758,3 +758,69 @@ def lm_quality_buckets(
             ).alias("avg_lm_score"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-trained bigram language-model score per document — the
+    next perplexity proxy up from unigram_lm_scores: mean per-bigram
+    log10 P(w2 | w1) with add-one smoothing over the corpus vocabulary
+    (P = (c(w1 w2) + 1) / (c(w1 ·) + V)). Catches locally-scrambled
+    text that unigram statistics cannot (same tokens, wrong order).
+    Returns (id_col, n_bigrams, lm2_score) for documents with >= 2
+    tokens.
+
+    Determinism: all counts and V are integers; the one libm call
+    (log10) is decimal-staged per distinct (doc, bigram) and weighed
+    by its occurrence count (decimal x integer, exact), then the mean
+    is rounded to 6 dp — the unigram recipe.
+
+    Scale shape: one explode into (doc, w1, w2) collapsing map-side to
+    per-doc bigram counts; bigram and left-context tables aggregate
+    from those counts (never raw tokens); V is a broadcast scalar.
+    Joins are bigram-keyed shuffles with AQE skew-split on hot
+    bigrams.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("__l__"),
+    ).filter(F.size("__l__") >= 2)
+    bi = toks.select(
+        id_col,
+        F.explode(F.expr("sequence(1, size(__l__) - 1)")).alias("__i__"),
+        "__l__",
+    ).select(
+        id_col,
+        F.element_at("__l__", F.col("__i__")).alias("__w1__"),
+        F.element_at("__l__", F.col("__i__") + 1).alias("__w2__"),
+    )
+    # (doc, w1, w2) occurrence counts — everything downstream derives
+    db = bi.groupBy(id_col, "__w1__", "__w2__").agg(F.count("*").alias("__k__"))
+    big = db.groupBy("__w1__", "__w2__").agg(F.sum("__k__").alias("__c12__"))
+    left = big.groupBy("__w1__").agg(F.sum("__c12__").alias("__c1__"))
+    vocab_n = (
+        bi.select(F.col("__w1__").alias("__w__"))
+        .union(bi.select(F.col("__w2__")))
+        .agg(F.countDistinct("__w__").alias("__v__"))
+    )
+    term = F.log10(
+        (F.col("__c12__") + F.lit(1.0)) / (F.col("__c1__") + F.col("__v__"))
+    ).cast("decimal(18,9)") * F.col("__k__").cast("decimal(18,0)")
+    return (
+        db.join(big, ["__w1__", "__w2__"])
+        .join(left, "__w1__")
+        .join(F.broadcast(vocab_n))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__k__").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.sum("__k__"), 6).alias(
+                "lm2_score"
+            ),
+        )
+    )

@@ -3206,6 +3206,87 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
+@_register(
+    "bigram_lm_scores",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    base2 AS (SELECT doc_id, l FROM base WHERE len(l) >= 2),
+    bi AS (
+      SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      FROM base2, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+    db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bi GROUP BY doc_id, w1, w2),
+    big AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vn
+          FROM (SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi))
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(log10((c12 + 1.0) / (c1 + vn)) AS DECIMAL(18,9))
+                          * CAST(k AS DECIMAL(18,0))) AS DOUBLE) / SUM(k), 6)
+             AS lm2_score
+    FROM db JOIN big USING (w1, w2) JOIN lft USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_scores(spark, sf_dir):
+    """Self-trained bigram LM score (add-one smoothed P(w2|w1)) — the
+    perplexity proxy one order up from unigram_lm_scores; catches
+    locally-scrambled text that unigram statistics cannot."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(d)
+
+
+@_register(
+    "lang_token_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scores AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM toks2 JOIN vocab USING (tok), tot
+      GROUP BY doc_id),
+    wl AS (
+      SELECT s.doc_id, s.n_tokens, s.lm_score, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+    c AS (
+      SELECT lang, doc_id, n_tokens, lm_score,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY lm_score DESC, doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM wl)
+    SELECT lang, doc_id, n_tokens, lm_score, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 3000
+    """,
+)
+def lang_token_budget(spark, sf_dir):
+    """Budget-constrained selection: the best documents per language
+    (unigram-LM order) until each language's 3000-token budget is
+    reached. One window cumsum per language — how a data recipe takes
+    'the best N tokens per language' from a scored corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = text.unigram_lm_scores(d)
+    wl = scores.join(d.select("doc_id", "lang"), "doc_id")
+    kept = sampling.token_budget_select(
+        wl,
+        "lang",
+        [F.col("lm_score").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        budget=3000,
+    )
+    return kept.select("lang", "doc_id", "n_tokens", "lm_score", "cum_tokens")
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

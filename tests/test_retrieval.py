@@ -304,3 +304,47 @@ def test_round3_ops_on_single_doc(spark):
     tiers = text.lm_quality_buckets(one).collect()
     assert len(tiers) == 1 and tiers[0]["tier_name"] == "head"
     assert sampling.temperature_mixture(one, "source").count() == 1
+
+
+# --------------------------------------------- bigram LM + token budget
+
+
+def test_bigram_lm_penalizes_scrambled_order(spark):
+    # same tokens, different order: the corpus-frequent transition
+    # scores higher than the rare one
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b a b a b"),
+            (3, "b a b a b a"),  # scrambled relative to the majority
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lm2_score"] for r in text.bigram_lm_scores(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] > got[3]
+
+
+def test_bigram_lm_skips_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = text.bigram_lm_scores(df).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+    assert rows[0]["n_bigrams"] == 1
+
+
+def test_token_budget_select_boundary(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 10, 5.0), ("en", 2, 10, 4.0), ("en", 3, 10, 3.0),
+         ("de", 4, 25, 9.0), ("de", 5, 10, 8.0)],
+        "lang string, doc_id long, n_tokens long, score double",
+    )
+    kept = sampling.token_budget_select(
+        df, "lang", [F.col("score").desc(), F.col("doc_id").asc()], "n_tokens", budget=20
+    ).collect()
+    got = sorted((r["lang"], r["doc_id"], r["cum_tokens"]) for r in kept)
+    # en: docs 1,2 fill the budget exactly; doc 3 starts at 20 -> out.
+    # de: doc 4 overshoots alone (starts at 0 < 20); doc 5 starts at 25 -> out.
+    assert got == [("de", 4, 25), ("en", 1, 10), ("en", 2, 20)]
