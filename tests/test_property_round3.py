@@ -116,3 +116,50 @@ def test_strip_plus_spans_conserve_tokens(spark, texts):
     for doc_id, text in enumerate(texts):
         n = len(text.split(" "))
         assert clean.get(doc_id, 0) + spans.get(doc_id, 0) == n, (doc_id, text)
+
+
+def _brute_bigram(texts):
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    docs = {
+        i: d
+        for i, d in enumerate(
+            [w for w in t.lower().strip().split() if w] for t in texts
+        )
+        if len(d) >= 2
+    }
+    big, left, vocab = Counter(), Counter(), set()
+    per_doc = {}
+    for i, d in docs.items():
+        pairs = list(zip(d, d[1:]))
+        vocab.update(d)
+        big.update(pairs)
+        left.update(w1 for w1, _ in pairs)
+        per_doc[i] = pairs
+    v = len(vocab)
+    out = {}
+    for i, pairs in per_doc.items():
+        total = Decimal(0)
+        for w1, w2 in pairs:
+            p = math.log10((big[(w1, w2)] + 1.0) / (left[w1] + v))
+            total += Decimal(repr(p)).quantize(Decimal("1E-9"), ROUND_HALF_UP)
+        out[i] = (len(pairs), round(float(total) / len(pairs), 6))
+    return out
+
+
+@given(st.lists(st.lists(_word, min_size=0, max_size=10).map(" ".join), min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_bigram_lm_matches_bruteforce(spark, texts):
+    from exporter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm2_score"])
+        for r in text_ops.bigram_lm_scores(df).collect()
+    }
+    expect = _brute_bigram(texts)
+    assert set(got) == set(expect)
+    for doc_id in got:
+        assert got[doc_id][0] == expect[doc_id][0], doc_id
+        assert abs(got[doc_id][1] - expect[doc_id][1]) <= 2e-6, doc_id
