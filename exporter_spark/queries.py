@@ -3287,6 +3287,80 @@ def lang_token_budget(spark, sf_dir):
     return kept.select("lang", "doc_id", "n_tokens", "lm_score", "cum_tokens")
 
 
+@_register(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the corpus-health number a
+    dedup run is judged by (how much mass sits in big clusters).
+    Dimension-sized output on top of the components computation."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+@_register(
+    "dup_rate_by_source",
+    f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    dup_ids AS (SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_pairs,
+           ROUND(CAST(SUM(CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_ids u ON d.doc_id = u.id
+    GROUP BY d.source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Which sources are dirtiest: fraction of each source's documents
+    that participate in at least one near-dup pair. The id set from
+    the LSH pairs joins back dimension-sized; the corpus side is one
+    left join + aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+    dup_ids = (
+        pairs.select(F.col("a_id").alias("id"))
+        .union(pairs.select(F.col("b_id")))
+        .distinct()
+        .withColumn("__dup__", F.lit(1))
+    )
+    joined = d.join(dup_ids, d["doc_id"] == dup_ids["id"], "left")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("__dup__").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_in_dup_pairs"),
+        F.round(
+            F.sum(F.when(F.col("__dup__").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 
