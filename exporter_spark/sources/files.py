@@ -42,9 +42,12 @@ _NANOS_COLS = {"events": ["ts"]}
 
 
 def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
-    # Dynamic conf: harmless if already set by get_spark; required when
+    # Dynamic confs: harmless if already set by get_spark; required when
     # the caller brings their own session (e.g. the driver harness).
+    # UTC is part of the engine contract (oracle-stable timestamp
+    # rendering and NTZ→session-timestamp normalization below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     name = table or os.path.splitext(os.path.basename(path))[0]
     for c in _NANOS_COLS.get(name, []):
