@@ -3361,6 +3361,94 @@ def dup_rate_by_source(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Registry ordering — the driver's correctness harness verifies the
+# FIRST 50 registry entries only (insertion order).  Rounds 2-3 grew
+# the corpus to 98 and the flagship dedup/similarity/quality block
+# drifted past the window, so it received no driver-side check after
+# round 1 despite substantial rework.  The window below pins those 48
+# queries (plus two long-stable TPC-H canaries) into the first 50
+# slots; everything else — driver-green twice already — rides behind.
+# tests/test_registry_window.py asserts this composition so a future
+# insertion can't silently evict the block again.
+# =====================================================================
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # flagship dedup / clustering
+    "minhash_near_dup_pairs",
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "dedup_exact_docs",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup_docs",
+    "dedup_tokens_within_docs",
+    "dedup_cluster_sizes",
+    "dup_rate_by_source",
+    # similarity / ANN
+    "cosine_topk",
+    "cosine_topk_scan",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_banded",
+    "ivf_fixed_topk",
+    "ivf_ann_topk",
+    "semdedup_survivors",
+    "semdedup_survivors_greedy",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    # text quality / filtering
+    "gopher_quality_signals",
+    "gopher_filter_stats",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "winnow_fingerprints",
+    "boilerplate_spans",
+    "pii_redaction_check",
+    # exact-substring / contamination
+    "exact_substring_spans",
+    "exact_substring_strip",
+    "ngram_contamination_check",
+    # retrieval / importance sampling
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "top_tokens",
+    "dsir_importance_weights",
+    # sampling / mixture / packing
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "docs_capped_per_source",
+    "docs_rebalanced_mixture",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    "lang_token_budget",
+    # multimodal / misc analytics
+    "multimodal_feature_stats",
+    "value_percentiles",
+    "conversion_funnel",
+    "retention_cohorts",
+    # TPC-H canaries (driver-green in r02 and r03)
+    "q1_pricing_summary",
+    "q3_top_orders",
+)
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:  # defensive: a rename above must update the window too
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in DRIVER_WINDOW}
+    for n, q in QUERIES.items():
+        ordered.setdefault(n, q)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_registry()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 
