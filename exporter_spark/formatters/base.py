@@ -26,7 +26,9 @@ from exporter_spark.plans.spec import ExportSpec
 class Formatter(Protocol):
     spec: ExportSpec
 
-    def write(self, df: DataFrame, path: str) -> None: ...
+    def write(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None: ...
 
     def iter_chunks(self, df: DataFrame) -> Iterator[str]: ...
 

@@ -100,14 +100,14 @@ def test_xml_single_part_empty(spark, sf_dir, tmp_path):
 
 
 def test_xml_stream_parts_concat(spark, sf_dir, tmp_path):
-    """stream_parts=True: concatenated parts + wrapper == the full
+    """Default scale path: concatenated parts + wrapper == the full
     document body (rows come from the same Catalyst expression)."""
     from exporter_spark.formatters.xml import XMLFormatter
 
     e = load_table(spark, sf_dir, "events").limit(40)
     out = str(tmp_path / "xml_stream")
     fmt = XMLFormatter(ExportSpec())
-    fmt.write(e, out, stream_parts=True)
+    fmt.write(e, out)
     lines = []
     for p in sorted(glob.glob(f"{out}/part-*")):
         if not p.endswith(".crc"):

@@ -54,7 +54,9 @@ def test_foreach_batch_xml(spark, events_dir, tmp_path):
     schema = spark.read.parquet(events_dir).schema
     stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
     out = str(tmp_path / "xml_out")
-    q = ss.foreach_batch_export(stream, out, XMLFormatter(ExportSpec()))
+    # documents=True: each micro-batch directory must hold well-formed
+    # XML parts so the XML data source can read them back
+    q = ss.foreach_batch_export(stream, out, XMLFormatter(ExportSpec(), documents=True))
     _wait(q)
     back = spark.read.format("xml").option("rowTag", "row").load(f"{out}/batch=*")
     assert back.count() == 200
