@@ -24,6 +24,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from exporter_spark import fsio
 from exporter_spark.formatters.base import BaseFormatter
 
 NULL_SPAN = '<span style="color:#aaaaaa;">[NULL]</span>'
@@ -111,29 +112,23 @@ class HTMLFormatter(BaseFormatter):
         out = spec.compile(df)
         rows = out.select(self._row_expr(out.columns).alias("value"))
         rows.write.mode("overwrite").text(path)
-        with open(f"{path}/_header.html", "w", encoding="utf-8") as fh:
-            fh.write(self._head(names, types))
-        with open(f"{path}/_footer.html", "w", encoding="utf-8") as fh:
-            fh.write(self._FOOT)
+        # sidecars via the Hadoop FS API — lands next to the parts on
+        # any scheme (file:, hdfs:, s3a:), not just the driver's disk
+        spark = df.sparkSession
+        fsio.write_text(f"{path}/_header.html", self._head(names, types), spark)
+        fsio.write_text(f"{path}/_footer.html", self._FOOT, spark)
 
 
-def assemble_html(parts_dir: str, out_file: str) -> None:
+def assemble_html(parts_dir: str, out_file: str, spark=None) -> None:
     """Concatenate a distributed HTML write (header + row part files +
-    footer) into one document without re-reading the data."""
-    import glob
-
-    with open(out_file, "w", encoding="utf-8") as out:
-        header = f"{parts_dir}/_header.html"
-        import os
-
-        if os.path.exists(header):
-            out.write(open(header, encoding="utf-8").read())
-        for part in sorted(glob.glob(f"{parts_dir}/part-*")):
-            if part.endswith(".crc"):
-                continue
-            with open(part, encoding="utf-8") as fh:
-                for line in fh:
-                    out.write(line)
-        footer = f"{parts_dir}/_footer.html"
-        if os.path.exists(footer):
-            out.write(open(footer, encoding="utf-8").read())
+    footer) into one document without re-reading the data. All IO via
+    the Hadoop FS API — part bytes are spliced JVM-side and never
+    transit Python."""
+    pieces: list[tuple[str, str]] = []
+    if fsio.exists(f"{parts_dir}/_header.html", spark):
+        pieces.append(("file", f"{parts_dir}/_header.html"))
+    for part in fsio.list_parts(parts_dir, spark):
+        pieces.append(("file", part))
+    if fsio.exists(f"{parts_dir}/_footer.html", spark):
+        pieces.append(("file", f"{parts_dir}/_footer.html"))
+    fsio.concat_files(out_file, pieces, spark)

@@ -24,6 +24,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from exporter_spark import fsio
 from exporter_spark.formatters.base import BaseFormatter
 from exporter_spark.functions.tostring import _go_fixed_repr
 
@@ -81,27 +82,75 @@ def _json_token(v) -> str:
     return json.dumps(str(v), ensure_ascii=False)
 
 
-def assemble_json_array(parts_dir: str, out_file: str) -> None:
+def assemble_json_array(parts_dir: str, out_file: str, spark=None) -> None:
     """Concatenate a distributed NDJSON write into the reference's
     array framing ('[' with first row, ',\\n' separators, ']\\n'
-    close, empty ⇒ empty file) without re-reading through Spark."""
-    import glob
+    close, empty ⇒ empty file) without re-reading through Spark.
 
+    All IO via the Hadoop FS API (works against hdfs:/s3a: paths, not
+    just the driver's disk). Each part's text is transformed in the
+    driver one part at a time — parts are bounded by the write's
+    partition sizing, and single-document assembly is inherently a
+    one-stream step (the array format has no parallel form)."""
+    pieces: list[tuple[str, str]] = []
     first = True
-    with open(out_file, "w", encoding="utf-8") as out:
-        for part in sorted(glob.glob(f"{parts_dir}/part-*")):
-            if part.endswith(".crc"):
-                continue
-            with open(part, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.rstrip("\n")
-                    if not line:
-                        continue
-                    out.write("[\n" if first else ",\n")
-                    out.write(line)
-                    first = False
-        if not first:
-            out.write("\n]\n")
+    for part in fsio.list_parts(parts_dir, spark):
+        body = fsio.read_text(part, spark).rstrip("\n")
+        if not body:
+            continue
+        rows = "\n".join(l for l in body.split("\n") if l)
+        pieces.append(("text", ("[\n" if first else ",\n") + rows.replace("\n", ",\n")))
+        first = False
+    if not first:
+        pieces.append(("text", "\n]\n"))
+    fsio.concat_files(out_file, pieces, spark)
+
+
+def _json_fragment(col, dt):
+    """Raw JSON token for one column as a Catalyst expression,
+    matching ``_json_token``'s rendering (the fidelity serializer):
+    Go-style shortest floats ("11", not "11.0") via the go-float UDF,
+    RFC3339Nano timestamps, Jackson-escaped strings (extracted from
+    ``to_json(array(col))`` so escaping stays JVM-side). Nested
+    arrays/structs render via ``to_json`` — byte-identical to the
+    fidelity path except map key ordering (``_json_token`` sorts map
+    keys; to_json preserves them), documented."""
+    from pyspark.sql import types as T
+
+    from exporter_spark.functions.tostring import go_float_str
+
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        j = F.to_json(F.array(col))  # ["escaped"] — strip the brackets
+        frag = j.substr(F.lit(2), F.length(j) - F.lit(2))
+    elif isinstance(dt, T.BooleanType):
+        frag = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        frag = go_float_str(col.cast("double"))
+    elif isinstance(dt, T.TimestampType):
+        from exporter_spark.functions.tostring import _rfc3339nano
+
+        frag = F.concat(F.lit('"'), _rfc3339nano(col), F.lit('"'))
+    elif isinstance(dt, T.DateType):
+        frag = F.concat(F.lit('"'), F.date_format(col, "yyyy-MM-dd"), F.lit('"'))
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)):
+        frag = col.cast("string")
+    else:  # arrays / structs / maps
+        frag = F.to_json(col)
+    return F.when(col.isNull(), F.lit("null")).otherwise(frag)
+
+
+def json_line_expr(schema, cols: list[str]):
+    """One NDJSON object per row as a single Catalyst expression —
+    the executor-side twin of ``JSONFormatter._obj`` (same bytes,
+    serialized in parallel instead of on the driver)."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    parts = []
+    for i, c in enumerate(cols):
+        prefix = ("{" if i == 0 else ",") + json.dumps(c, ensure_ascii=False) + ":"
+        parts.append(F.lit(prefix))
+        parts.append(_json_fragment(F.col(c), by_name[c]))
+    parts.append(F.lit("}"))
+    return F.concat(*parts)
 
 
 def _render_temporals(out: DataFrame) -> DataFrame:
@@ -205,3 +254,23 @@ class JSONFormatter(BaseFormatter):
             .option("ignoreNullFields", "false")
             .json(path)
         )
+
+    def write_array_file(self, df: DataFrame, out_file: str, tmp_dir: str | None = None) -> None:
+        """One array-framed document via the DISTRIBUTED writer:
+        executors serialize object strings in parallel (the
+        ``json_line_expr`` fidelity twin — Go-style floats included,
+        which the native NDJSON writer cannot produce), then the
+        driver splices the parts into the reference's array framing.
+        Byte-identical to the fidelity stream under an order_by
+        (tested); the fidelity path serializes every row on the
+        driver, here the driver only splices bytes."""
+        tmp = tmp_dir or out_file + "._spark_parts"
+        spark = df.sparkSession
+        spec = self.spec
+        out = self._dedup_columns(spec.compile_raw(df))
+        cols = sorted(out.columns) if spec.sort_keys else out.columns
+        lines = out.select(json_line_expr(out.schema, cols).alias("value"))
+        lines.write.mode("overwrite").text(tmp)
+        assemble_json_array(tmp, out_file, spark)
+        fs, jpath = fsio._fs_path(spark, tmp)
+        fs.delete(jpath, True)

@@ -1,0 +1,108 @@
+"""Filesystem-agnostic sidecar IO via the Hadoop FileSystem API.
+
+Formatter scale paths land row data with Spark's distributed writers,
+which already speak every configured scheme (file:, hdfs:, s3a:, …).
+The small companion artifacts around them — ``_header.html`` /
+``_footer.html`` sidecars, single-file document assembly — previously
+used driver-local ``open()``, which silently breaks the moment the
+output path is an object store. Everything here goes through
+``Path.getFileSystem(hadoopConf)`` instead, so sidecars land next to
+the part files whatever the scheme.
+
+Driver-side by design: these are O(bytes-of-one-document) assembly
+steps (the reference's io.Writer is a single stream too), not data
+plane operators. The data plane never routes through here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import SparkSession
+
+
+def _require_spark(spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for filesystem access")
+    return spark
+
+
+def _fs_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def write_text(path_str: str, content: str, spark: SparkSession | None = None) -> None:
+    """Create/overwrite a small text file on whatever filesystem the
+    path's scheme resolves to."""
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(path_str: str, spark: SparkSession | None = None) -> str:
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships with Hadoop; one JVM call, no byte-array
+        # round-trips through py4j
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def exists(path_str: str, spark: SparkSession | None = None) -> bool:
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    return bool(fs.exists(jpath))
+
+
+def list_parts(dir_str: str, spark: SparkSession | None = None) -> list[str]:
+    """part-* files under a write directory, name-sorted (range
+    partition order under an ordered write), .crc excluded."""
+    spark = _require_spark(spark)
+    fs, _ = _fs_path(spark, dir_str)
+    glob = spark._jvm.org.apache.hadoop.fs.Path(dir_str + "/part-*")
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return []
+    names = [s.getPath().toString() for s in statuses]
+    return sorted(n for n in names if not n.endswith(".crc"))
+
+
+def concat_files(
+    out_path: str,
+    pieces: Iterable[tuple[str, str]],
+    spark: SparkSession | None = None,
+) -> None:
+    """Assemble one output file from literal strings and whole input
+    files, JVM-side (file bytes never transit Python). ``pieces`` is a
+    sequence of ("text", literal) / ("file", path)."""
+    spark = _require_spark(spark)
+    fs, out_jpath = _fs_path(spark, out_path)
+    io_utils = spark._jvm.org.apache.hadoop.io.IOUtils
+    conf = spark._jsc.hadoopConfiguration()
+    out = fs.create(out_jpath, True)
+    try:
+        for kind, val in pieces:
+            if kind == "text":
+                out.write(bytearray(val.encode("utf-8")))
+            elif kind == "file":
+                in_fs, in_jpath = _fs_path(spark, val)
+                stream = in_fs.open(in_jpath)
+                try:
+                    io_utils.copyBytes(stream, out, conf, False)
+                finally:
+                    stream.close()
+            else:  # pragma: no cover
+                raise ValueError(f"unknown piece kind {kind!r}")
+    finally:
+        out.close()

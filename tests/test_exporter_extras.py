@@ -114,3 +114,41 @@ def test_xml_stream_parts_concat(spark, sf_dir, tmp_path):
             lines += open(p, encoding="utf-8").read().splitlines()
     assert len(lines) == 40
     assert all(l.startswith("<row>") and l.endswith("</row>") for l in lines)
+
+
+def test_json_array_file_matches_fidelity(spark, sf_dir, tmp_path):
+    """Distributed array assembly (executor NDJSON parts + driver
+    splice) must be byte-identical to the driver-streamed fidelity
+    array document."""
+    from exporter_spark.formatters.json import JSONFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(120)
+    spec = ExportSpec().with_order_by("event_id")
+    target = str(tmp_path / "arr.json")
+    JSONFormatter(spec).write_array_file(e, target)
+    assert open(target, encoding="utf-8").read() == Exporter(
+        e, "json", spec
+    ).write_string()
+    assert not os.path.exists(target + "._spark_parts")  # tmp cleaned
+
+    # empty input => empty file, not "[]" (json.go:94-98)
+    empty_target = str(tmp_path / "empty.json")
+    JSONFormatter(spec).write_array_file(e.limit(0), empty_target)
+    assert open(empty_target).read() == ""
+
+
+def test_html_sidecars_on_hadoop_scheme(spark, sf_dir, tmp_path):
+    """HTML scale path + assembly through explicit file:-scheme Hadoop
+    paths (the object-store-safe route): assembled document equals the
+    fidelity stream."""
+    from exporter_spark.formatters.html import HTMLFormatter, assemble_html
+
+    e = load_table(spark, sf_dir, "events").limit(30)
+    spec = ExportSpec().with_order_by("event_id")
+    parts = "file://" + str(tmp_path / "html_parts")
+    fmt = HTMLFormatter(spec)
+    fmt.write(e, parts)
+    assembled = "file://" + str(tmp_path / "all.html")
+    assemble_html(parts, assembled, spark)
+    got = open(str(tmp_path / "all.html"), encoding="utf-8").read()
+    assert got == fmt.format_string(e)
