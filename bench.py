@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     # round 3 late: corpus-wide duplicate-span detection
     "exact_substring_spans",
+    # round 4: the composition plans (span-strip rewrite, survivor
+    # anti-join, mixture rollup, bucketed shuffle) so regressions in
+    # the flagship pipelines surface in the round record
+    "exact_substring_strip",
+    "minhash_dedup_survivors",
+    "pretraining_mix_stats",
+    "training_shuffle_docs",
 ]
 
 

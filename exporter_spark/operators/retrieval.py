@@ -134,8 +134,13 @@ def bm25_oracle_sql(
     """The DuckDB replay of bm25_topk, generated from the SAME Python
     float constants so literal values match the Spark plan exactly."""
     terms = list(dict.fromkeys(query_terms))
+    # SQL string literals: double any single quote (the Spark side
+    # takes terms via F.lit, which needs no escaping — without this a
+    # quoted term breaks the oracle and produces a spurious mismatch)
     tf_cols = ",\n             ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        "len(list_filter(toks, x -> x = '{}')) AS tf_{}".format(
+            t.replace("'", "''"), i
+        )
         for i, t in enumerate(terms)
     )
     df_cols = ",\n             ".join(

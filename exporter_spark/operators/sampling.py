@@ -345,7 +345,18 @@ def temperature_mixture(
     Scale shape: one tiny per-key count aggregate (map-side partial),
     its ~|keys|-row threshold table broadcast back, and a map-side
     filter — the corpus itself never shuffles.
+
+    NULL keys: rows with a NULL ``key_col`` are coalesced into a
+    sentinel bucket ("__null__") for counting and thresholding, so
+    they participate in the mixture deterministically instead of
+    being dropped by the join (an inner join on a NULL key never
+    matches).
     """
+    orig_cols = list(df.columns)
+    df = df.withColumn(
+        "__tmkey__", F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    )
+    key_col = "__tmkey__"
     counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt__"))
     w = counts.withColumn(
         "__w__", F.pow(F.col("__cnt__").cast("double"), F.lit(alpha - 1.0))
@@ -363,7 +374,7 @@ def temperature_mixture(
     return (
         df.join(F.broadcast(thr), key_col)
         .filter(hash32(F.col(id_col), salt) < F.col("__thr__"))
-        .select(*df.columns)
+        .select(*orig_cols)
     )
 
 

@@ -46,8 +46,24 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
     # the caller brings their own session (e.g. the driver harness).
     # UTC is part of the engine contract (oracle-stable timestamp
     # rendering and NTZ→session-timestamp normalization below).
+    # A session pinned to a DIFFERENT timezone is repinned — with a
+    # warning rather than silently, since the change affects timestamp
+    # rendering/casts for everything else in that session. (The NTZ
+    # cast below is lazy; resetting the timezone between load and
+    # action would shift loaded NTZ values.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        import warnings
+
+        warnings.warn(
+            f"exporter_spark pins spark.sql.session.timeZone=UTC for this "
+            f"session (was {tz!r}); timestamp rendering elsewhere in the "
+            f"session changes too. Create sessions via "
+            f"exporter_spark.session.get_spark to make this explicit.",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     name = table or os.path.splitext(os.path.basename(path))[0]
     for c in _NANOS_COLS.get(name, []):

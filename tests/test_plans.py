@@ -211,8 +211,11 @@ def test_exact_substring_minimal_exchanges(spark):
         .executedPlan()
         .toString()
     )
-    # spread + gram-hash window + doc merge: exactly three exchanges
-    assert plan.count("Exchange") == 3
+    # spread + gram-hash window + doc merge — an upper bound rather
+    # than an exact count so planner/AQE changes across Spark versions
+    # don't fail this spuriously; the property we protect is "no extra
+    # corpus-wide shuffle crept in"
+    assert plan.count("Exchange") <= 3
 
 
 def test_temperature_mixture_broadcast_no_corpus_shuffle(spark):
@@ -237,6 +240,8 @@ def test_training_shuffle_single_bucket_exchange(spark):
         .executedPlan()
         .toString()
     )
-    # one 256-way bucket exchange, no total-order range exchange
-    assert plan.count("Exchange") == 1
+    # at most the one 256-way bucket exchange; the key property is
+    # that NO total-order range exchange appears (a global sort would
+    # serialize the shuffle at scale)
+    assert plan.count("Exchange") <= 1
     assert "rangepartitioning" not in plan.lower()

@@ -348,3 +348,15 @@ def test_token_budget_select_boundary(spark):
     # en: docs 1,2 fill the budget exactly; doc 3 starts at 20 -> out.
     # de: doc 4 overshoots alone (starts at 0 < 20); doc 5 starts at 25 -> out.
     assert got == [("de", 4, 25), ("en", 1, 10), ("en", 2, 20)]
+
+def test_temperature_mixture_null_keys_participate(spark):
+    """Rows with a NULL key must not silently vanish (the inner join
+    on the key would drop them); they are coalesced into a sentinel
+    bucket and sampled like any other source."""
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_mixture(df, "source", alpha=1.0)
+    # alpha=1 keeps everything — including every NULL-keyed row
+    assert kept.count() == 100
+    assert kept.filter(F.col("source").isNull()).count() == 50
+    assert kept.columns == df.columns

@@ -188,3 +188,62 @@ def test_from_hive_catalog_round_trip(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS exp_test.nation_t")
         spark.sql("DROP DATABASE IF EXISTS exp_test")
+
+
+def test_driver_tag_reaches_mappers_all_codecs(spark, sf_dir, tmp_path):
+    """Driver() parity through the mapper plane: the reference
+    surfaces the scanner's driver name to custom mappers via
+    Metadata.Driver (scanner/sql.go:12-16, scanner/hive.go:30-32,
+    codec/csv/csv.go:199-205). A JDBC-sourced and a Hive-sourced
+    DataFrame must carry 'sql'/'hive' into CellMeta.driver across all
+    four codecs."""
+    from pyspark.sql import functions as F
+
+    from exporter_spark import Exporter, ExportSpec
+    from exporter_spark.sources.hive import from_hive
+    from exporter_spark.sources.jdbc import from_jdbc
+
+    # -- a real embedded Derby table (ships with Spark)
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{tmp_path}/metadb;create=true"
+    )
+    st = conn.createStatement()
+    st.execute("CREATE TABLE tags (id INT, v VARCHAR(10))")
+    st.execute("INSERT INTO tags VALUES (1, 'x'), (2, 'y')")
+    st.close()
+    conn.close()
+    df_sql = from_jdbc(
+        spark,
+        f"jdbc:derby:{tmp_path}/metadb",
+        table="tags",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+
+    # -- a catalog table read through from_hive
+    spark.sql("CREATE DATABASE IF NOT EXISTS meta_test")
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(
+        "meta_test.region_t"
+    )
+    try:
+        df_hive = from_hive(
+            spark, "SELECT r_regionkey AS id, r_name AS v FROM meta_test.region_t"
+        )
+
+        for df, want, key in [(df_sql, "sql", "ID"), (df_hive, "hive", "id")]:
+            vcol = "V" if want == "sql" else "v"
+            spec = (
+                ExportSpec()
+                .with_order_by(key)
+                .with_formatter(
+                    vcol, lambda c, m: F.concat(F.lit(m.driver + "|"), c.cast("string"))
+                )
+            )
+            for fmt in ("csv", "json", "xml", "html"):
+                out = Exporter(df.select(key, vcol), fmt, spec).write_string()
+                assert f"{want}|" in out, (want, fmt, out[:200])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS meta_test.region_t")
+        spark.sql("DROP DATABASE IF EXISTS meta_test")
