@@ -387,6 +387,12 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize ONCE: the pair generator upstream (a full
+        # minhash/simhash banding pipeline) must not re-execute on
+        # every iteration's join — without this the loop recomputes
+        # the candidate generation O(iterations) times (measured 16.4s
+        # → 5.8s on the sf0.1 survivors bench)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -409,7 +415,12 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # fixed point: no label changed this round
+        # localCheckpoint truncates the growing lineage — without it,
+        # each iteration re-plans the whole history (exponential
+        # plans). Checkpoint BEFORE the fixed-point count so the round
+        # materializes once, and the count joins two checkpointed
+        # frames (cheap).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -417,9 +428,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # localCheckpoint truncates the growing lineage — without it,
-        # each iteration re-plans the whole history (exponential plans)
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels
