@@ -74,6 +74,10 @@ def _go_csv_field(s: str, delimiter: str) -> str:
 
 
 class CSVFormatter(BaseFormatter):
+    def __init__(self, spec=None, *, go_quoting: bool = False):
+        super().__init__(spec)
+        self.go_quoting = go_quoting
+
     def _line_end(self) -> str:
         return "\r\n" if self.spec.crlf else "\n"
 
@@ -108,9 +112,44 @@ class CSVFormatter(BaseFormatter):
             yield row["__line__"] + end
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        go_quoting: bool | None = None,
+    ) -> None:
+        """Distributed part files. Two shapes:
+
+        * default: the native CSV writer — header-per-part, readable
+          by ``spark.read.csv``. Whitespace trimming is DISABLED
+          (Spark's write default silently strips leading/trailing
+          whitespace from unquoted fields — data corruption, not
+          formatting). Quoting is RFC-4180 quote-doubling; Go's two
+          extra quote triggers (leading IsSpace rune, lone ``\\.``)
+          do not fire here, so bytes can differ from the fidelity
+          stream on such fields while VALUES round-trip identically.
+        * ``go_quoting=True`` (here or on the constructor): bare
+          records via the SAME ``csv_line_expr`` as the fidelity path
+          through the text writer — byte-identical records including
+          the Go quoting quirks; parts carry no header (splice one in
+          on assembly, as write_single_part cannot — use the default
+          path when per-part headers matter)."""
         spec = self.spec
         out = spec.compile(df)
+        use_go = self.go_quoting if go_quoting is None else go_quoting
+        if use_go:
+            line = csv_line_expr(out.columns, spec.delimiter, spec.resolved_null(""))
+            if spec.crlf:
+                line = F.concat(line, F.lit("\r"))  # text writer adds \n
+            writer = (
+                out.select(*(partition_by or []), line.alias("value"))
+                .write.mode("overwrite")
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.text(path)
+            return
         if spec.custom_header is not None:
             out = out.toDF(*spec.header_names(df))
         writer = out.write.mode("overwrite")
@@ -127,6 +166,10 @@ class CSVFormatter(BaseFormatter):
             # backslash-escape would write "\"" instead of "\"\"")
             .option("quote", '"')
             .option("escape", '"')
+            # Spark's WRITE defaults trim unquoted fields — that is
+            # silent data corruption, never acceptable
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .option("lineSep", "\r\n" if spec.crlf else "\n")
             .csv(path)
         )

@@ -152,3 +152,40 @@ def test_html_sidecars_on_hadoop_scheme(spark, sf_dir, tmp_path):
     assemble_html(parts, assembled, spark)
     got = open(str(tmp_path / "all.html"), encoding="utf-8").read()
     assert got == fmt.format_string(e)
+
+
+def test_csv_native_path_preserves_whitespace(spark, tmp_path):
+    """Spark's CSV write defaults trim unquoted fields — silent data
+    corruption the scale path must disable. Values (not bytes) must
+    round-trip identically to the fidelity stream."""
+    df = spark.createDataFrame(
+        [(1, "  leading"), (2, "trailing  "), (3, "\tTabbed")], "id long, v string"
+    )
+    spec = ExportSpec().with_order_by("id")
+    out = str(tmp_path / "ws")
+    Exporter(df, "csv", spec).write(out)
+    back = spark.read.options(header="true", quote='"', escape='"').csv(out)
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got == {"1": "  leading", "2": "trailing  ", "3": "\tTabbed"}
+
+
+def test_csv_go_quoting_parts_match_fidelity(spark, tmp_path):
+    """go_quoting=True: distributed records are byte-identical to the
+    fidelity stream, Go quirks included (leading-IsSpace quoting, the
+    lone backslash-dot)."""
+    from exporter_spark.formatters.csv import CSVFormatter
+
+    df = spark.createDataFrame(
+        [(1, "  leading"), (2, 'say "hi"'), (3, "a,b"), (4, r"\."), (5, "plain")],
+        "id long, v string",
+    )
+    spec = ExportSpec().with_order_by("id")
+    out = str(tmp_path / "goq")
+    CSVFormatter(spec).write(df, out, go_quoting=True)
+    lines = []
+    for p in sorted(glob.glob(f"{out}/part-*")):
+        if not p.endswith(".crc"):
+            lines += open(p, encoding="utf-8").read().splitlines()
+    fid = Exporter(df, "csv", spec).write_string().splitlines()
+    assert lines == fid[1:]  # bare records: no header in parts
+    assert '"  leading"' in lines[0] and '"\\."' in lines[3]
