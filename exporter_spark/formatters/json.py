@@ -263,14 +263,32 @@ class JSONFormatter(BaseFormatter):
         driver splices the parts into the reference's array framing.
         Byte-identical to the fidelity stream under an order_by
         (tested); the fidelity path serializes every row on the
-        driver, here the driver only splices bytes."""
+        driver, here the driver only splices bytes.
+
+        Splice trick: every record is written as ``\\nobj`` with the
+        text writer's line separator set to ``,`` — so the document is
+        ``[`` + (all parts, byte-concatenated JVM-side, minus the
+        final trailing comma) + ``\\n]\\n``. Part bytes never transit
+        Python (a 132 MB sf0.1 lineitem assembly previously spent most
+        of its time round-tripping text through py4j)."""
         tmp = tmp_dir or out_file + "._spark_parts"
         spark = df.sparkSession
         spec = self.spec
         out = self._dedup_columns(spec.compile_raw(df))
         cols = sorted(out.columns) if spec.sort_keys else out.columns
-        lines = out.select(json_line_expr(out.schema, cols).alias("value"))
-        lines.write.mode("overwrite").text(tmp)
-        assemble_json_array(tmp, out_file, spark)
-        fs, jpath = fsio._fs_path(spark, tmp)
-        fs.delete(jpath, True)
+        lines = out.select(
+            F.concat(F.lit("\n"), json_line_expr(out.schema, cols)).alias("value")
+        )
+        lines.write.mode("overwrite").option("lineSep", ",").text(tmp)
+        try:
+            fsio.splice_parts(
+                tmp,
+                out_file,
+                prefix="[",
+                suffix="\n]\n",
+                drop_last_bytes=1,  # the final record's trailing ","
+                spark=spark,
+            )
+        finally:
+            fs, jpath = fsio._fs_path(spark, tmp)
+            fs.delete(jpath, True)

@@ -78,6 +78,50 @@ def list_parts(dir_str: str, spark: SparkSession | None = None) -> list[str]:
     return sorted(n for n in names if not n.endswith(".crc"))
 
 
+def splice_parts(
+    parts_dir: str,
+    out_path: str,
+    *,
+    prefix: str = "",
+    suffix: str = "",
+    drop_last_bytes: int = 0,
+    spark: SparkSession | None = None,
+) -> None:
+    """Concatenate a directory's part files into one output file,
+    entirely JVM-side, optionally dropping the final N bytes of the
+    LAST non-empty part (framing tricks like a trailing separator).
+    Empty input (no parts or all parts empty) ⇒ empty output file, no
+    prefix/suffix — matching the reference codecs' empty-result rule."""
+    spark = _require_spark(spark)
+    fs, out_jpath = _fs_path(spark, out_path)
+    # commons-io copyLarge(in, out, offset, length): the 4-arg overload
+    # is arity-unique, so py4j widens Python ints to long correctly
+    # (hadoop IOUtils.copyBytes(in, out, int, bool) resolves the int to
+    # its BUFFER-SIZE overload — not a byte count)
+    io_commons = spark._jvm.org.apache.commons.io.IOUtils
+    sized = []
+    for part in list_parts(parts_dir, spark):
+        p_fs, p_jpath = _fs_path(spark, part)
+        n = p_fs.getFileStatus(p_jpath).getLen()
+        if n > 0:
+            sized.append((p_fs, p_jpath, n))
+    out = fs.create(out_jpath, True)
+    try:
+        if not sized:
+            return
+        out.write(bytearray(prefix.encode("utf-8")))
+        for i, (p_fs, p_jpath, n) in enumerate(sized):
+            count = n - drop_last_bytes if i == len(sized) - 1 else n
+            stream = p_fs.open(p_jpath)
+            try:
+                io_commons.copyLarge(stream, out, 0, count)
+            finally:
+                stream.close()
+        out.write(bytearray(suffix.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def concat_files(
     out_path: str,
     pieces: Iterable[tuple[str, str]],

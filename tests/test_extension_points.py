@@ -132,3 +132,14 @@ def test_go_float_integral_has_no_point(v):
     v = float(int(v))  # force integral
     s = _go_fixed_repr(v)
     assert "." not in s
+
+
+@given(finite_floats)
+@settings(max_examples=500, deadline=None)
+def test_np_positional_matches_decimal_repr(v):
+    """The UDF kernel (np.format_float_positional) must render exactly
+    like the Decimal-based reference _go_fixed_repr for every finite
+    float — same shortest-round-trip digits, fixed notation, trimmed."""
+    import numpy as np
+
+    assert np.format_float_positional(v, unique=True, trim="-") == _go_fixed_repr(v)
