@@ -129,6 +129,16 @@ def main() -> None:
             )
         )
         print(f"[bench] export_xml_docs: {timings['export_xml_docs']}s", file=sys.stderr)
+        # single-document JSON array: executor-side fidelity-twin
+        # serialization + JVM-side part splice (round 4)
+        from exporter_spark.formatters.json import JSONFormatter
+
+        timings["export_json_array"] = timed(
+            lambda: JSONFormatter(ExportSpec()).write_array_file(
+                li, f"{out_root}/li_arr.json"
+            )
+        )
+        print(f"[bench] export_json_array: {timings['export_json_array']}s", file=sys.stderr)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
