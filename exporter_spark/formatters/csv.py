@@ -139,7 +139,10 @@ class CSVFormatter(BaseFormatter):
         out = spec.compile(df)
         use_go = self.go_quoting if go_quoting is None else go_quoting
         if use_go:
-            line = csv_line_expr(out.columns, spec.delimiter, spec.resolved_null(""))
+            # hive-style convention: partition columns ride in the
+            # directory name, not the record (matches the native path)
+            cols = [c for c in out.columns if c not in (partition_by or [])]
+            line = csv_line_expr(cols, spec.delimiter, spec.resolved_null(""))
             if spec.crlf:
                 line = F.concat(line, F.lit("\r"))  # text writer adds \n
             writer = (

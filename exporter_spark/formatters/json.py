@@ -112,9 +112,12 @@ def _json_fragment(col, dt):
     Go-style shortest floats ("11", not "11.0") via the go-float UDF,
     RFC3339Nano timestamps, Jackson-escaped strings (extracted from
     ``to_json(array(col))`` so escaping stays JVM-side). Nested
-    arrays/structs render via ``to_json`` — byte-identical to the
-    fidelity path except map key ordering (``_json_token`` sorts map
-    keys; to_json preserves them), documented."""
+    arrays/structs render via ``to_json``, which differs from the
+    fidelity serializer in two documented ways: map keys keep their
+    stored order (``_json_token`` sorts them) and floats INSIDE nested
+    values render Jackson-style ("11.0") rather than Go-style ("11").
+    Top-level float columns are exact (go_float_str); callers needing
+    byte parity on nested float arrays should use the fidelity path."""
     from pyspark.sql import types as T
 
     from exporter_spark.functions.tostring import go_float_str

@@ -166,7 +166,17 @@ class XMLFormatter(BaseFormatter):
         use_documents = self.documents if documents is None else documents
         if not use_documents:
             tags = spec.header_names(out)
-            value = self._row_expr(out.columns, tags, safe).alias("value")
+            # hive-style convention: partition columns ride in the
+            # directory name, not the row body (matches the native
+            # writers' partitionBy behavior)
+            keep = [
+                (c, t)
+                for c, t in zip(out.columns, tags)
+                if c not in (partition_by or [])
+            ]
+            value = self._row_expr(
+                [c for c, _ in keep], [t for _, t in keep], safe
+            ).alias("value")
             writer = out.select(*(partition_by or []), value).write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)

@@ -189,3 +189,23 @@ def test_csv_go_quoting_parts_match_fidelity(spark, tmp_path):
     fid = Exporter(df, "csv", spec).write_string().splitlines()
     assert lines == fid[1:]  # bare records: no header in parts
     assert '"  leading"' in lines[0] and '"\\."' in lines[3]
+
+
+def test_xml_stream_parts_partitioned(spark, sf_dir, tmp_path):
+    """Default XML scale path under hive-style partition_by: rows land
+    under their partition directories as bare <row> records."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    e = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "xml_part")
+    XMLFormatter(ExportSpec()).write(e, out, partition_by=["event_type"])
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/event_type=*")}
+    assert {"event_type=click", "event_type=purchase"} <= dirs
+    lines = []
+    for p in glob.glob(f"{out}/event_type=*/part-*"):
+        if not p.endswith(".crc"):
+            lines += open(p, encoding="utf-8").read().splitlines()
+    assert len(lines) == e.count()
+    assert all(l.startswith("<row>") and l.endswith("</row>") for l in lines)
+    # partition column is carried by the directory, not the row body
+    assert all("<event_type>" not in l for l in lines[:50])
