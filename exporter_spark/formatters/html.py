@@ -118,16 +118,39 @@ class HTMLFormatter(BaseFormatter):
         fsio.write_text(f"{path}/_header.html", self._head(names, types), spark)
         fsio.write_text(f"{path}/_footer.html", self._FOOT, spark)
 
+    def assemble(self, parts_dir: str, out_file: str, spark=None) -> None:
+        """Splice a ``write`` directory into one document, honoring
+        the spec's lazy-header rule for empty results."""
+        assemble_html(
+            parts_dir,
+            out_file,
+            spark,
+            skip_when_empty=not self.spec.header_when_no_data,
+        )
 
-def assemble_html(parts_dir: str, out_file: str, spark=None) -> None:
+
+def assemble_html(
+    parts_dir: str, out_file: str, spark=None, *, skip_when_empty: bool = False
+) -> None:
     """Concatenate a distributed HTML write (header + row part files +
     footer) into one document without re-reading the data. All IO via
     the Hadoop FS API — part bytes are spliced JVM-side and never
-    transit Python."""
+    transit Python.
+
+    ``skip_when_empty=True`` reproduces the lazy-header rule
+    (``with_header_when_no_data(False)``, html.go:146-157): zero data
+    rows ⇒ empty output with no document skeleton. Prefer
+    ``HTMLFormatter.assemble``, which wires this from the spec."""
+    parts = fsio.list_parts(parts_dir, spark)
+    if skip_when_empty and not any(
+        fsio.read_text(p, spark).strip() for p in parts
+    ):
+        fsio.write_text(out_file, "", spark)
+        return
     pieces: list[tuple[str, str]] = []
     if fsio.exists(f"{parts_dir}/_header.html", spark):
         pieces.append(("file", f"{parts_dir}/_header.html"))
-    for part in fsio.list_parts(parts_dir, spark):
+    for part in parts:
         pieces.append(("file", part))
     if fsio.exists(f"{parts_dir}/_footer.html", spark):
         pieces.append(("file", f"{parts_dir}/_footer.html"))

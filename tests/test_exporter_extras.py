@@ -209,3 +209,25 @@ def test_xml_stream_parts_partitioned(spark, sf_dir, tmp_path):
     assert all(l.startswith("<row>") and l.endswith("</row>") for l in lines)
     # partition column is carried by the directory, not the row body
     assert all("<event_type>" not in l for l in lines[:50])
+
+
+def test_html_assemble_lazy_header_empty(spark, sf_dir, tmp_path):
+    """Lazy header (with_header_when_no_data(False)) + empty input:
+    assembled document is EMPTY, matching the fidelity stream's
+    no-output rule (html.go:146-157); the default eager spec keeps
+    the skeleton."""
+    from exporter_spark.formatters.html import HTMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(0)
+    lazy_spec = ExportSpec().with_header_when_no_data(False)
+    fmt = HTMLFormatter(lazy_spec)
+    parts = str(tmp_path / "empty_parts")
+    fmt.write(e, parts)
+    out = str(tmp_path / "empty.html")
+    fmt.assemble(parts, out, spark)
+    assert open(out).read() == "" == fmt.format_string(e)
+
+    eager = HTMLFormatter(ExportSpec())
+    eager.write(e, str(tmp_path / "eager_parts"))
+    eager.assemble(str(tmp_path / "eager_parts"), str(tmp_path / "eager.html"), spark)
+    assert open(str(tmp_path / "eager.html")).read() == eager.format_string(e)
