@@ -231,3 +231,20 @@ def test_html_assemble_lazy_header_empty(spark, sf_dir, tmp_path):
     eager.write(e, str(tmp_path / "eager_parts"))
     eager.assemble(str(tmp_path / "eager_parts"), str(tmp_path / "eager.html"), spark)
     assert open(str(tmp_path / "eager.html")).read() == eager.format_string(e)
+
+
+def test_xml_documents_mode_omits_null_elements(spark, tmp_path):
+    """documents=True (StAX writer) must keep the reference's NULL
+    rule — a NULL cell omits its element entirely (xml.go:113-115) —
+    even though its pretty-printed layout is not byte-parity."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    df = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    out = str(tmp_path / "docs")
+    XMLFormatter(ExportSpec()).write(df, out, documents=True)
+    body = "".join(
+        open(p, encoding="utf-8").read()
+        for p in glob.glob(f"{out}/part-*")
+        if not p.endswith(".crc")
+    )
+    assert "<a>" not in body and "<b>x</b>" in body
