@@ -142,9 +142,9 @@ def assemble_html(
     rows ⇒ empty output with no document skeleton. Prefer
     ``HTMLFormatter.assemble``, which wires this from the spec."""
     parts = fsio.list_parts(parts_dir, spark)
-    if skip_when_empty and not any(
-        fsio.read_text(p, spark).strip() for p in parts
-    ):
+    # text-writer parts are empty iff they hold zero rows, so a
+    # length probe suffices — no part bytes transit Python
+    if skip_when_empty and not any(fsio.file_len(p, spark) for p in parts):
         fsio.write_text(out_file, "", spark)
         return
     pieces: list[tuple[str, str]] = []

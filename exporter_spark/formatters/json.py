@@ -92,18 +92,21 @@ def assemble_json_array(parts_dir: str, out_file: str, spark=None) -> None:
     driver one part at a time — parts are bounded by the write's
     partition sizing, and single-document assembly is inherently a
     one-stream step (the array format has no parallel form)."""
-    pieces: list[tuple[str, str]] = []
-    first = True
-    for part in fsio.list_parts(parts_dir, spark):
-        body = fsio.read_text(part, spark).rstrip("\n")
-        if not body:
-            continue
-        rows = "\n".join(l for l in body.split("\n") if l)
-        pieces.append(("text", ("[\n" if first else ",\n") + rows.replace("\n", ",\n")))
-        first = False
-    if not first:
-        pieces.append(("text", "\n]\n"))
-    fsio.concat_files(out_file, pieces, spark)
+    def pieces():
+        # generator: one part's text in memory at a time (concat_files
+        # consumes lazily), not the whole document
+        first = True
+        for part in fsio.list_parts(parts_dir, spark):
+            body = fsio.read_text(part, spark).rstrip("\n")
+            if not body:
+                continue
+            rows = "\n".join(l for l in body.split("\n") if l)
+            yield ("text", ("[\n" if first else ",\n") + rows.replace("\n", ",\n"))
+            first = False
+        if not first:
+            yield ("text", "\n]\n")
+
+    fsio.concat_files(out_file, pieces(), spark)
 
 
 def _json_fragment(col, dt):
@@ -122,23 +125,46 @@ def _json_fragment(col, dt):
 
     from exporter_spark.functions.tostring import go_float_str
 
+    def _quoted_escaped(c):
+        j = F.to_json(F.array(c))  # ["escaped"] — strip the brackets
+        return j.substr(F.lit(2), F.length(j) - F.lit(2))
+
     if isinstance(dt, (T.StringType, T.BinaryType)):
-        j = F.to_json(F.array(col))  # ["escaped"] — strip the brackets
-        frag = j.substr(F.lit(2), F.length(j) - F.lit(2))
+        frag = _quoted_escaped(col)
     elif isinstance(dt, T.BooleanType):
         frag = F.when(col, F.lit("true")).otherwise(F.lit("false"))
     elif isinstance(dt, (T.FloatType, T.DoubleType)):
-        frag = go_float_str(col.cast("double"))
+        # NaN/Inf: Go's encoding/json errors — so does the fidelity
+        # serializer; the distributed twin must fail loudly too, not
+        # silently emit an unparseable bare NaN token
+        d = col.cast("double")
+        frag = F.when(
+            F.isnan(d) | (F.abs(d) == F.lit(float("inf"))),
+            F.raise_error(F.lit("json: unsupported value: NaN/Inf")),
+        ).otherwise(go_float_str(d))
     elif isinstance(dt, T.TimestampType):
         from exporter_spark.functions.tostring import _rfc3339nano
 
         frag = F.concat(F.lit('"'), _rfc3339nano(col), F.lit('"'))
+    elif isinstance(dt, T.TimestampNTZType):
+        # naive timestamps are trusted UTC (engine contract), matching
+        # _rfc3339nano_py's rendering of naive datetimes
+        frag = F.concat(
+            F.lit('"'),
+            F.replace(col.cast("string"), F.lit(" "), F.lit("T")),
+            F.lit('Z"'),
+        )
     elif isinstance(dt, T.DateType):
         frag = F.concat(F.lit('"'), F.date_format(col, "yyyy-MM-dd"), F.lit('"'))
-    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)):
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         frag = col.cast("string")
-    else:  # arrays / structs / maps
+    elif isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
         frag = F.to_json(col)
+    else:
+        # every other scalar (Decimal included) mirrors _json_token's
+        # fallthrough: the value's string form as a QUOTED JSON string
+        # (a bare to_json on a scalar column would not even plan)
+        frag = _quoted_escaped(col.cast("string"))
     return F.when(col.isNull(), F.lit("null")).otherwise(frag)
 
 

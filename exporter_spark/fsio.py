@@ -65,6 +65,12 @@ def exists(path_str: str, spark: SparkSession | None = None) -> bool:
     return bool(fs.exists(jpath))
 
 
+def file_len(path_str: str, spark: SparkSession | None = None) -> int:
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    return int(fs.getFileStatus(jpath).getLen())
+
+
 def list_parts(dir_str: str, spark: SparkSession | None = None) -> list[str]:
     """part-* files under a write directory, name-sorted (range
     partition order under an ordered write), .crc excluded."""

@@ -346,15 +346,19 @@ def temperature_mixture(
     its ~|keys|-row threshold table broadcast back, and a map-side
     filter — the corpus itself never shuffles.
 
-    NULL keys: rows with a NULL ``key_col`` are coalesced into a
-    sentinel bucket ("__null__") for counting and thresholding, so
-    they participate in the mixture deterministically instead of
-    being dropped by the join (an inner join on a NULL key never
-    matches).
+    NULL keys: rows with a NULL ``key_col`` are folded into their own
+    bucket for counting and thresholding, so they participate in the
+    mixture deterministically instead of being dropped by the join (an
+    inner join on a NULL key never matches). Real keys are prefixed
+    ("k:<value>") so no stored value can collide with the NULL bucket's
+    token.
     """
     orig_cols = list(df.columns)
     df = df.withColumn(
-        "__tmkey__", F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+        "__tmkey__",
+        F.when(F.col(key_col).isNull(), F.lit("\x00null")).otherwise(
+            F.concat(F.lit("k:"), F.col(key_col).cast("string"))
+        ),
     )
     key_col = "__tmkey__"
     counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt__"))

@@ -52,8 +52,10 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
     # cast below is lazy; resetting the timezone between load and
     # action would shift loaded NTZ values.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tz = spark.conf.get("spark.sql.session.timeZone", None)
-    if tz != "UTC":
+    # no-default get resolves the EFFECTIVE timezone (conf default =
+    # JVM zone), so an unset-but-already-UTC session is not warned at
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
         import warnings
 
         warnings.warn(
@@ -63,6 +65,7 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
             f"exporter_spark.session.get_spark to make this explicit.",
             stacklevel=2,
         )
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     name = table or os.path.splitext(os.path.basename(path))[0]

@@ -248,3 +248,45 @@ def test_xml_documents_mode_omits_null_elements(spark, tmp_path):
         if not p.endswith(".crc")
     )
     assert "<a>" not in body and "<b>x</b>" in body
+
+
+def test_json_array_decimal_and_ntz_parity(spark, tmp_path):
+    """json_line_expr's fallback branches: decimals render as QUOTED
+    strings (matching _json_token's str() fallthrough) and
+    timestamp_ntz columns plan and render instead of crashing."""
+    from decimal import Decimal
+
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame(
+        [(1, Decimal("11.50")), (2, Decimal("0.07"))], "id long, d decimal(10,2)"
+    )
+    spec = ExportSpec().with_order_by("id")
+    target = str(tmp_path / "dec.json")
+    JSONFormatter(spec).write_array_file(df, target)
+    got = open(target).read()
+    assert got == Exporter(df, "json", spec).write_string()
+    assert '"d":"11.50"' in got
+
+    import datetime as dt
+
+    ntz = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 3, 4, 5, 500000))], "id long, ts timestamp_ntz"
+    )
+    t2 = str(tmp_path / "ntz.json")
+    JSONFormatter(spec).write_array_file(ntz, t2)
+    assert '"ts":"2024-01-02T03:04:05.5Z"' in open(t2).read()
+
+
+def test_json_array_nan_raises(spark, tmp_path):
+    """NaN/Inf doubles: Go's encoding/json errors, the fidelity path
+    raises — the distributed array writer must fail loudly too."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame([(1, float("nan"))], "id long, v double")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        JSONFormatter(ExportSpec()).write_array_file(df, str(tmp_path / "nan.json"))

@@ -360,3 +360,13 @@ def test_temperature_mixture_null_keys_participate(spark):
     assert kept.count() == 100
     assert kept.filter(F.col("source").isNull()).count() == 50
     assert kept.columns == df.columns
+
+def test_temperature_mixture_sentinel_no_collision(spark):
+    """A stored key equal to any sentinel-looking literal stays a
+    distinct bucket from genuinely-NULL keys."""
+    rows = [(i, "__null__") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_mixture(df, "source", alpha=1.0)
+    assert kept.count() == 80
+    assert kept.filter(F.col("source").isNull()).count() == 40
+    assert kept.filter(F.col("source") == "__null__").count() == 40
