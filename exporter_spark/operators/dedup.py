@@ -89,39 +89,89 @@ def word_tokens(text_col: str) -> Column:
 
 # ---------------------------------------------------------------- minhash
 
-def minhash_over(shingles_col: str, num_hashes: int) -> Column:
-    """MinHash signature as array<string> over an ALREADY MATERIALIZED
-    shingle-array column: element i is the minimum md5 hex over all
-    shingles salted with seed i.
+# Carter-Wegman universal hashing over the Mersenne prime 2^31-1: one
+# base hash per shingle (from md5), then num_hashes cheap affine maps
+# (a*h + b) mod p.  Constants fit the arithmetic inside int64 with no
+# overflow — max(a*h + b) = (p-1)^2 + (p-1) < 2^62 — which matters
+# because the session runs ANSI mode, where int64 overflow THROWS.
+_MERSENNE = (1 << 31) - 1
 
-    md5-hex minima form a valid uniform min-hash family (lexicographic
-    order on fixed-width hex == numeric order on the 128-bit value)
-    and are bit-identical across Spark and DuckDB, which makes the
-    whole pipeline oracle-replayable — no engine-specific hash().
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine family; a != 0.
+    Seeded so the SQL fragments (Spark + DuckDB oracle) are stable
+    across processes and rounds."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def hashed_shingles_sql(shingles_col: str) -> str:
+    """Per-shingle base hash h ∈ [0, 2^31-1) as a Spark-SQL fragment:
+    the top 60 bits of md5, reduced mod the Mersenne prime.
+
+    The DuckDB twin is ('0x' || substr(md5(s),1,15))::BIGINT — both
+    engines agree bit-for-bit on md5 hex of UTF-8 text and on 64-bit
+    integer %, which keeps the whole pipeline oracle-replayable with
+    ONE md5 per shingle instead of one per (shingle × seed): at 32
+    seeds that is a 32× cut of the digest work, the dominant cost of
+    the signature stage.
+    """
+    return (
+        f"transform({shingles_col},"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+        f" % {_MERSENNE})"
+    )
+
+
+def minhash_over(
+    shingles_col: str, num_hashes: int, *, hashed: bool = False
+) -> Column:
+    """MinHash signature as array<bigint> over an ALREADY MATERIALIZED
+    shingle-array column: element i is min over shingles of
+    (a_i * h(s) + b_i) mod 2^31-1, the classic Broder minwise estimate
+    under a universal family.
+
+    Pass ``hashed=True`` when ``shingles_col`` already holds the base
+    hashes from :func:`hashed_shingles_sql` — pipelines should
+    materialize that column once so the md5 runs once per shingle, not
+    once per seed.  (With ``hashed=False`` the base-hash expression is
+    textually repeated per seed; Spark's subexpression elimination
+    usually collapses it, but the materialized form is the contract.)
 
     Taking a column (not the text expression) matters for speed: the
     shingle array is built once per document instead of once per hash
     seed — at 32 seeds that is a 32× cut of the substring/dedup work.
     """
+    hs = shingles_col if hashed else hashed_shingles_sql(shingles_col)
     sigs = ", ".join(
-        f"array_min(transform({shingles_col}, s -> md5(concat('{i}:', s))))"
-        for i in range(num_hashes)
+        f"array_min(transform({hs}, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in _minhash_coeffs(num_hashes)
     )
     return F.expr(f"array({sigs})")
 
 
 def minhash_signature(text_col: str, num_hashes: int, shingle_n: int) -> Column:
-    """Convenience one-expression form (prefer minhash_over + a
-    materialized shingle column in pipelines)."""
+    """Convenience one-expression form (prefer hashed_shingles_sql +
+    minhash_over(hashed=True) in pipelines)."""
     return minhash_over(shingle_sql(text_col, shingle_n), num_hashes)
 
 
 def minhash_bands(sig_col: str, bands: int, rows_per_band: int) -> Column:
-    """Band hashes: md5 of the concatenated signature slice per band."""
+    """Band hashes: md5 of the concatenated signature slice per band.
+    Signatures are bigints; the explicit string cast keeps the join
+    key rendering identical to the DuckDB oracle's ::VARCHAR."""
     parts = []
     for b in range(bands):
         lo = b * rows_per_band
-        slice_expr = f"slice({sig_col}, {lo + 1}, {rows_per_band})"
+        slice_expr = (
+            f"transform(slice({sig_col}, {lo + 1}, {rows_per_band}),"
+            f" x -> cast(x as string))"
+        )
         parts.append(f"md5(array_join({slice_expr}, '|'))")
     return F.expr(f"array({', '.join(parts)})")
 
@@ -141,10 +191,17 @@ def minhash_candidate_pairs(
     blow-up is confined to same-bucket collisions.
     """
     rows_per_band = num_hashes // bands
-    sigs = _spread(df, id_col).select(
-        F.col(id_col).alias("__id__"),
-        char_shingles(text_col, shingle_n).alias("__sh__"),
-    ).select("__id__", minhash_over("__sh__", num_hashes).alias("__sig__"))
+    sigs = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("__id__"),
+            char_shingles(text_col, shingle_n).alias("__sh__"),
+        )
+        .select("__id__", F.expr(hashed_shingles_sql("__sh__")).alias("__hs__"))
+        .select(
+            "__id__", minhash_over("__hs__", num_hashes, hashed=True).alias("__sig__")
+        )
+    )
     banded = sigs.select(
         "__id__",
         F.posexplode(minhash_bands("__sig__", bands, rows_per_band)).alias(

@@ -2087,22 +2087,28 @@ _MINHASH = dict(num_hashes=32, bands=8, shingle_n=8, threshold=0.7)
 def _minhash_oracle() -> str:
     n = _MINHASH["shingle_n"]
     rows = _MINHASH["num_hashes"] // _MINHASH["bands"]
+    p = dedup._MERSENNE
     shingle = (
         f"CASE WHEN length(text) < {n} THEN [] "
         f"ELSE list_distinct(list_transform(generate_series(1, length(text) - {n - 1}),"
         f" i -> substr(text, i, {n}))) END"
     )
+    # DuckDB twin of dedup.hashed_shingles_sql + minhash_over: one
+    # md5-derived base hash per shingle, then the (a*h + b) mod 2^31-1
+    # affine family with the SAME seeded coefficients as the Spark side.
+    base = f"list_transform(sh, s -> ('0x' || substr(md5(s),1,15))::BIGINT % {p})"
     sig = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
-        for i in range(_MINHASH["num_hashes"])
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p}))"
+        for a, b in dedup._minhash_coeffs(_MINHASH["num_hashes"])
     )
     bands = list(range(_MINHASH["bands"]))
     return f"""
     WITH sh AS (SELECT doc_id, {shingle} AS sh FROM documents),
-    sigs AS (SELECT doc_id, [{sig}] AS sig FROM sh),
+    hs AS (SELECT doc_id, {base} AS hs FROM sh),
+    sigs AS (SELECT doc_id, [{sig}] AS sig FROM hs),
     banded AS (
       SELECT doc_id, b.band,
-             md5(array_to_string(sig[(b.band * {rows} + 1):(b.band * {rows} + {rows})], '|')) AS bhash
+             md5(array_to_string(list_transform(sig[(b.band * {rows} + 1):(b.band * {rows} + {rows})], x -> x::VARCHAR), '|')) AS bhash
       FROM sigs, UNNEST({bands}) AS b(band)),
     cands AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
