@@ -209,9 +209,14 @@ def minhash_candidate_pairs(
         ),
     )
     # Shuffle the banded triples on the join key: both sides of the
-    # self-join below then hang off the SAME exchange, which the
-    # physical planner dedupes (ReusedExchange) — the expensive
-    # signature pipeline runs once, with no cache lifetime to manage.
+    # self-join below then hang off canonically-equal exchanges.
+    # Two regimes, both runtime-verified on the final adaptive plan:
+    # above the AQE broadcast threshold (the at-scale case) the
+    # planner dedupes them into ONE ReusedExchange, so the signature
+    # pipeline runs once with no cache lifetime to manage; below it
+    # AQE broadcasts one side instead, recomputing the triple
+    # pipeline — acceptable since the universal-hash signature stage
+    # is cheap (one md5 per shingle) and the corpus scan dominates.
     banded = banded.repartition("__band__", "__bhash__")
     left = banded.alias("l")
     right = banded.alias("r")
