@@ -84,6 +84,23 @@ def test_hash_dedup(dup_docs):
     assert out.columns == ["doc_id", "text"]  # helper columns dropped
 
 
+def test_minhash_family_is_pinned(spark):
+    """The universal-hash family is derived from a fixed seed; a
+    silent seed/formula change would still pass the oracle tests
+    (both engines re-derive the same SQL) while changing every
+    signature vs earlier rounds. Pin the constants and one base-hash
+    value so that drift is loud."""
+    assert dedup._MERSENNE == 2147483647
+    assert dedup._minhash_coeffs(3) == [
+        (304421255, 1836435294),
+        (1317016046, 875424808),
+        (421060966, 1255111736),
+    ]
+    frag = dedup.hashed_shingles_sql("array('abcdefgh')")
+    got = spark.sql(f"SELECT {frag} AS h").collect()[0]["h"]
+    assert got == [942590811]  # cross-checked against the DuckDB twin
+
+
 def test_minhash_pipeline(dup_docs):
     pairs = dedup.minhash_dedup_pairs(
         dup_docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=4, threshold=0.5
