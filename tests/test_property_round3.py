@@ -163,3 +163,52 @@ def test_bigram_lm_matches_bruteforce(spark, texts):
     for doc_id in got:
         assert got[doc_id][0] == expect[doc_id][0], doc_id
         assert abs(got[doc_id][1] - expect[doc_id][1]) <= 2e-6, doc_id
+
+
+# ------------------------------------------------------ minhash family
+
+
+def _brute_minhash(text: str, num_hashes: int, shingle_n: int):
+    """Pure-Python reference of the universal-hash minhash family:
+    distinct char n-grams -> md5-top-60-bit base hash mod 2^31-1 ->
+    per-seed affine min. Independent of both engines' SQL."""
+    import hashlib
+
+    p = dedup._MERSENNE
+    seen = set()
+    shingles = []
+    for i in range(max(0, len(text) - shingle_n + 1)):
+        s = text[i : i + shingle_n]
+        if s not in seen:
+            seen.add(s)
+            shingles.append(s)
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % p for s in shingles
+    ]
+    if not hs:
+        return [None] * num_hashes
+    return [
+        min((a * h + b) % p for h in hs)
+        for a, b in dedup._minhash_coeffs(num_hashes)
+    ]
+
+
+_utext = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@given(st.lists(_utext, min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_minhash_signature_matches_bruteforce(spark, texts):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", dedup.minhash_signature("text", 8, 4).alias("sig")
+        ).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        assert got[doc_id] == _brute_minhash(text, 8, 4), (doc_id, text)
