@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "minhash_dedup_survivors",
     "pretraining_mix_stats",
     "training_shuffle_docs",
+    # round 4 late: complete the similarity/dedup pillar in the round
+    # record (pigeonhole simhash join, hyperplane-banded ANN, IVF
+    # probe+rerank, bucketed SemDeDup)
+    "simhash_near_dup_pairs",
+    "lsh_ann_topk",
+    "ivf_fixed_topk",
+    "semdedup_survivors",
 ]
 
 
