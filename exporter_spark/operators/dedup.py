@@ -120,6 +120,14 @@ def hashed_shingles_sql(shingles_col: str) -> str:
     ONE md5 per shingle instead of one per (shingle × seed): at 32
     seeds that is a 32× cut of the digest work, the dominant cost of
     the signature stage.
+
+    Tradeoff vs per-seed md5: two distinct shingles collide in the
+    31-bit base hash with probability ~2⁻³¹, and such a collision
+    aliases them across ALL seeds (the old family collided per seed
+    independently). The aliasing can only merge shingles — it never
+    separates them — so LSH recall is unaffected and the only cost is
+    a vanishing rate of extra candidates, which the exact-Jaccard
+    verify stage discards; final output stays value-exact either way.
     """
     return (
         f"transform({shingles_col},"
@@ -189,6 +197,14 @@ def minhash_candidate_pairs(
 
     Shuffle volume is O(docs × bands) small triples; the quadratic
     blow-up is confined to same-bucket collisions.
+
+    Docs shorter than ``shingle_n`` are dropped BEFORE banding: their
+    shingle set is empty, so no pair containing one can ever pass the
+    Jaccard verify (0/0 ⇒ NULL ⇒ filtered) — but their all-NULL
+    signatures would otherwise share the single band hash md5('') in
+    every band, piling m short docs from a web corpus into one hot
+    bucket with ~m²/2 doomed candidates per band. The filter is
+    output-invariant and removes that skew hotspot.
     """
     rows_per_band = num_hashes // bands
     sigs = (
@@ -197,6 +213,7 @@ def minhash_candidate_pairs(
             F.col(id_col).alias("__id__"),
             char_shingles(text_col, shingle_n).alias("__sh__"),
         )
+        .filter(F.size("__sh__") > 0)
         .select("__id__", F.expr(hashed_shingles_sql("__sh__")).alias("__hs__"))
         .select(
             "__id__", minhash_over("__hs__", num_hashes, hashed=True).alias("__sig__")
