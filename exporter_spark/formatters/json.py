@@ -114,20 +114,44 @@ def _json_fragment(col, dt):
     matching ``_json_token``'s rendering (the fidelity serializer):
     Go-style shortest floats ("11", not "11.0") via the go-float UDF,
     RFC3339Nano timestamps, Jackson-escaped strings (extracted from
-    ``to_json(array(col))`` so escaping stays JVM-side). Nested
-    arrays/structs render via ``to_json``, which differs from the
-    fidelity serializer in two documented ways: map keys keep their
-    stored order (``_json_token`` sorts them) and floats INSIDE nested
-    values render Jackson-style ("11.0") rather than Go-style ("11").
-    Top-level float columns are exact (go_float_str); callers needing
-    byte parity on nested float arrays should use the fidelity path."""
+    ``to_json(array(col))`` so escaping stays JVM-side, with the
+    uppercase-hex control escapes Jackson emits folded to the fidelity
+    serializer's lowercase). Nested arrays/structs render via
+    ``to_json`` with NULL fields preserved (``ignoreNullFields`` is
+    false, matching the NDJSON writer path) and full-microsecond
+    timestamps; three documented divergences from the fidelity
+    serializer remain inside nested values: map keys keep their stored
+    order (``_json_token`` sorts them), floats render Jackson-style
+    ("11.0") rather than Go-style ("11"), and timestamp fractions are
+    zero-padded to six digits rather than zero-trimmed. Top-level
+    columns are exact; callers needing byte parity on nested
+    float/timestamp values should use the fidelity path."""
     from pyspark.sql import types as T
 
     from exporter_spark.functions.tostring import go_float_str
 
     def _quoted_escaped(c):
         j = F.to_json(F.array(c))  # ["escaped"] — strip the brackets
-        return j.substr(F.lit(2), F.length(j) - F.lit(2))
+        j = j.substr(F.lit(2), F.length(j) - F.lit(2))
+        # Jackson writes \\u-escaped control chars with UPPERCASE hex;
+        # the fidelity path's json.dumps writes lowercase. Only nine
+        # sequences can differ (\\b \\t \\n \\f \\r have short forms).
+        # A blind substring replace would also down-case literal text
+        # like "\\u000B" (whose backslash Jackson doubles), so first
+        # hide escaped-backslash pairs behind a sentinel: Jackson
+        # output contains no RAW control characters (they are all
+        # escaped), making \\x01 a collision-free choice. Gated on a
+        # cheap contains() probe — real text almost never carries raw
+        # control characters, so the fold chain almost never runs.
+        sentinel = "\x01"
+        folded = F.replace(j, F.lit("\\\\"), F.lit(sentinel))
+        for seq in ("000B", "000E", "000F", "001A", "001B", "001C", "001D",
+                    "001E", "001F"):
+            folded = F.replace(
+                folded, F.lit("\\u" + seq), F.lit("\\u" + seq.lower())
+            )
+        folded = F.replace(folded, F.lit(sentinel), F.lit("\\\\"))
+        return F.when(j.contains("\\u00"), folded).otherwise(j)
 
     if isinstance(dt, (T.StringType, T.BinaryType)):
         frag = _quoted_escaped(col)
@@ -159,7 +183,18 @@ def _json_fragment(col, dt):
     elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         frag = col.cast("string")
     elif isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
-        frag = F.to_json(col)
+        # NULL struct fields / map values must stay (the NDJSON writer
+        # path sets the same option); nested timestamps keep full
+        # microsecond precision (the default format truncates to
+        # milliseconds — silent data loss, not just rendering drift)
+        frag = F.to_json(
+            col,
+            {
+                "ignoreNullFields": "false",
+                "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+            },
+        )
     else:
         # every other scalar (Decimal included) mirrors _json_token's
         # fallthrough: the value's string form as a QUOTED JSON string
@@ -308,8 +343,11 @@ class JSONFormatter(BaseFormatter):
         lines = out.select(
             F.concat(F.lit("\n"), json_line_expr(out.schema, cols)).alias("value")
         )
-        lines.write.mode("overwrite").option("lineSep", ",").text(tmp)
         try:
+            # inside the cleanup scope: a failed distributed write (a
+            # NaN double raises in json_line_expr) must not leak the
+            # tmp parts directory
+            lines.write.mode("overwrite").option("lineSep", ",").text(tmp)
             fsio.splice_parts(
                 tmp,
                 out_file,

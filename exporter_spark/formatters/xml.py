@@ -199,26 +199,26 @@ class XMLFormatter(BaseFormatter):
     def write_single_part(self, df: DataFrame, path: str) -> None:
         """One complete XML document, formatted executor-side via the
         fast row-stream path, then wrapped with declaration + root on
-        promotion — byte-identical to the fidelity path's framing.
-        Empty input ⇒ empty file (xml.go:68-70 emits nothing)."""
-        import glob
-        import os
-        import shutil
+        assembly — byte-identical to the fidelity path's framing.
+        Parts splice JVM-side through the Hadoop FileSystem API
+        (object-store safe, like the JSON array and HTML assemblers;
+        name-ordered parts preserve a global order_by). Empty input ⇒
+        empty file (xml.go:68-70 emits nothing)."""
+        from exporter_spark import fsio
 
-        tmp_dir = path + "._spark_tmp"
-        self.write(df.coalesce(1), tmp_dir, documents=False)
-        parts = [p for p in glob.glob(f"{tmp_dir}/part-*") if not p.endswith(".crc")]
-        assert len(parts) == 1, parts
+        spark = df.sparkSession
         spec = self.spec
-        if os.path.getsize(parts[0]) == 0:
-            shutil.move(parts[0], path)
-        else:
-            with open(path + "._wrap_tmp", "w", encoding="utf-8", newline="") as dst:
-                if spec.declaration:
-                    dst.write(_DECLARATION)
-                dst.write(f"<{spec.root_tag}>\n")
-                with open(parts[0], "r", encoding="utf-8") as src:
-                    shutil.copyfileobj(src, dst)
-                dst.write(f"</{spec.root_tag}>\n")
-            os.replace(path + "._wrap_tmp", path)
-        shutil.rmtree(tmp_dir)
+        tmp_dir = path + "._spark_tmp"
+        try:
+            self.write(df, tmp_dir, documents=False)
+            prefix = (_DECLARATION if spec.declaration else "") + f"<{spec.root_tag}>\n"
+            fsio.splice_parts(
+                tmp_dir,
+                path,
+                prefix=prefix,
+                suffix=f"</{spec.root_tag}>\n",
+                spark=spark,
+            )
+        finally:
+            fs, jpath = fsio._fs_path(spark, tmp_dir)
+            fs.delete(jpath, True)

@@ -290,3 +290,83 @@ def test_json_array_nan_raises(spark, tmp_path):
     df = spark.createDataFrame([(1, float("nan"))], "id long, v double")
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         JSONFormatter(ExportSpec()).write_array_file(df, str(tmp_path / "nan.json"))
+
+
+def test_json_array_nan_cleans_tmp(spark, tmp_path):
+    """A failed distributed write must not leak the parts directory."""
+    import pytest
+
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame([(1, float("nan"))], "id long, v double")
+    target = str(tmp_path / "nan.json")
+    with pytest.raises(Exception):
+        JSONFormatter(ExportSpec()).write_array_file(df, target)
+    assert not os.path.exists(target + "._spark_parts")
+
+
+def test_json_array_nested_null_fields_and_timestamps(spark, tmp_path):
+    """Nested struct NULL fields must survive (Jackson's default drops
+    them) and nested timestamps must keep full microsecond precision
+    (the default to_json format truncates to milliseconds)."""
+    import datetime as dt
+
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame(
+        [(1, (None, 2), [dt.datetime(2024, 1, 2, 3, 4, 5, 123456)])],
+        "id long, s struct<a:long,b:long>, ts array<timestamp>",
+    )
+    spec = ExportSpec().with_order_by("id")
+    target = str(tmp_path / "nested.json")
+    JSONFormatter(spec).write_array_file(df, target)
+    got = open(target, encoding="utf-8").read()
+    assert '"s":{"a":null,"b":2}' in got
+    assert "123456" in got  # microseconds not truncated to .123
+
+
+def test_json_array_control_char_escape_case(spark, tmp_path):
+    """Jackson up-cases \\u escapes; the fidelity serializer's
+    json.dumps writes lowercase. The array path must byte-match the
+    fidelity stream on raw control characters AND must not touch
+    literal backslash-u text (whose backslash Jackson doubles)."""
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\x0bb"),  # raw vertical tab
+            (2, "x\x1a\x1a\x1ay"),  # adjacent identical escapes
+            (3, "lit \\u000B text"),  # literal text, case preserved
+            (4, "\\\\u000E"),  # doubled literal backslashes
+        ],
+        "id long, t string",
+    )
+    spec = ExportSpec().with_order_by("id")
+    target = str(tmp_path / "ctrl.json")
+    JSONFormatter(spec).write_array_file(df, target)
+    got = open(target, encoding="utf-8").read()
+    assert got == Exporter(df, "json", spec).write_string()
+    assert '"a\\u000bb"' in got
+    assert "\\u001a\\u001a\\u001a" in got
+    assert "lit \\\\u000B text" in got
+
+
+def test_xml_single_part_object_store_path(spark, sf_dir, tmp_path):
+    """write_single_part assembles through the Hadoop FS API — drive
+    it with an explicit file:-scheme path (the object-store-safe
+    route) and check byte parity with the fidelity stream, plus the
+    empty-input empty-file rule and tmp cleanup."""
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(40)
+    spec = ExportSpec().with_order_by("event_id")
+    target = str(tmp_path / "doc.xml")
+    XMLFormatter(spec).write_single_part(e, "file:" + target)
+    assert open(target, encoding="utf-8").read() == Exporter(
+        e, "xml", spec
+    ).write_string()
+    assert not os.path.exists(target + "._spark_tmp")
+
+    empty_target = str(tmp_path / "empty.xml")
+    XMLFormatter(spec).write_single_part(e.limit(0), "file:" + empty_target)
+    assert open(empty_target).read() == ""
