@@ -26,16 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Ensure at least default-parallelism partitions before heavy
-    map-side work. A small dimension table (or a single parquet file)
-    arrives as 1 partition and would serialize the whole hash/shingle
-    pipeline onto one core; a table that's already well-partitioned
-    (the 100 TB case) passes through untouched — no extra shuffle."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, *key_cols) if key_cols else df.repartition(p)
-    return df
+from exporter_spark.operators.partitioning import spread as _spread
 
 
 # ---------------------------------------------------------------- exact
@@ -58,8 +49,24 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 def hash_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
     """Dedup on a sha256 digest of the selected columns. At 100 TB the
-    win is shuffling 64-char digests instead of document bodies."""
-    digest = F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in cols]), 256)
+    win is shuffling 64-char digests instead of document bodies.
+
+    The digest input is an unambiguous encoding, not a separator
+    join: each column contributes ``n:`` for NULL or
+    ``v<len>:<value>`` otherwise. Length prefixes make column
+    boundaries collision-free even when values contain the would-be
+    separator, and the n/v tag keeps NULL distinct from the empty
+    string in EVERY position — concat_ws skips NULLs entirely, so
+    ("a", NULL) and (NULL, "a") would otherwise share a digest."""
+    parts = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        parts.append(
+            F.when(v.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
+            )
+        )
+    digest = F.sha2(F.concat(*parts), 256)
     out = df.withColumn("__digest__", digest)
     return exact_dedup(out, ["__digest__"], order_col).drop("__digest__")
 
@@ -453,12 +460,18 @@ def connected_components(
     """Cluster duplicate PAIRS into components: (id, component) where
     component = min id reachable through the pair graph.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(graph diameter) rounds (near-dup graphs are shallow — dup
-    clusters are cliques or short chains). Each round is one shuffle
-    on node id; the loop stops early at a fixed point, checked with a
-    cheap count. This is the standard Spark shape for the
+    Iterative min-label propagation WITH pointer jumping: each round
+    every node adopts the smallest label among itself, its neighbors,
+    and its current label's label (component-of-component — labels
+    are node ids, so the label table indexes itself). The jump step
+    halves the remaining distance to the component minimum every
+    round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — max_iter=20 covers diameters up to ~2^19, where
+    plain propagation would silently truncate a 30-link drift chain.
+    Each round is two joins on node id; the loop stops early at a
+    fixed point, checked with a cheap count, and RAISES if max_iter
+    rounds were not enough (truncated components are wrong answers,
+    not approximations). This is the standard Spark shape for the
     'keep one copy per duplicate cluster' stage after
     minhash/simhash/embedding pair generation.
     """
@@ -485,7 +498,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -494,6 +507,31 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # pointer jump: component := min(component, label(component)).
+        # Labels are monotonically non-increasing node ids, so the
+        # jump only ever improves; it is what turns O(diameter) rounds
+        # into O(log diameter). Engaged from round 2 only — near-dup
+        # graphs are usually cliques/short chains that fix-point in
+        # 2-3 plain rounds, and the jump is an extra join per round;
+        # anything still unconverged by then is a deep chain where
+        # doubling is the difference between 20 rounds sufficing and
+        # silent truncation.
+        if i < 2:
+            new_labels = stepped
+        else:
+            lut = stepped.select(
+                F.col("id").alias("__cid__"), F.col("component").alias("__cc__")
+            )
+            new_labels = (
+                stepped.join(lut, stepped.component == lut.__cid__, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__cc__"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         # localCheckpoint truncates the growing lineage — without it,
         # each iteration re-plans the whole history (exponential
         # plans). Checkpoint BEFORE the fixed-point count so the round
@@ -510,6 +548,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " — with pointer jumping that means a component diameter"
+            f" beyond ~2^{max_iter - 1}; raise max_iter"
+        )
     return labels
 
 
@@ -560,7 +604,13 @@ def _make_simhash_udf():
     import pandas as _pd
 
     def one(text):
-        toks = [t for t in _re.split(r"\s+", text) if t] if text else []
+        if text is None:
+            # match simhash32's SQL: split(NULL) propagates NULL, so a
+            # NULL text yields a NULL fingerprint (and drops out of
+            # the chunk join), NOT fingerprint 0 — which would pair
+            # every NULL-text doc with every empty-text doc
+            return None
+        toks = [t for t in _re.split(r"\s+", text) if t]
         if not toks:
             return 0
         h = _np.array(
@@ -605,7 +655,23 @@ def simhash_near_dup_pairs(
     ``num_tables`` 8-bit chunks; by pigeonhole, any pair within
     hamming ≤ num_tables-1 shares at least one exact chunk, so an
     exact equi-join per chunk finds all of them without O(n²).
+
+    The pigeonhole guarantee is a hard precondition, not a tuning
+    suggestion — both violations below would silently LOSE recall,
+    so they raise instead.
     """
+    if 32 % num_tables != 0:
+        raise ValueError(
+            f"num_tables={num_tables} must divide 32: uneven chunks would"
+            f" leave {32 % num_tables} fingerprint bits outside every table,"
+            " making pairs differing only there invisible"
+        )
+    if max_hamming > num_tables - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_tables >= {max_hamming + 1}"
+            " (pigeonhole: a pair within hamming h shares a chunk only when"
+            " the fingerprint is split into > h chunks)"
+        )
     fp = _spread(df, id_col).select(
         F.col(id_col).alias("__id__"), _simhash32_fast()(F.col(text_col)).alias("__fp__")
     )

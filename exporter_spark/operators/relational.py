@@ -44,8 +44,20 @@ def range_join(
     O(facts + intervals × span/bucket + true matches) — pick bucket
     near the typical interval length.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner' and 'left' (facts-preserving) are"
+            " supported — the interval side is exploded per overlapped"
+            " bucket, so right/full semantics would duplicate unmatched"
+            " intervals once per bucket"
+        )
     f = facts.withColumn("__b__", F.floor(F.col(fact_col) / bucket).cast("long"))
-    i = intervals.withColumn(
+    # An empty/reversed interval (hi <= lo) matches nothing under the
+    # half-open contract — and must be dropped BEFORE the explode:
+    # F.sequence with start > stop counts DOWN, so one corrupt row
+    # (lo=1e9, hi=0) would otherwise materialize a million-element
+    # bucket array instead of zero matches.
+    i = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__b__",
         F.explode(
             F.sequence(
@@ -81,6 +93,12 @@ def asof_join(
     latest right row with right_ts <= left_ts and equal ``on`` key;
     NULLs when no such row exists (left-join semantics). Equal
     timestamps match (right sorts before left at the same instant).
+
+    When several right rows share (key, right_ts), the winner is
+    deterministic but arbitrary: ties break on a hash of the right
+    payload, so repeated runs (and any partitioning) agree. A frame
+    has no inherent row order to honor — pandas merge_asof's
+    'last physical row wins' is not reproducible under a shuffle.
     """
     right_cols = right_cols or [c for c in right.columns if c != on]
 
@@ -113,7 +131,15 @@ def asof_join(
 
     w = (
         Window.partitionBy("__k__")
-        .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+        # tertiary key: to_json survives map-typed payload fields that
+        # struct comparison and direct hashing reject; NULL for left
+        # rows, whose relative order cannot affect any __match__
+        # (their __r__ is NULL and last() ignores it)
+        .orderBy(
+            F.col("__t__").asc(),
+            F.col("__side__").asc(),
+            F.xxhash64(F.to_json("__r__")).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

@@ -23,14 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Ensure ≥ default-parallelism partitions before per-row vector
-    math; pass through inputs that are already well-partitioned (no
-    shuffle added on the 100 TB path)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, *key_cols) if key_cols else df.repartition(p)
-    return df
+from exporter_spark.operators.partitioning import spread as _spread
 
 
 def dot(a: str, b: str) -> Column:
@@ -238,6 +231,19 @@ def cosine_topk_scan(
     sim — a superset of the rounded winners — and the final windowed
     rank reproduces cosine_topk's total order.
     """
+    from pyspark.sql import types as T
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # the kernel packs ids into an int64 ndarray for the
+        # self-exclusion compare; a string id would crash mid-scan and
+        # a fractional id would be silently truncated — fail at plan
+        # time with the contract instead
+        raise TypeError(
+            f"cosine_topk_scan requires an integral {id_col!r} column,"
+            f" got {id_type.simpleString()}; use cosine_topk (which keeps"
+            " the input id type) or add a surrogate integer id"
+        )
     q_rows = sorted(
         (r[0], r[1]) for r in queries.select(id_col, vec_col).collect()
     )

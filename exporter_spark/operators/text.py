@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from exporter_spark.operators.partitioning import spread
+
 # Marker stopwords per language for the n-gram/stopword lang-ID
 # heuristic. Chosen to be ASCII so Spark's Java regex and DuckDB's RE2
 # behave identically in the oracle.
@@ -169,7 +171,9 @@ def winnow_fingerprints(
     before its (tiny, fingerprint-keyed) shuffle. All primitives are
     engine-portable (md5 / substr / lpad / framed window min), so the
     operator is oracle-comparable; the rightmost-tie-break rides a
-    single sortable key: hash_hex || zero-padded (9999999 − pos).
+    single sortable key: hash_hex || zero-padded (2^31−1 − pos) —
+    10 digits, so any document Spark can hold (strings cap at 2 GB)
+    packs without underflow.
     """
     n = F.char_length(F.col("__t__")) - k + 1
     src = df.select(
@@ -179,9 +183,7 @@ def winnow_fingerprints(
     # BEFORE the O(len) k-gram explosion so it runs cluster-wide — and
     # since the spread partitioning matches the window's partitionBy,
     # the window adds no second exchange.
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < p:
-        src = src.repartition(p, id_col)
+    src = spread(src, id_col)
     grams = (
         src
         .select(
@@ -200,7 +202,7 @@ def winnow_fingerprints(
                 F.substring(
                     F.md5(F.expr(f"substring(__t__, __i__, {k})")), 1, 8
                 ),
-                F.lpad((F.lit(9999999) - F.col("__i__")).cast("string"), 7, "0"),
+                F.lpad((F.lit(2147483647) - F.col("__i__")).cast("string"), 10, "0"),
             ).alias("__wk__"),
         )
     )
@@ -210,7 +212,7 @@ def winnow_fingerprints(
         .filter(F.col("__i__") <= F.greatest(F.lit(1), F.col("__n__") - (w - 1)))
         .select(
             id_col,
-            (F.lit(9999999) - F.substring("__mn__", 9, 7).cast("long")).alias("pos"),
+            (F.lit(2147483647) - F.substring("__mn__", 9, 10).cast("long")).alias("pos"),
             F.substring("__mn__", 1, 8).alias("fp"),
         )
         .distinct()
@@ -578,13 +580,8 @@ def gopher_signals(
         raise ValueError(f"unknown kernel: {kernel!r}")
     # single-file inputs arrive as ONE partition; spread before the
     # Arrow batches so the scan parallelizes (no-op on already-
-    # partitioned input — the 100 TB case). Streaming DataFrames
-    # can't be introspected via .rdd (and micro-batches are already
-    # split by the source), so they pass through untouched.
-    if not df.isStreaming:
-        p = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < p:
-            df = df.repartition(p)
+    # partitioned input — the 100 TB case, and on streaming frames).
+    df = spread(df)
     s = df.select("*", _gopher_count_udf()(t).alias("__c__"))
     C = F.col("__c__")
     return s.select(

@@ -1942,7 +1942,7 @@ def pii_redaction_check(spark, sf_dir):
 def _winnow_oracle(k: int = 8, w: int = 8) -> str:
     """DuckDB replica of text.winnow_fingerprints: same normalization,
     same md5 k-gram hash, same framed window min over the sortable
-    hash||(9999999-pos) key, same short-doc handling."""
+    hash||(2^31-1-pos) key, same short-doc handling."""
     return f"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -1953,7 +1953,7 @@ def _winnow_oracle(k: int = 8, w: int = 8) -> str:
     grams AS (
       SELECT doc_id, n, i,
              substr(md5(substr(t, i::INT, {k})), 1, 8) ||
-             lpad(CAST(9999999 - i AS VARCHAR), 7, '0') AS wk
+             lpad(CAST(2147483647 - i AS VARCHAR), 10, '0') AS wk
       FROM base, unnest(generate_series(1, n)) AS u(i)),
     wins AS (
       SELECT doc_id, n, i,
@@ -1961,7 +1961,7 @@ def _winnow_oracle(k: int = 8, w: int = 8) -> str:
                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn
       FROM grams)
     SELECT DISTINCT doc_id,
-           CAST(9999999 - CAST(substr(mn, 9, 7) AS BIGINT) AS BIGINT) AS pos,
+           CAST(2147483647 - CAST(substr(mn, 9, 10) AS BIGINT) AS BIGINT) AS pos,
            substr(mn, 1, 8) AS fp
     FROM wins WHERE i <= greatest(1, n - {w - 1})
     """

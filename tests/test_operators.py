@@ -84,6 +84,27 @@ def test_hash_dedup(dup_docs):
     assert out.columns == ["doc_id", "text"]  # helper columns dropped
 
 
+def test_hash_dedup_digest_is_unambiguous(spark):
+    """Column boundaries and NULL position must be collision-free:
+    ("ab","c") vs ("a","bc"), ("a",NULL) vs (NULL,"a") vs ("a","")
+    are all distinct rows and must all survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "ab", "c"),
+            (2, "a", "bc"),
+            (3, "a", None),
+            (4, None, "a"),
+            (5, "a", ""),
+            (6, "a\x01b", "c"),  # value containing a would-be separator
+            (7, "a", "b\x01c"),
+            (8, "ab", "c"),  # true duplicate of row 1 — must collapse
+        ],
+        "id long, x string, y string",
+    )
+    out = dedup.hash_dedup(df, ["x", "y"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4, 5, 6, 7]
+
+
 def test_minhash_family_is_pinned(spark):
     """The universal-hash family is derived from a fixed seed; a
     silent seed/formula change would still pass the oracle tests
@@ -109,6 +130,31 @@ def test_minhash_pipeline(dup_docs):
     assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup always collides
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # near dup found
     assert all(a != 4 and b != 4 for a, b in got)  # unrelated not paired
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-link drift chain (diameter 29) must fully converge inside
+    the default max_iter=20 — pointer jumping makes rounds O(log d);
+    plain min-label propagation would silently truncate here."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "a_id long, b_id long"
+    )
+    comp = dedup.connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == 30
+    assert all(r["component"] == 1 for r in rows)
+
+
+def test_connected_components_raises_on_truncation(spark):
+    """Exhausting max_iter without a fixed point must be loud — a
+    truncated labeling is a wrong dedup, not an approximation."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
 
 
 def test_ngram_jaccard_pairs(dup_docs, spark):

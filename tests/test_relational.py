@@ -32,6 +32,43 @@ def test_asof_join_backward_inclusive(spark):
     assert got == {1: 100, 2: 101, 3: None}
 
 
+def test_asof_join_tie_is_deterministic(spark):
+    """Several right rows at the same (key, ts): the winner must not
+    depend on partitioning/shuffle order."""
+    left = spark.createDataFrame([(1, 1, 10)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 10, "c")], "k long, t long, v string"
+    )
+    got = {
+        asof_join(
+            left,
+            right.repartition(n),
+            on="k",
+            left_ts="t",
+            right_ts="t",
+            right_cols=["v"],
+        ).collect()[0]["v_asof"]
+        for n in (1, 2, 3, 5)
+    }
+    assert len(got) == 1  # same winner under every partitioning
+
+
+def test_range_join_rejects_unsupported_how_and_reversed_intervals(spark):
+    import pytest
+
+    facts = spark.createDataFrame([(5,)], "v long")
+    ivals = spark.createDataFrame([(10, 0), (0, 10)], "lo long, hi long")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(
+            facts, ivals, fact_col="v", lo_col="lo", hi_col="hi", bucket=5, how="right"
+        )
+    # the reversed interval (10, 0) must contribute nothing — and must
+    # not explode a descending bucket sequence
+    out = range_join(facts, ivals, fact_col="v", lo_col="lo", hi_col="hi", bucket=5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["lo"] == 0
+
+
 def test_range_join_half_open_and_multi_match(spark):
     facts = spark.createDataFrame([(1, 100), (2, 250), (3, 999)], "fid long, v long")
     ivals = spark.createDataFrame(
