@@ -79,7 +79,10 @@ def from_parquet(spark: SparkSession, path: str, table: str | None = None) -> Da
     # timestamp is value-preserving and matches DuckDB's naive reads.
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+            # backtick-quoted: a dotted column name must resolve as a
+            # column, not a struct-field path
+            ref = F.col("`" + field.name.replace("`", "``") + "`")
+            df = df.withColumn(field.name, ref.cast(T.TimestampType()))
     return tag_driver(df, "parquet")
 
 

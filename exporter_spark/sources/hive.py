@@ -37,7 +37,11 @@ def hive_session(app_name: str = "exporter_spark-hive") -> SparkSession:
 def from_hive(spark: SparkSession, table_or_sql: str) -> DataFrame:
     """Read a Hive table (db.tbl) or run HiveQL; requires a
     Hive-enabled session."""
+    import re
+
     s = table_or_sql.strip()
-    if s.lower().startswith(("select", "with")):
+    # word boundary: a table named "withdrawals" or "selections" is a
+    # table, not HiveQL
+    if re.match(r"(?i)^(select|with)\b", s):
         return tag_driver(dequalify_columns(spark.sql(s)), "hive")
     return tag_driver(dequalify_columns(spark.table(s)), "hive")

@@ -20,10 +20,15 @@ DRIVER_META_KEY = "exporter.driver"
 
 
 def tag_driver(df: DataFrame, name: str) -> DataFrame:
-    """Stamp every column with the originating driver name."""
+    """Stamp every column with the originating driver name. Column
+    references are backtick-quoted so names containing dots (a CSV
+    header like ``price.usd``) resolve as columns, not struct-field
+    paths."""
     return df.select(
         [
-            F.col(f.name).alias(f.name, metadata={**(f.metadata or {}), DRIVER_META_KEY: name})
+            F.col("`" + f.name.replace("`", "``") + "`").alias(
+                f.name, metadata={**(f.metadata or {}), DRIVER_META_KEY: name}
+            )
             for f in df.schema.fields
         ]
     )

@@ -75,6 +75,9 @@ def stream_export(
     """Continuous CSV/JSON export of a streaming DataFrame."""
     spec = spec or ExportSpec()
     out = apply_spec_streaming(df, spec)
+    if spec.custom_header is not None:
+        # same rename + arity check as the batch writers
+        out = out.toDF(*spec.header_names(df))
     writer = out.writeStream.format(fmt).outputMode("append")
     if fmt == "csv":
         writer = (
@@ -87,8 +90,19 @@ def stream_export(
             # escaping would diverge on fields containing quotes)
             .option("quote", '"')
             .option("escape", '"')
+            # Spark's write DEFAULT trims whitespace from unquoted
+            # fields — silent data corruption, never acceptable (same
+            # stance as the batch writer, formatters/csv.py)
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .option("lineSep", "\r\n" if spec.crlf else "\n")
         )
+    elif fmt == "json":
+        # display-string cells are the documented streaming design
+        # (module docstring), but NULL cells must still serialize as
+        # "col":null — the write default silently drops the key,
+        # unlike every batch JSON path
+        writer = writer.option("ignoreNullFields", "false")
     writer = writer.option("path", path).option(
         "checkpointLocation", checkpoint or f"{path}/_checkpoint"
     )
@@ -145,9 +159,16 @@ def windowed_counts(
 
 
 def streaming_dedup(df: DataFrame, keys: list[str], *, ts_col: str, watermark: str) -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon
-    (dropDuplicates with bounded state)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+    """Exactly-once-per-key within the watermark horizon, with
+    bounded state.
+
+    Uses ``dropDuplicatesWithinWatermark(keys)``: a retried producer
+    that re-emits the same key with a FRESH timestamp is still
+    deduplicated (plain ``dropDuplicates(keys + [ts_col])`` would
+    keep both rows — per-(key, ts) semantics, not per-key). State for
+    a key expires once the watermark passes its first-seen event time
+    plus the delay."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def sessionize(
@@ -181,8 +202,11 @@ def sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_minutes * 60_000_000)
+    # the key column keeps ITS OWN type — hardcoding long would kill
+    # the query at Arrow conversion for string/int32 keys
+    key_type = df.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        f"{user_col} {key_type}, session_start timestamp, session_end timestamp, "
         "n_events long, total_value double"
     )
     state_schema = "start long, last long, n long, total double"
@@ -210,7 +234,10 @@ def sessionize(
             return
 
         chunks = [pdf[[ts_col, value_col]] for pdf in pdf_iter]
-        ev = pd.concat(chunks).sort_values(ts_col)
+        # a NULL event time (NaT) cannot join any session — and
+        # .astype("int64") on NaT raises on modern pandas, killing
+        # the whole streaming query for one bad row
+        ev = pd.concat(chunks).dropna(subset=[ts_col]).sort_values(ts_col)
         ts_us = (ev[ts_col].astype("int64") // 1000).to_numpy()
         vals = ev[value_col].to_numpy()
 
@@ -227,7 +254,14 @@ def sessionize(
                 closed.append((start, last, n, total))
                 start, last, n, total = t, t, 1, v
             else:
-                last, n, total = max(last, t), n + 1, total + v
+                # a late out-of-order event may precede the recorded
+                # session start; the session must cover it
+                start, last = min(start, t), max(last, t)
+                n, total = n + 1, total + v
+        if start is None:
+            # every row in this batch had a NULL timestamp and no
+            # prior state exists — nothing to track or time out
+            return
         state.update((start, last, n, total))
         # event-time timeout at session_end + gap (clamped above the
         # current watermark: Spark rejects timeouts at/behind it)

@@ -247,3 +247,41 @@ def test_driver_tag_reaches_mappers_all_codecs(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS meta_test.region_t")
         spark.sql("DROP DATABASE IF EXISTS meta_test")
+
+
+def test_from_data_mixed_types_demote_to_display(spark):
+    """slice.go contract: later rows are validated for arity, not
+    type. A column whose later cells stray from the row-0 type is
+    demoted to string with per-cell Go display rendering."""
+    from exporter_spark.sources.data import from_data
+
+    # nil row-0 cell infers string; later int renders "5"
+    df = from_data(spark, [[None], [5]])
+    assert [r["column_0"] for r in df.collect()] == [None, "5"]
+    # long row-0, later float/bool: Go-style renders
+    df = from_data(spark, [[1], [2.5], [True]])
+    assert [r["column_0"] for r in df.collect()] == ["1", "2.5", "true"]
+    assert df.schema["column_0"].metadata["source_type"] == "int64"
+    # homogeneous columns keep their inferred type
+    df = from_data(spark, [[1, "a"], [2, "b"]])
+    assert df.schema["column_0"].dataType.simpleString() == "bigint"
+
+
+def test_tag_driver_dotted_column_name(spark):
+    from exporter_spark.sources.meta import driver_of, tag_driver
+
+    df = spark.createDataFrame([(1,)], ["x"]).withColumnRenamed("x", "price.usd")
+    tagged = tag_driver(df, "csv")
+    assert driver_of(tagged) == "csv"
+    assert tagged.columns == ["price.usd"]
+
+
+def test_from_hive_table_named_like_sql_keyword(spark):
+    from exporter_spark.sources.hive import from_hive
+
+    spark.createDataFrame([(1,)], ["a"]).createOrReplaceTempView("withdrawals")
+    try:
+        assert from_hive(spark, "withdrawals").count() == 1
+        assert from_hive(spark, "SELECT 2 AS b").first()["b"] == 2
+    finally:
+        spark.catalog.dropTempView("withdrawals")

@@ -190,3 +190,74 @@ def test_streaming_gopher_filter(spark, sf_dir, tmp_path):
         r["doc_id"] for r in text.gopher_filter(spark.read.parquet(src)).collect()
     )
     assert streamed == batch and streamed
+
+
+def test_streaming_dedup_per_key(spark, tmp_path):
+    """A retried producer re-emitting a key with a FRESH timestamp is
+    still deduplicated (per-key, not per-(key, ts))."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        [(1, t0, "a"), (1, t0 + dt.timedelta(seconds=5), "a-retry"), (2, t0, "b")],
+        "id long, ts timestamp, v string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    deduped = ss.streaming_dedup(stream, ["id"], ts_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    _wait(q)
+    rows = spark.sql("SELECT id FROM dedup_out").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_sessionize_string_key_null_ts_and_late_event(spark, tmp_path):
+    """Three hardening cases through the real engine: a non-long key
+    column, a NULL event time (must be ignored, not kill the query),
+    and a late cross-batch event EARLIER than the recorded session
+    start (the session must extend backwards to cover it)."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "sess2_src")
+    spark.createDataFrame(
+        [("u", t0, 1.0), ("u", t0 + 5 * m, 1.0), ("u", None, 9.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)  # distinct mod-times: the file source processes oldest first
+    spark.createDataFrame(
+        [("u", t0 - 2 * m, 1.0), ("u", t0 + 300 * m, 1.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema=schema, maxFilesPerTrigger="1"
+    )
+    sessions = ss.sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess2_ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions2_out").collect()
+    }
+    # the closed session covers the late 09:58 event (backward start),
+    # counts 3 events (NULL-ts row ignored), and the t0+5h event that
+    # closed it stays open in state
+    assert got == {("u", t0 - 2 * m, t0 + 5 * m, 3, 3.0)}
