@@ -44,7 +44,18 @@ def formatter(kind: str, spec: ExportSpec | None = None) -> BaseFormatter:
 class Exporter:
     def __init__(self, df: DataFrame, fmt: BaseFormatter | str, spec: ExportSpec | None = None):
         self.df = df
-        self.formatter = formatter(fmt, spec) if isinstance(fmt, str) else fmt
+        if isinstance(fmt, str):
+            self.formatter = formatter(fmt, spec)
+        else:
+            if spec is not None and spec is not fmt.spec:
+                # silently ignoring the spec would export with the
+                # formatter's own settings while the caller believes
+                # theirs applied (limits/filters dropped = wrong data)
+                raise ValueError(
+                    "pass the spec through the formatter instance"
+                    " (Formatter(spec)) or use a format name string"
+                )
+            self.formatter = fmt
 
     def write_string(self) -> str:
         """Single ordered byte stream — exporter.Write(w) analog."""

@@ -57,13 +57,17 @@ class BaseFormatter:
         """One output FILE via the distributed writer: coalesce(1),
         write, promote the lone part file to ``path``. Executor-side
         formatting (unlike the driver-streaming fidelity path), but
-        single-task — use for modest outputs that must be one file."""
-        import glob
-        import shutil
+        single-task — use for modest outputs that must be one file.
+        All IO through the Hadoop FS API, so scheme-qualified paths
+        (file:, hdfs:, s3a:) work — driver-local glob would silently
+        find nothing there."""
+        from exporter_spark import fsio
 
+        spark = df.sparkSession
         tmp = path + "._spark_tmp"
-        self.write(df.coalesce(1), tmp)
-        parts = [p for p in glob.glob(f"{tmp}/part-*") if not p.endswith(".crc")]
-        assert len(parts) == 1, parts
-        shutil.move(parts[0], path)
-        shutil.rmtree(tmp)
+        try:
+            self.write(df.coalesce(1), tmp)
+            fsio.splice_parts(tmp, path, spark=spark)
+        finally:
+            fs, jpath = fsio._fs_path(spark, tmp)
+            fs.delete(jpath, True)

@@ -118,6 +118,23 @@ class HTMLFormatter(BaseFormatter):
         fsio.write_text(f"{path}/_header.html", self._head(names, types), spark)
         fsio.write_text(f"{path}/_footer.html", self._FOOT, spark)
 
+    def write_single_part(self, df: DataFrame, path: str) -> None:
+        """One complete HTML DOCUMENT. The base implementation would
+        promote only the rows part and delete the skeleton sidecars —
+        HTML's framing lives in _header.html/_footer.html, so the
+        single-file form must assemble, honoring the lazy-header
+        empty rule."""
+        from exporter_spark import fsio
+
+        spark = df.sparkSession
+        tmp = path + "._spark_tmp"
+        try:
+            self.write(df.coalesce(1), tmp)
+            self.assemble(tmp, path, spark)
+        finally:
+            fs, jpath = fsio._fs_path(spark, tmp)
+            fs.delete(jpath, True)
+
     def assemble(self, parts_dir: str, out_file: str, spark=None) -> None:
         """Splice a ``write`` directory into one document, honoring
         the spec's lazy-header rule for empty results."""

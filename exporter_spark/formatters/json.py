@@ -208,6 +208,8 @@ def json_line_expr(schema, cols: list[str]):
     the executor-side twin of ``JSONFormatter._obj`` (same bytes,
     serialized in parallel instead of on the driver)."""
     by_name = {f.name: f.dataType for f in schema.fields}
+    if not cols:
+        return F.lit("{}")  # the '{' prefix below rides the first column
     parts = []
     for i, c in enumerate(cols):
         prefix = ("{" if i == 0 else ",") + json.dumps(c, ensure_ascii=False) + ":"
@@ -235,6 +237,15 @@ def _render_temporals(out: DataFrame) -> DataFrame:
         c = out[i]
         if isinstance(f.dataType, T.TimestampType):
             exprs.append(_rfc3339nano(c).alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # naive timestamps are trusted UTC (engine contract); the
+            # native writer would truncate to ms and omit the Z
+            exprs.append(
+                F.concat(
+                    F.replace(c.cast("string"), F.lit(" "), F.lit("T")), F.lit("Z")
+                ).alias(f.name)
+            )
             changed = True
         elif isinstance(f.dataType, T.DateType):
             exprs.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
@@ -272,13 +283,11 @@ class JSONFormatter(BaseFormatter):
             *[cols[i] for i in keep]
         )
 
-    def _obj(self, row, cols: list[str]) -> str:
-        names = sorted(cols) if self.spec.sort_keys else cols
+    def _obj(self, row, names: list[str], prefixes: list[str]) -> str:
         return (
             "{"
             + ",".join(
-                json.dumps(c, ensure_ascii=False) + ":" + _json_token(row[c])
-                for c in names
+                p + _json_token(row[c]) for p, c in zip(prefixes, names)
             )
             + "}"
         )
@@ -287,10 +296,13 @@ class JSONFormatter(BaseFormatter):
     def iter_chunks(self, df: DataFrame) -> Iterator[str]:
         spec = self.spec
         out = _render_temporals(self._dedup_columns(spec.compile_raw(df)))
-        cols = out.columns
+        # key order and the '"name":' prefixes are row-invariant —
+        # computed once, not per row of the single-stream loop
+        names = sorted(out.columns) if spec.sort_keys else out.columns
+        prefixes = [json.dumps(c, ensure_ascii=False) + ":" for c in names]
         first = True
         for row in out.toLocalIterator():
-            obj = self._obj(row, cols)
+            obj = self._obj(row, names, prefixes)
             if spec.newline_delimited:
                 yield obj + "\n"
             else:
@@ -316,6 +328,11 @@ class JSONFormatter(BaseFormatter):
         (
             writer
             .option("ignoreNullFields", "false")
+            # NESTED timestamps (structs/arrays/maps) are rendered by
+            # the writer, not _render_temporals; without these the
+            # default format truncates to milliseconds — data loss
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
             .json(path)
         )
 

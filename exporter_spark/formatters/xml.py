@@ -192,7 +192,12 @@ class XMLFormatter(BaseFormatter):
             .format("xml")
             .option("rootTag", spec.root_tag)
             .option("rowTag", spec.row_tag)
-            .option("declaration", 'version="1.0" encoding="UTF-8"')
+            # empty string suppresses the <?xml ...?> line — documents
+            # mode must honor spec.declaration like every other path
+            .option(
+                "declaration",
+                'version="1.0" encoding="UTF-8"' if spec.declaration else "",
+            )
             .save(path)
         )
 

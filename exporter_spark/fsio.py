@@ -118,6 +118,13 @@ def splice_parts(
         out.write(bytearray(prefix.encode("utf-8")))
         for i, (p_fs, p_jpath, n) in enumerate(sized):
             count = n - drop_last_bytes if i == len(sized) - 1 else n
+            if count < 0:
+                # commons-io copyLarge treats a NEGATIVE length as
+                # copy-to-EOF — the opposite of dropping bytes
+                raise ValueError(
+                    f"drop_last_bytes={drop_last_bytes} exceeds the last"
+                    f" part's {n} bytes"
+                )
             stream = p_fs.open(p_jpath)
             try:
                 io_commons.copyLarge(stream, out, 0, count)

@@ -370,3 +370,90 @@ def test_xml_single_part_object_store_path(spark, sf_dir, tmp_path):
     empty_target = str(tmp_path / "empty.xml")
     XMLFormatter(spec).write_single_part(e.limit(0), "file:" + empty_target)
     assert open(empty_target).read() == ""
+
+
+def test_html_single_part_is_complete_document(spark, sf_dir, tmp_path):
+    """write_single_part must assemble the skeleton sidecars, not
+    promote the bare rows part."""
+    from exporter_spark.formatters.html import HTMLFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(10)
+    spec = ExportSpec().with_order_by("event_id")
+    target = str(tmp_path / "doc.html")
+    HTMLFormatter(spec).write_single_part(e, target)
+    got = open(target, encoding="utf-8").read()
+    assert got == Exporter(e, "html", spec).write_string()
+    assert got.startswith("<!DOCTYPE html>") and got.rstrip().endswith("</html>")
+    assert not os.path.exists(target + "._spark_tmp")
+
+    # lazy-header rule: empty input => empty file
+    empty = str(tmp_path / "empty.html")
+    HTMLFormatter(
+        ExportSpec().with_order_by("event_id").with_header_when_no_data(False)
+    ).write_single_part(e.limit(0), empty)
+    assert open(empty).read() == ""
+
+
+def test_exporter_rejects_conflicting_spec(spark, sf_dir):
+    from exporter_spark.formatters.csv import CSVFormatter
+
+    e = load_table(spark, sf_dir, "events").limit(1)
+    import pytest
+
+    with pytest.raises(ValueError, match="formatter instance"):
+        Exporter(e, CSVFormatter(), ExportSpec().with_limit(5))
+    # same spec object through the formatter is fine
+    spec = ExportSpec()
+    Exporter(e, CSVFormatter(spec), spec).write_string()
+
+
+def test_ndjson_write_preserves_ntz_and_nested_micros(spark, tmp_path):
+    """The distributed NDJSON writer must not truncate temporal
+    precision: top-level NTZ renders like the fidelity path, nested
+    timestamps keep microseconds."""
+    import datetime as dt
+    import glob
+
+    from exporter_spark.formatters.json import JSONFormatter
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 3, 4, 5, 500000),
+          [dt.datetime(2024, 1, 2, 3, 4, 5, 123456)])],
+        "id long, nt timestamp_ntz, ts array<timestamp>",
+    )
+    out = str(tmp_path / "ndjson_out")
+    JSONFormatter(ExportSpec().with_newline_delimited(True)).write(df, out)
+    text = "".join(
+        open(p, encoding="utf-8").read()
+        for p in sorted(glob.glob(f"{out}/part-*"))
+        if not p.endswith(".crc")
+    )
+    assert '"nt":"2024-01-02T03:04:05.5Z"' in text
+    assert "123456" in text  # nested micros survive
+
+
+def test_splice_parts_rejects_overlong_drop(spark, tmp_path):
+    import pytest
+
+    from exporter_spark import fsio
+
+    d = str(tmp_path / "parts")
+    os.makedirs(d)
+    open(f"{d}/part-00000", "w").write("x")
+    with pytest.raises(ValueError, match="exceeds"):
+        fsio.splice_parts(d, str(tmp_path / "out"), drop_last_bytes=2, spark=spark)
+
+
+def test_xml_documents_mode_honors_declaration_off(spark, sf_dir, tmp_path):
+    import glob
+
+    from exporter_spark.formatters.xml import XMLFormatter
+
+    import dataclasses
+
+    e = load_table(spark, sf_dir, "events").limit(5)
+    spec = dataclasses.replace(ExportSpec(), declaration=False)
+    out = str(tmp_path / "xml_docs")
+    XMLFormatter(spec).write(e.coalesce(1), out, documents=True)
+    part = [p for p in glob.glob(f"{out}/part-*") if not p.endswith(".crc")][0]
+    assert not open(part, encoding="utf-8").read().startswith("<?xml")
