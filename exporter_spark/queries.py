@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from exporter_spark.formatters.csv import GO_SPACE_CHARS
 from exporter_spark.functions.tostring import display_columns, display_expr
 from exporter_spark.operators import dedup, retrieval, sampling, similarity, text
 from exporter_spark.operators import multimodal
@@ -1357,16 +1358,82 @@ def approx_distinct_events(spark, sf_dir):
 # =====================================================================
 
 
+# The display-string SQL fragments shared by the tostring and
+# formatter-semantics oracles — DuckDB replicas of
+# functions/tostring.display_expr.
+#
+# Timestamp: RFC3339Nano with trailing fractional zeros trimmed, plus
+# Go's zero-time rule (tostring.go:67-69: IsZero() => NULL cell).
+_DUCK_TS = (
+    "CASE WHEN ts = TIMESTAMP '0001-01-01 00:00:00' THEN NULL "
+    "ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') || CASE WHEN microsecond(ts) % 1000000 = 0 "
+    "THEN '' ELSE '.' || regexp_replace(printf('%06d', microsecond(ts) % 1000000), "
+    "'0+$', '') END || 'Z' END"
+)
+
+
+def _duck_go_float(v: str) -> str:
+    """DuckDB replica of strconv.FormatFloat(x, 'f', -1, 64) — Go's
+    shortest-round-trip digits rendered in fixed notation, never
+    scientific (the ``float_mode="go"`` display path, tostring.go:71-74).
+
+    Exact for NULL / NaN / ±Inf / ±0 (sign preserved), every integral
+    double, and any value DuckDB renders in scientific notation (the
+    mantissa carries the shortest digits; the expression re-renders
+    them fixed) or with <= 15 significant digits in fixed notation.
+    Known residual divergence: non-integral values with 16-17
+    significant digits AND |x| >~ 1e13, where DuckDB's own
+    fixed-notation renderer is not shortest-round-trip (e.g. the
+    double nearest 12345678901234.566 prints as ...568) — outside the
+    generator's value domain and documented here rather than papered
+    over.
+    """
+    s = f"CAST({v} AS VARCHAR)"
+    man = f"split_part({s}, 'e', 1)"
+    expn = f"CAST(split_part({s}, 'e', 2) AS INTEGER)"
+    sign = f"CASE WHEN {s} LIKE '-%' THEN '-' ELSE '' END"
+    digits = f"replace(replace({man}, '-', ''), '.', '')"
+    # scientific 'd.ddde±XX' -> fixed: place the decimal point at
+    # digit position 1+exp, zero-padding either side as needed
+    sci_fixed = (
+        f"CASE WHEN {expn} < 0 "
+        f"THEN {sign} || '0.' || repeat('0', -{expn} - 1) || {digits} "
+        f"WHEN length({digits}) <= {expn} + 1 "
+        f"THEN {sign} || {digits} || repeat('0', {expn} + 1 - length({digits})) "
+        f"ELSE {sign} || substr({digits}, 1, {expn} + 1) || '.' "
+        f"|| substr({digits}, {expn} + 2) END"
+    )
+    strip_dot0 = (
+        f"CASE WHEN {s} LIKE '%.0' THEN substr({s}, 1, length({s}) - 2) ELSE {s} END"
+    )
+    return (
+        f"CASE WHEN {v} IS NULL THEN NULL "
+        f"WHEN isnan({v}) THEN 'NaN' "
+        f"WHEN isinf({v}) THEN CASE WHEN {v} > 0 THEN '+Inf' ELSE '-Inf' END "
+        # %g keeps the sign of negative zero, matching Go's "-0"
+        f"WHEN {v} = 0 THEN printf('%g', {v}) "
+        # below 2^53 integral doubles ARE their integer (shortest =
+        # exact); above, shortest may drop digits, so use the
+        # renderer's shortest digits instead of a BIGINT cast
+        f"WHEN {v} = trunc({v}) THEN "
+        f"CASE WHEN abs({v}) < 9007199254740992.0 "
+        f"THEN CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+        f"WHEN instr({s}, 'e') = 0 THEN {strip_dot0} "
+        f"ELSE {sci_fixed} END "
+        f"WHEN instr({s}, 'e') = 0 THEN {s} "
+        f"ELSE {sci_fixed} END"
+    )
+
+
+_DUCK_VAL = _duck_go_float("value")
+
+
 @_register(
     "tostring_events",
-    """
+    f"""
     SELECT CAST(event_id AS VARCHAR) AS event_id,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
-             CASE WHEN microsecond(ts) % 1000000 = 0 THEN ''
-                  ELSE '.' || regexp_replace(printf('%06d', microsecond(ts) % 1000000), '0+$', '')
-             END || 'Z' AS ts_str,
-           CASE WHEN value = trunc(value) THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
-                ELSE CAST(value AS VARCHAR) END AS value_str,
+           {_DUCK_TS} AS ts_str,
+           {_DUCK_VAL} AS value_str,
            event_type, props
     FROM events
     """,
@@ -1385,27 +1452,22 @@ def tostring_events(spark, sf_dir):
     )
 
 
-# The display-string SQL fragments shared by the formatter-semantics
-# oracles (same expressions as the tostring_events oracle).
-_DUCK_TS = (
-    "strftime(ts, '%Y-%m-%dT%H:%M:%S') || CASE WHEN microsecond(ts) % 1000000 = 0 "
-    "THEN '' ELSE '.' || regexp_replace(printf('%06d', microsecond(ts) % 1000000), "
-    "'0+$', '') END || 'Z'"
-)
-_DUCK_VAL = (
-    "CASE WHEN value = trunc(value) THEN CAST(CAST(value AS BIGINT) AS VARCHAR) "
-    "ELSE CAST(value AS VARCHAR) END"
-)
+# Go unicode.IsSpace leading-rune quoting set — the same 21
+# characters csv_field_expr checks, kept in one place.
+_GO_SPACE_IN = ", ".join(f"chr({ord(c)})" for c in GO_SPACE_CHARS)
 
 
 def _duck_csv_q(expr: str) -> str:
     """DuckDB replica of formatters.csv.csv_field_expr (delimiter ','
-    and null string '')."""
+    and null string ''): quote when the field contains the delimiter,
+    a quote, or CR/LF, when its FIRST rune is in Go's unicode.IsSpace
+    set (all 21 GO_SPACE_CHARS, not just space/tab), or when it is
+    the literal ``\\.``."""
     s = f"coalesce({expr}, '')"
     return (
         f"CASE WHEN instr({s}, ',') > 0 OR instr({s}, '\"') > 0 "
         f"OR instr({s}, chr(13)) > 0 OR instr({s}, chr(10)) > 0 "
-        f"OR substr({s}, 1, 1) IN (' ', chr(9)) OR {s} = '\\.' "
+        f"OR substr({s}, 1, 1) IN ({_GO_SPACE_IN}) OR {s} = '\\.' "
         f"THEN '\"' || replace({s}, '\"', '\"\"') || '\"' ELSE {s} END"
     )
 
@@ -1423,21 +1485,25 @@ def _duck_xml_esc(expr: str) -> str:
     return out
 
 
-_EV_DISPLAY = [
-    ("event_id", "CAST(event_id AS VARCHAR)"),
-    ("ts", _DUCK_TS),
-    ("user_id", "CAST(user_id AS VARCHAR)"),
-    ("event_type", "event_type"),
-    ("value", _DUCK_VAL),
-    ("props", "props"),
-]
+# Display-string subquery shared by the CSV/XML record oracles: the
+# (large) value/timestamp expressions are rendered ONCE here, and the
+# quoting/escaping layers below reference plain column names.
+_EV_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_EV_DISPLAY_SQL = (
+    "SELECT CAST(event_id AS VARCHAR) AS event_id, "
+    f"{_DUCK_TS} AS ts, "
+    "CAST(user_id AS VARCHAR) AS user_id, "
+    "event_type, "
+    f"{_DUCK_VAL} AS value, "
+    "props FROM events"
+)
 
 
 @_register(
     "csv_lines_events",
     "SELECT "
-    + " || ',' || ".join(_duck_csv_q(e) for _, e in _EV_DISPLAY)
-    + " AS line FROM events",
+    + " || ',' || ".join(_duck_csv_q(c) for c in _EV_COLS)
+    + f" AS line FROM ({_EV_DISPLAY_SQL}) ev",
 )
 def csv_lines_events(spark, sf_dir):
     """The CSV sink's record semantics (Go quoting + tostring display
@@ -1454,13 +1520,14 @@ def csv_lines_events(spark, sf_dir):
 
 def _xml_rows_oracle() -> str:
     parts = []
-    for name, expr in _EV_DISPLAY:
+    for name in _EV_COLS:
         parts.append(
-            f"CASE WHEN ({expr}) IS NULL THEN '' "
-            f"ELSE '<{name}>' || {_duck_xml_esc(expr)} || '</{name}>' END"
+            f"CASE WHEN {name} IS NULL THEN '' "
+            f"ELSE '<{name}>' || {_duck_xml_esc(name)} || '</{name}>' END"
         )
     return (
-        "SELECT '<row>' || " + " || ".join(parts) + " || '</row>' AS xml_row FROM events"
+        "SELECT '<row>' || " + " || ".join(parts)
+        + f" || '</row>' AS xml_row FROM ({_EV_DISPLAY_SQL}) ev"
     )
 
 
@@ -1726,21 +1793,30 @@ def int8_ann_topk(spark, sf_dir):
     return similarity.int8_topk(e, q, k=5)
 
 
-@_register(
-    "unigram_lm_scores",
-    """
-    WITH toks AS (
+# Self-trained unigram LM scoring (tokenize -> corpus vocab ->
+# per-doc mean log10 probability) — ONE copy, shared by the
+# unigram_lm_scores / lm_quality_buckets / lang_token_budget oracles
+# so the decimal staging and tokenization can never drift apart.
+_LM_SCORES_SQL = """toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents WHERE trim(text) <> ''),
     toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
     vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
-    SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
-                      AS DOUBLE) / COUNT(*), 6) AS lm_score
-    FROM toks2 JOIN vocab USING (tok), tot
-    GROUP BY doc_id
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lm_scores AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM toks2 JOIN vocab USING (tok), tot
+      GROUP BY doc_id)"""
+
+
+@_register(
+    "unigram_lm_scores",
+    f"""
+    WITH {_LM_SCORES_SQL}
+    SELECT doc_id, n_tokens, lm_score FROM lm_scores
     """,
 )
 def unigram_lm_scores(spark, sf_dir):
@@ -2146,14 +2222,28 @@ _NGRAM = dict(shingle_n=8, threshold=0.6)
            ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
     FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+      ON a.lang IS NOT DISTINCT FROM b.lang
+     AND a.len_band IS NOT DISTINCT FROM b.len_band
+     AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_NGRAM["threshold"]}
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
+    # NULL lang / NULL n_chars get explicit sentinel tokens so the
+    # blocking key is injective per (lang, band) under IS NOT DISTINCT
+    # FROM semantics — concat_ws alone SKIPS NULLs, which would let a
+    # NULL-lang doc's key collide with a numeric lang value's key.
     d = load_table(spark, sf_dir, "documents").withColumn(
-        "blk", F.concat_ws("|", F.col("lang"), (F.col("n_chars") / 100).cast("int"))
+        "blk",
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("lang"), F.lit("\x00null")),
+            F.coalesce(
+                (F.col("n_chars") / 100).cast("int").cast("string"),
+                F.lit("\x00null"),
+            ),
+        ),
     )
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", "blk", shingle_n=_NGRAM["shingle_n"],
@@ -2161,20 +2251,26 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-def _dedup_clusters_oracle() -> str:
-    """Transitive closure of the minhash pair graph via a recursive
-    CTE — the SQL mirror of the iterative min-label propagation in
-    operators.dedup.connected_components."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+# Transitive closure of the minhash pair graph — the SQL mirror of
+# the iterative min-label propagation in
+# operators.dedup.connected_components. ONE copy, composed (after a
+# `WITH RECURSIVE pairs AS (...)` head) by every oracle that builds
+# on components, so an edit here cannot silently decouple them.
+_CC_SQL = """edges AS (SELECT a_id AS s, b_id AS d FROM pairs
               UNION SELECT b_id, a_id FROM pairs),
     reach(id, r) AS (
       SELECT s, s FROM edges
       UNION
       SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
-    )
-    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)"""
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    {_CC_SQL}
+    SELECT id, component FROM comp
     """
 
 
@@ -2190,14 +2286,7 @@ def dedup_clusters(spark, sf_dir):
 def _minhash_survivors_oracle() -> str:
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-              UNION SELECT b_id, a_id FROM pairs),
-    reach(id, r) AS (
-      SELECT s, s FROM edges
-      UNION
-      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
-    ),
-    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    {_CC_SQL}
     SELECT d.doc_id, d.lang, d.source FROM documents d
     WHERE NOT EXISTS (
       SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.component <> c.id)
@@ -2280,29 +2369,9 @@ _COSINE_SQL = (
     " (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
 )
 
-
-@_register(
-    "cosine_topk",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT query_id, neighbor_id, sim, rank FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_SQL.replace('a.v','a.v').replace('b.v','b.v')} AS sim,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rank
-      FROM e a JOIN e b ON a.vec_id != b.vec_id
-      WHERE a.vec_id < 10)
-    WHERE rank <= 5
-    """,
-)
-def cosine_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk(e, q, k=5)
-
-
-@_register(
-    "cosine_topk_scan",
-    f"""
+# cosine_topk and cosine_topk_scan are two physical strategies for
+# the SAME logical query, so they share ONE oracle string.
+_COSINE_TOPK_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT query_id, neighbor_id, sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_SQL} AS sim,
@@ -2311,8 +2380,17 @@ def cosine_topk(spark, sf_dir):
       FROM e a JOIN e b ON a.vec_id != b.vec_id
       WHERE a.vec_id < 10)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@_register("cosine_topk", _COSINE_TOPK_ORACLE)
+def cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+@_register("cosine_topk_scan", _COSINE_TOPK_ORACLE)
 def cosine_topk_scan(spark, sf_dir):
     """Matrix-scan exact tier: same answer as cosine_topk, shuffle
     volume O(k·queries·batches) instead of corpus × queries pairs."""
@@ -2840,23 +2918,11 @@ def dsir_importance_weights(spark, sf_dir):
 
 @_register(
     "lm_quality_buckets",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-      FROM documents WHERE trim(text) <> ''),
-    toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
-    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    scores AS (
-      SELECT doc_id,
-             ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
-                        AS DOUBLE) / COUNT(*), 6) AS lm_score
-      FROM toks2 JOIN vocab USING (tok), tot
-      GROUP BY doc_id),
+    f"""
+    WITH {_LM_SCORES_SQL},
     wl AS (
       SELECT s.doc_id, s.lm_score, d.lang
-      FROM scores s JOIN documents d USING (doc_id)),
+      FROM lm_scores s JOIN documents d USING (doc_id)),
     tiers AS (
       SELECT lang, lm_score,
              CAST(ntile(3) OVER (PARTITION BY lang
@@ -3030,7 +3096,7 @@ def exact_substring_strip(spark, sf_dir):
                    CAST(floor(ROUND(wt / mx, 6) * 4294967296.0) AS BIGINT) AS t
             FROM w, m),
     kept AS (
-      SELECT q.* FROM quality q JOIN thr USING (source)
+      SELECT q.* FROM quality q JOIN thr ON q.source IS NOT DISTINCT FROM thr.source
       WHERE ('0x' || substr(md5('mixv1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             < thr.t)
     SELECT source, lang, COUNT(*) AS n_docs,
@@ -3104,7 +3170,7 @@ def value_percentiles(spark, sf_dir):
     SELECT d.source,
            MIN(p.cnt) AS n_total,
            COUNT(*) AS n_kept
-    FROM documents d JOIN p USING (source)
+    FROM documents d JOIN p ON d.source IS NOT DISTINCT FROM p.source
     WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < p.thr
     GROUP BY d.source
     """,
@@ -3116,11 +3182,12 @@ def temperature_mixture_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
     kept = sampling.temperature_mixture(d, "source", alpha=0.5)
+    agg = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    # eqNullSafe so a NULL-source bucket (kept by temperature_mixture's
+    # NULL-bucket rule) survives this reporting join too
     return (
-        kept.groupBy("source")
-        .agg(F.count("*").alias("n_kept"))
-        .join(F.broadcast(totals), "source")
-        .select("source", "n_total", "n_kept")
+        agg.join(F.broadcast(totals), agg["source"].eqNullSafe(totals["source"]))
+        .select(agg["source"], "n_total", "n_kept")
     )
 
 
@@ -3247,23 +3314,11 @@ def bigram_lm_scores(spark, sf_dir):
 
 @_register(
     "lang_token_budget",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-      FROM documents WHERE trim(text) <> ''),
-    toks2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
-    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    scores AS (
-      SELECT doc_id, COUNT(*) AS n_tokens,
-             ROUND(CAST(SUM(CAST(log10(cnt::DOUBLE / total) AS DECIMAL(18,9)))
-                        AS DOUBLE) / COUNT(*), 6) AS lm_score
-      FROM toks2 JOIN vocab USING (tok), tot
-      GROUP BY doc_id),
+    f"""
+    WITH {_LM_SCORES_SQL},
     wl AS (
       SELECT s.doc_id, s.n_tokens, s.lm_score, d.lang
-      FROM scores s JOIN documents d USING (doc_id)),
+      FROM lm_scores s JOIN documents d USING (doc_id)),
     c AS (
       SELECT lang, doc_id, n_tokens, lm_score,
              CAST(SUM(n_tokens) OVER (PARTITION BY lang
@@ -3297,14 +3352,7 @@ def lang_token_budget(spark, sf_dir):
     "dedup_cluster_sizes",
     f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-              UNION SELECT b_id, a_id FROM pairs),
-    reach(id, r) AS (
-      SELECT s, s FROM edges
-      UNION
-      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
-    ),
-    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    {_CC_SQL},
     sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
     SELECT sz AS cluster_size, COUNT(*) AS n_clusters
     FROM sizes GROUP BY sz
