@@ -214,13 +214,20 @@ def minhash_candidate_pairs(
     output-invariant and removes that skew hotspot.
     """
     rows_per_band = num_hashes // bands
+    # The short-doc guard as a RAW-TEXT length predicate, applied
+    # before the spread so dropped docs never shuffle. Equivalent to
+    # filtering size(shingles) > 0 — shingle_sql yields an empty array
+    # iff length(text) < n, and NULL text fails both forms — but a
+    # size() predicate on the computed column made Catalyst evaluate
+    # the transform+array_distinct expression twice (filter + the
+    # downstream projection): measured +35% on the whole pair pipeline
+    # at sf0.1 (4.1s -> 5.5s).
     sigs = (
-        _spread(df, id_col)
+        _spread(df.filter(F.length(F.col(text_col)) >= shingle_n), id_col)
         .select(
             F.col(id_col).alias("__id__"),
             char_shingles(text_col, shingle_n).alias("__sh__"),
         )
-        .filter(F.size("__sh__") > 0)
         .select("__id__", F.expr(hashed_shingles_sql("__sh__")).alias("__hs__"))
         .select(
             "__id__", minhash_over("__hs__", num_hashes, hashed=True).alias("__sig__")
