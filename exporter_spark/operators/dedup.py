@@ -885,10 +885,20 @@ def exact_substring_spans(
     """
     toks = _spread(df, id_col).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__l__")
-    ).filter(F.size("__l__") >= k)
+    )
+    # The short-doc cut lives INSIDE the explode argument (empty array
+    # ⇒ zero output rows) instead of a separate size() Filter — a
+    # Filter on the computed column would be pushed through the
+    # projection and re-evaluate the split per row (the same
+    # double-eval trap measured on the minhash shingle guard).
     grams = toks.select(
         id_col,
-        F.explode(F.expr(f"sequence(1, size(__l__) - {k} + 1)")).alias("i"),
+        F.explode(
+            F.expr(
+                f"if(size(__l__) >= {k},"
+                f" sequence(1, size(__l__) - {k} + 1), array())"
+            )
+        ).alias("i"),
         "__l__",
     ).select(
         id_col,

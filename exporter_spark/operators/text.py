@@ -787,10 +787,16 @@ def bigram_lm_scores(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda x: x != F.lit(""),
         ).alias("__l__"),
-    ).filter(F.size("__l__") >= 2)
+    )
+    # <2-token docs are cut inside the explode argument (empty array
+    # ⇒ zero rows) rather than a size() Filter, which Catalyst would
+    # push through the projection and re-evaluate the tokenization
+    # per row (the minhash shingle-guard double-eval trap).
     bi = toks.select(
         id_col,
-        F.explode(F.expr("sequence(1, size(__l__) - 1)")).alias("__i__"),
+        F.explode(
+            F.expr("if(size(__l__) >= 2, sequence(1, size(__l__) - 1), array())")
+        ).alias("__i__"),
         "__l__",
     ).select(
         id_col,
