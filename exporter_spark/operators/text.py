@@ -178,20 +178,28 @@ def winnow_fingerprints(
     n = F.char_length(F.col("__t__")) - k + 1
     src = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__t__")
-    ).filter(F.char_length(F.col("__t__")) >= k)
+    )
     # single-file inputs arrive as ONE partition; hash-spread on the id
     # BEFORE the O(len) k-gram explosion so it runs cluster-wide — and
     # since the spread partitioning matches the window's partitionBy,
     # the window adds no second exchange.
     src = spread(src, id_col)
+    # too-short docs are cut by an EMPTY posexplode argument rather
+    # than a char_length() Filter on the computed column — Catalyst
+    # would push such a filter through the projection and evaluate
+    # the normalize_text regexp chain twice per row (the minhash
+    # shingle-guard double-eval trap).
     grams = (
         src
         .select(
             id_col,
             n.alias("__n__"),
-            F.posexplode(F.expr(f"sequence(1, char_length(__t__) - {k} + 1)")).alias(
-                "__x__", "__i__"
-            ),
+            F.posexplode(
+                F.expr(
+                    f"if(char_length(__t__) >= {k},"
+                    f" sequence(1, char_length(__t__) - {k} + 1), array())"
+                )
+            ).alias("__x__", "__i__"),
             F.col("__t__"),
         )
         .select(
