@@ -1377,18 +1377,28 @@ def _duck_go_float(v: str) -> str:
     shortest-round-trip digits rendered in fixed notation, never
     scientific (the ``float_mode="go"`` display path, tostring.go:71-74).
 
-    Exact for NULL / NaN / ±Inf / ±0 (sign preserved), every integral
-    double, and any value DuckDB renders in scientific notation (the
-    mantissa carries the shortest digits; the expression re-renders
-    them fixed) or with <= 15 significant digits in fixed notation.
-    Known residual divergence: non-integral values with 16-17
-    significant digits AND |x| >~ 1e13, where DuckDB's own
-    fixed-notation renderer is not shortest-round-trip (e.g. the
-    double nearest 12345678901234.566 prints as ...568) — outside the
-    generator's value domain and documented here rather than papered
-    over.
+    DuckDB's own double→VARCHAR is NOT shortest-round-trip in its
+    fixed-notation regime (~3% of full-precision doubles lose their
+    last digit, e.g. the double nearest -940.4055611238593 prints as
+    ...592), so the digits come from the classic shortest-digits
+    construction instead: the first of printf('%.15g'/'%.16g'/'%.17g')
+    whose round-trip CAST equals the value — correct rounding makes
+    that string's digits the unique shortest form. The CASE below then
+    re-renders fixed (zero-padding around the decimal point for
+    scientific forms). Exact for NULL / NaN / ±Inf / ±0 (sign
+    preserved), every integral double, and every NORMAL double
+    (fuzz-pinned against the Python/Go shortest-repr reference in
+    tests/test_degenerate_oracle_parity.py). Out of domain:
+    subnormals (|x| < 2.2e-308), where the half-ulp window is wide
+    enough that a non-shortest 15-digit string can round-trip.
     """
-    s = f"CAST({v} AS VARCHAR)"
+    s = (
+        f"CASE WHEN CAST(printf('%.15g', {v}) AS DOUBLE) = {v} "
+        f"THEN printf('%.15g', {v}) "
+        f"WHEN CAST(printf('%.16g', {v}) AS DOUBLE) = {v} "
+        f"THEN printf('%.16g', {v}) "
+        f"ELSE printf('%.17g', {v}) END"
+    )
     man = f"split_part({s}, 'e', 1)"
     expn = f"CAST(split_part({s}, 'e', 2) AS INTEGER)"
     sign = f"CASE WHEN {s} LIKE '-%' THEN '-' ELSE '' END"

@@ -45,6 +45,11 @@ _EVENTS = [
     (11, _TS, 19, "z", 1e-4, " f"),
     (12, _TS, 20, "w", 1e15 + 2.0, "-1.5e-7 next"),
     (13, _TS, 21, "v", -1.5e-7, None),
+    # 16-17-significant-digit values DuckDB's own fixed renderer gets
+    # wrong — covered since the oracle moved to printf-shortest digits
+    (14, _TS, 22, "a", 12345678901234.566, None),
+    (15, _TS, 23, "b", 0.30000000000000004, "x"),
+    (16, _TS, 24, "c", -940.4055611238593, "y"),
 ]
 
 _LONG_A = " ".join(f"tok{i % 7}word{i}" for i in range(30))
@@ -144,6 +149,51 @@ def test_degenerate_parity(spark, degen_con, degen_dir, name):
     sset, dset = _rowset(sdf.columns, srows), _rowset(rel.columns, drows)
     mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_duck_go_float_fuzz_vs_python_reference():
+    """The _duck_go_float oracle expression must agree with the
+    Python/Go shortest-round-trip fixed rendering (_go_fixed_repr —
+    itself hypothesis-pinned to the numpy kernel the Spark side runs)
+    on every NORMAL double. Deterministic multi-regime fuzz: uniform,
+    log-uniform across magnitudes, exact integers, and raw 64-bit
+    patterns."""
+    import math
+    import random
+    import struct
+
+    import pandas as pd  # noqa: F401 — registered as a DuckDB view
+
+    from exporter_spark.functions.tostring import _go_fixed_repr
+    from exporter_spark.queries import _duck_go_float
+
+    rnd = random.Random(0xF10A7)
+    vals = [0.0, -0.0, 1e19, 2.0**60, 9007199254740994.0, 1e15 + 2.0,
+            1e-7, -1.5e-7, 0.1, 1.7976931348623157e308, 2.2250738585072014e-308]
+    for _ in range(4000):
+        r = rnd.randrange(4)
+        if r == 0:
+            v = rnd.uniform(-1e3, 1e3)
+        elif r == 1:
+            v = rnd.uniform(-1, 1) * 10 ** rnd.randrange(-30, 30)
+        elif r == 2:
+            v = float(rnd.randrange(-(10**18), 10**18))
+        else:
+            v = struct.unpack("d", struct.pack("Q", rnd.getrandbits(64)))[0]
+        # NaN/Inf covered by the crafted corpus; subnormals documented
+        # out of domain
+        if math.isnan(v) or math.isinf(v) or (v != 0 and abs(v) < 2.3e-308):
+            continue
+        vals.append(v)
+    df = pd.DataFrame({"value": vals})
+    con = duckdb.connect()
+    got = con.sql(f"SELECT {_duck_go_float('value')} AS s FROM df").fetchall()
+    bad = [
+        (v, g[0], _go_fixed_repr(v))
+        for v, g in zip(vals, got)
+        if g[0] != _go_fixed_repr(v)
+    ]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:5]}"
 
 
 def test_null_key_rows_survive(spark, degen_con, degen_dir):
