@@ -75,9 +75,14 @@ _DOCS = [
 def degen_dir(spark):
     out = tempfile.mkdtemp(prefix="exporter_spark_degen_")
     # rebase CORRECTED so the year-1 zero time survives the parquet
-    # round trip identically in Spark and DuckDB (proleptic Gregorian)
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    # round trip identically in Spark and DuckDB (proleptic
+    # Gregorian); restored on teardown — the session is shared and
+    # other modules must keep the EXCEPTION default for ancient dates
+    _REBASE = ("spark.sql.parquet.datetimeRebaseModeInWrite",
+               "spark.sql.parquet.datetimeRebaseModeInRead")
+    saved = {k: spark.conf.get(k, None) for k in _REBASE}
+    for k in _REBASE:
+        spark.conf.set(k, "CORRECTED")
     ev_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -109,6 +114,11 @@ def degen_dir(spark):
     ).parquet(f"{out}/documents.parquet")
     yield out
     shutil.rmtree(out, ignore_errors=True)
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 @pytest.fixture(scope="module")

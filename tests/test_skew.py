@@ -34,6 +34,10 @@ def test_salted_left_join_keeps_unmatched(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # restore the SAVED value, not a copy of session.py's constant —
+    # a hard-coded restore silently desyncs the shared session when
+    # the factory's threshold is tuned
+    saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         li = load_table(spark, sf_dir, "lineitem")
@@ -48,6 +52,6 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         assert "Exchange" not in plan  # bucketing co-located the join
         assert joined.count() == li.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")

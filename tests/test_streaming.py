@@ -28,8 +28,8 @@ def _wait(query, timeout=60):
     query.awaitTermination(timeout)
 
 
-def test_stream_export_csv(spark, events_dir, tmp_path):
-    schema = load_table(spark, SF_DIR := "/root/testdata/sf0.001", "events").schema
+def test_stream_export_csv(spark, events_dir, sf_dir, tmp_path):
+    schema = load_table(spark, sf_dir, "events").schema
     stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
     assert stream.isStreaming
     out = str(tmp_path / "csv_out")
@@ -64,7 +64,12 @@ def test_foreach_batch_xml(spark, events_dir, tmp_path):
 
 def test_windowed_counts(spark, events_dir, tmp_path):
     schema = spark.read.parquet(events_dir).schema
-    stream = ss.stream_from_files(spark, events_dir, "parquet", schema=schema)
+    # one file per trigger: the watermark advances BETWEEN batches, so
+    # earlier windows actually close and emit (all-at-once ingestion
+    # would close nothing and make every downstream check vacuous)
+    stream = ss.stream_from_files(
+        spark, events_dir, "parquet", schema=schema, maxFilesPerTrigger=1
+    )
     agg = ss.windowed_counts(stream, keys=["event_type"])
     q = (
         agg.writeStream.format("memory")
@@ -74,20 +79,33 @@ def test_windowed_counts(spark, events_dir, tmp_path):
         .start()
     )
     _wait(q)
-    got = spark.sql("SELECT sum(n_events) s FROM win_counts").first()["s"]
-    # append mode only emits windows closed by the watermark; with a
-    # finite file stream the final (max-ts) windows stay open, so we
-    # check a prefix-sum invariant rather than equality.
+    emitted = spark.sql(
+        "SELECT window_start, event_type, n_events FROM win_counts"
+    ).collect()
+    # with 4 time-spread files over 4 triggers the 2h watermark must
+    # close at least one 1h window
+    assert emitted, "no window closed — the stream test ran vacuously"
+    # batch twin of the same rollup; emitted streaming counts may
+    # undercount a window (rows arriving after its close are dropped
+    # as late) but can never overcount, duplicate, or invent keys
+    bmap = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    seen = set()
+    for r in emitted:
+        key = (r["window_start"], r["event_type"])
+        assert key not in seen, f"window emitted twice in append mode: {key}"
+        seen.add(key)
+        assert key in bmap, f"streaming emitted a window batch never saw: {key}"
+        assert 0 < r["n_events"] <= bmap[key], (key, r["n_events"], bmap[key])
     total = spark.read.parquet(events_dir).count()
-    assert got is None or got <= total
-    # the batch equivalent of the same rollup is exact:
-    batch = ss.windowed_counts.__wrapped__ if hasattr(ss.windowed_counts, "__wrapped__") else None
-    bdf = (
-        spark.read.parquet(events_dir)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .count()
-    )
-    assert bdf.agg(F.sum("count")).first()[0] == total
+    got = sum(r["n_events"] for r in emitted)
+    assert got <= total
 
 
 def test_sessionize_stateful(spark, tmp_path):
