@@ -946,10 +946,15 @@ def strip_duplicate_spans(
     doc-keyed aggregate of an ordered (pos, token) collect — bounded
     by document length, never corpus size.
     """
+    from exporter_spark.operators.partitioning import materialize
+
     spans = exact_substring_spans(
         df, id_col, text_col, k=k, min_count=min_count
     ).select(F.col(id_col).alias("__sid__"), "span_start", "span_end")
-    toks = (
+    # materialized: the covered-token semi join and the survivor anti
+    # join both consume this corpus-sized explode — un-materialized
+    # each branch re-scans and re-tokenizes
+    toks = materialize(
         _spread(df, id_col)
         .select(
             F.col(id_col),

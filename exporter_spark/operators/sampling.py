@@ -255,8 +255,15 @@ def dsir_weights(
     # exploded ONCE, everything downstream — including the bucket
     # distributions — derives from this ≤ docs×buckets row frame, so
     # the doc-keyed shuffle carries bucket counts, not tokens.
-    db = toks.groupBy(id_col, "__b__").agg(
-        F.count("*").alias("__n__"), F.max("__t__").alias("__t__")
+    # Materialized (it is the BOUNDED small frame): the distribution
+    # branch and the weight join would otherwise each re-scan and
+    # re-tokenize the corpus.
+    from exporter_spark.operators.partitioning import materialize
+
+    db = materialize(
+        toks.groupBy(id_col, "__b__").agg(
+            F.count("*").alias("__n__"), F.max("__t__").alias("__t__")
+        )
     )
     # db is consumed twice (bucket distribution + final join) and the
     # differing column pruning defeats exchange reuse, so the explode

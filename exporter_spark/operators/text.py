@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from exporter_spark.operators.partitioning import spread
+from exporter_spark.operators.partitioning import materialize, spread
 
 # Marker stopwords per language for the n-gram/stopword lang-ID
 # heuristic. Chosen to be ASCII so Spark's Java regex and DuckDB's RE2
@@ -251,8 +251,12 @@ def tfidf_top_terms(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
         ).alias("token"),
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # materialized: the document-frequency branch and the score join
+    # would otherwise each re-scan and re-tokenize the corpus
+    tf = materialize(toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # N stays on the raw frame: docs with no tokens count toward N but
+    # never reach tf, and this branch column-prunes to a bare count
     nd = df.agg(F.count("*").alias("__nd__"))
     scored = (
         tf.join(dfreq, "token")
@@ -692,8 +696,11 @@ def unigram_lm_scores(
     # collapse to (doc, token) occurrence counts before anything
     # shuffles: within-doc repetition (huge in natural text — stopwords)
     # then costs one count row instead of one row per occurrence, on
-    # the vocab join AND on the per-doc aggregate
-    dt = toks.groupBy(id_col, "__tok__").agg(F.count("*").alias("__k__"))
+    # the vocab join AND on the per-doc aggregate. Materialized: the
+    # vocabulary branch and the score join would otherwise each
+    # re-scan and re-tokenize the corpus (no cross-branch scan reuse
+    # in Spark).
+    dt = materialize(toks.groupBy(id_col, "__tok__").agg(F.count("*").alias("__k__")))
     vocab = dt.groupBy("__tok__").agg(F.sum("__k__").alias("__cnt__"))
     total = vocab.agg(F.sum("__cnt__").alias("__total__"))
     v = F.broadcast(vocab) if broadcast_vocab else vocab
@@ -812,12 +819,20 @@ def bigram_lm_scores(
         F.element_at("__l__", F.col("__i__") + 1).alias("__w2__"),
     )
     # (doc, w1, w2) occurrence counts — everything downstream derives
-    db = bi.groupBy(id_col, "__w1__", "__w2__").agg(F.count("*").alias("__k__"))
+    # from this ONE materialized collapse; un-materialized, the four
+    # consumer branches (bigram table, left-context table, vocabulary,
+    # score join) each re-scanned and re-tokenized the corpus (plan
+    # audit: 5 scans, 0 ReusedExchange)
+    db = materialize(
+        bi.groupBy(id_col, "__w1__", "__w2__").agg(F.count("*").alias("__k__"))
+    )
     big = db.groupBy("__w1__", "__w2__").agg(F.sum("__k__").alias("__c12__"))
     left = big.groupBy("__w1__").agg(F.sum("__c12__").alias("__c1__"))
+    # distinct token set over per-doc distinct bigrams ≡ over raw
+    # occurrences, so V can derive from db instead of re-walking bi
     vocab_n = (
-        bi.select(F.col("__w1__").alias("__w__"))
-        .union(bi.select(F.col("__w2__")))
+        db.select(F.col("__w1__").alias("__w__"))
+        .union(db.select(F.col("__w2__")))
         .agg(F.countDistinct("__w__").alias("__v__"))
     )
     term = F.log10(
