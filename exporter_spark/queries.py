@@ -3224,34 +3224,47 @@ def temperature_mixture_docs(spark, sf_dir):
 )
 def conversion_funnel(spark, sf_dir):
     """Ordered three-stage funnel: users whose first click follows their
-    first signup, and first purchase follows that click. Three
-    stage-filtered aggregates chained by user-keyed joins — each
-    stage's survivor set shrinks, and AQE picks broadcast once a
-    stage fits."""
+    first signup, and first purchase follows that click.
+
+    ONE events scan and ONE user-keyed exchange: the three stage
+    timestamps are chained window minimums over the same partitioning
+    (each stage's cutoff is a column the next stage's WHEN reads), then
+    a per-user collapse counts stage survivors. The previous
+    three-join formulation re-scanned events per stage (6 scans in the
+    plan) — at 100 TB the funnel should cost one pass, not six."""
     e = load_table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    w = Window.partitionBy("user_id")
+    st = F.col("event_type")
+    staged = (
+        e.filter(st.isin("signup", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withColumn("s_ts", F.min(F.when(st == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when((st == "click") & (F.col("ts") > F.col("s_ts")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (st == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    per_user = staged.groupBy("user_id").agg(
+        # a signup ROW counts its user even if its ts is NULL (the old
+        # formulation's COUNT(*) over the signup groupBy did too)
+        F.max(F.when(st == "signup", F.lit(1))).alias("has_s"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    return per_user.agg(
+        F.count("has_s").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"),
     )
 
 
@@ -3403,9 +3416,11 @@ def dup_rate_by_source(spark, sf_dir):
     left join + aggregate."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
+    # ONE pass over the pair stream: union(select a, select b) would
+    # instantiate — and re-execute — the whole LSH pipeline once per
+    # branch (plan audit: 21 file scans); explode consumes it once
     dup_ids = (
-        pairs.select(F.col("a_id").alias("id"))
-        .union(pairs.select(F.col("b_id")))
+        pairs.select(F.explode(F.array("a_id", "b_id")).alias("id"))
         .distinct()
         .withColumn("__dup__", F.lit(1))
     )
