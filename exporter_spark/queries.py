@@ -3226,45 +3226,43 @@ def conversion_funnel(spark, sf_dir):
     """Ordered three-stage funnel: users whose first click follows their
     first signup, and first purchase follows that click.
 
-    ONE events scan and ONE user-keyed exchange: the three stage
-    timestamps are chained window minimums over the same partitioning
-    (each stage's cutoff is a column the next stage's WHEN reads), then
-    a per-user collapse counts stage survivors. The previous
-    three-join formulation re-scanned events per stage (6 scans in the
-    plan) — at 100 TB the funnel should cost one pass, not six."""
+    ONE events scan: the three stages chain over a materialized
+    3-column pruned base (the previous formulation re-scanned events
+    per stage — 6 scans in the plan). The per-stage groupBy-min /
+    join shape is kept deliberately: partial (map-side) aggregation
+    absorbs hot users, where a per-user window would funnel a bot's
+    millions of events into one task."""
+    from exporter_spark.operators.partitioning import materialize
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    st = F.col("event_type")
-    staged = (
-        e.filter(st.isin("signup", "click", "purchase"))
-        .select("user_id", "ts", "event_type")
-        .withColumn("s_ts", F.min(F.when(st == "signup", F.col("ts"))).over(w))
-        .withColumn(
-            "c_ts",
-            F.min(
-                F.when((st == "click") & (F.col("ts") > F.col("s_ts")), F.col("ts"))
-            ).over(w),
-        )
-        .withColumn(
-            "p_ts",
-            F.min(
-                F.when(
-                    (st == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
-                )
-            ).over(w),
+    base = materialize(
+        e.filter(F.col("event_type").isin("signup", "click", "purchase")).select(
+            "user_id", "ts", "event_type"
         )
     )
-    per_user = staged.groupBy("user_id").agg(
-        # a signup ROW counts its user even if its ts is NULL (the old
-        # formulation's COUNT(*) over the signup groupBy did too)
-        F.max(F.when(st == "signup", F.lit(1))).alias("has_s"),
-        F.max("c_ts").alias("c_ts"),
-        F.max("p_ts").alias("p_ts"),
+    s = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
     )
-    return per_user.agg(
-        F.count("has_s").alias("n_signup"),
-        F.count("c_ts").alias("n_click_after"),
-        F.count("p_ts").alias("n_purchase_after"),
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
     )
 
 
