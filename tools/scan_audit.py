@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Plan-shape audit over the query corpus: file scans, cache reads,
+exchange reuse.
+
+Spark shares no scans between plan branches, so a stats-then-join-back
+pipeline silently multiplies corpus reads (round 4 found the bigram LM
+at 5 scans, dup_rate_by_source at 21). This tool executes each query
+at a small SF and reports, from the final adaptive plan:
+
+  FileScan            parquet scans (text count — cached-plan
+                      printouts repeat their child, so compare
+                      against InMemoryTableScan before panicking)
+  InMemoryTableScan   branches served from a materialize()d frame
+  ReusedExchange      runtime exchange dedup
+
+Usage: python tools/scan_audit.py [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from exporter_spark.queries import QUERIES  # noqa: E402
+from exporter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wanted = sys.argv[2:]
+    spark = get_spark("exporter_spark-scan-audit")
+    for name, q in QUERIES.items():
+        if wanted and not any(w in name for w in wanted):
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            print(
+                f"{name}: FileScan={plan.count('FileScan')} "
+                f"InMem={plan.count('InMemoryTableScan')} "
+                f"Reused={plan.count('ReusedExchange')}"
+            )
+        except Exception as e:  # noqa: BLE001 — audit every query regardless
+            print(f"{name}: ERR {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
