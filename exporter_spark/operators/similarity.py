@@ -182,10 +182,10 @@ def cosine_topk(
     kdot, knorm = _kernel_fns(kernel)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__"))
+    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
     c = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__"))
+    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id",
@@ -258,12 +258,23 @@ def cosine_topk_scan(
             Q = _np.asarray(qvecs, dtype=_np.float64)  # nq × D
             Qn = _np.sqrt(_np.cumsum(Q * Q, axis=1)[:, -1])
             qid_arr = _np.asarray(qids, dtype=_np.int64)
+            # zero-norm handling mirrors the SQL tier's norm filter:
+            # cosine is undefined for the zero vector, and a NaN sim
+            # would otherwise sort as LARGEST in np.partition and be
+            # emitted as a false top neighbor
+            qkeep = Qn > 0
+            Q, Qn, qid_arr = Q[qkeep], Qn[qkeep], qid_arr[qkeep]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 V = _np.stack(pdf[vec_name].to_numpy()).astype(_np.float64)
                 ids = pdf[id_name].to_numpy().astype(_np.int64)
                 Vn = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
+                vkeep = Vn > 0
+                if not vkeep.all():
+                    V, ids, Vn = V[vkeep], ids[vkeep], Vn[vkeep]
+                if len(ids) == 0:
+                    continue
                 out = []
                 for c0 in range(0, len(qid_arr), chunk):
                     Qc = Q[c0 : c0 + chunk]
@@ -405,7 +416,7 @@ def lsh_topk(
     q = with_lsh_signature(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-        ).withColumn("__qn__", knorm("__qv__")),
+        ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0),
         "__qv__",
         dims,
         planes,
@@ -414,7 +425,7 @@ def lsh_topk(
     c = with_lsh_signature(
         _spread(emb, id_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-        ).withColumn("__cn__", knorm("__cv__")),
+        ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0),
         "__cv__",
         dims,
         planes,
@@ -472,7 +483,7 @@ def ivf_topk(
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__").fit(corpus)
     assigned = model.transform(corpus).select(
         "neighbor_id", "__cv__", F.col("prediction").alias("__cell__")
-    ).withColumn("__cn__", knorm("__cv__"))
+    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
@@ -481,7 +492,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__"))
+    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -545,6 +556,12 @@ def ivf_fixed_topk(
     operator is oracle-comparable in ANSI SQL. Assignment and probe
     scores round to 6 places (with cell-ascending tie-break) so both
     engines make identical routing decisions.
+
+    Quantizer contract: ``centroid_ids`` must name vectors with
+    non-zero norm (cosine against a zero centroid is undefined; under
+    ANSI mode it would abort the assignment join). Zero-norm CORPUS
+    and QUERY vectors are filtered like in every other tier — they
+    have no defined neighbors.
     """
     kdot, knorm = _kernel_fns(kernel)
     ids = sorted(centroid_ids)
@@ -560,7 +577,7 @@ def ivf_fixed_topk(
 
     corpus = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__"))
+    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
     ac = corpus.crossJoin(F.broadcast(centroids)).select(
         "neighbor_id",
         "__cv__",
@@ -579,7 +596,7 @@ def ivf_fixed_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__"))
+    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -623,7 +640,7 @@ def embedding_near_dup_pairs(
         kernel=sig_kernel,
     )
     if mode == "join":
-        s = s.withColumn("__n__", norm("__v__"))
+        s = s.withColumn("__n__", norm("__v__")).filter(F.col("__n__") > 0)
         a = s.alias("a")
         b = s.alias("b")
         pairs = a.join(

@@ -1,0 +1,95 @@
+"""Zero-norm embedding vectors through every similarity tier.
+
+Cosine is undefined for the zero vector; the session runs ANSI mode,
+where the norm-product division THROWS — before the round-4 guard,
+ONE all-zero embedding in the corpus aborted the whole job
+(DIVIDE_BY_ZERO), and the numpy scan kernel ranked the resulting NaN
+sims as the LARGEST values, emitting false neighbors. Contract now:
+zero-norm vectors are filtered wherever norms are computed — they are
+never neighbors, never queries, and never crash anything.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exporter_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero vector in the corpus AND query set
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 0.0]),
+        (4, [0.9, 1.1, 0.0]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _assert_no_zero(rows):
+    assert rows, "expected some neighbors from the non-degenerate vectors"
+    for r in rows:
+        assert r["neighbor_id"] != 0, "zero vector emitted as a neighbor"
+        assert r["query_id"] != 0, "zero vector emitted as a query"
+        assert r["sim"] is not None and r["sim"] == r["sim"], "NULL/NaN sim"
+
+
+def test_cosine_topk_zero_vector(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    _assert_no_zero(similarity.cosine_topk(vecs, q, k=3).collect())
+
+
+def test_cosine_topk_scan_zero_vector(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    _assert_no_zero(similarity.cosine_topk_scan(vecs, q, k=3).collect())
+
+
+def test_lsh_ann_zero_vector(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    rows = similarity.lsh_topk(vecs, q, k=3, dims=3, planes=2).collect()
+    for r in rows:
+        assert r["neighbor_id"] != 0 and r["query_id"] != 0
+
+
+def test_ivf_fixed_zero_vector(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    rows = similarity.ivf_fixed_topk(
+        vecs, q, k=3, centroid_ids=[1, 2], n_probe=2
+    ).collect()
+    _assert_no_zero(rows)
+
+
+def test_int8_topk_zero_vector(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    # int8 tier defines zero-norm sims as 0.0 (documented) — it must
+    # not crash, and the zero QUERY yields only zero sims
+    rows = similarity.int8_topk(vecs, q, k=3).collect()
+    assert rows
+    for r in rows:
+        if r["query_id"] == 0 or r["neighbor_id"] == 0:
+            assert r["sim"] == 0.0
+
+
+def test_embedding_near_dup_zero_vector(spark, vecs):
+    for mode in ("join", "grouped"):
+        pairs = similarity.embedding_near_dup_pairs(
+            vecs, threshold=0.9, dims=3, planes=1, mode=mode
+        ).collect()
+        for r in pairs:
+            assert 0 not in (r["a_id"], r["b_id"]), (mode, r)
+
+
+def test_semdedup_zero_vector(spark, vecs):
+    # a zero vector is never a near-dup of anything, so it SURVIVES
+    for policy in ("greedy", "dominated"):
+        kept = {
+            r["vec_id"]
+            for r in similarity.semdedup(
+                vecs, threshold=0.9, dims=3, planes=1, policy=policy
+            ).collect()
+        }
+        assert 0 in kept, policy
