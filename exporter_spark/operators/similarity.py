@@ -182,10 +182,10 @@ def cosine_topk(
     kdot, knorm = _kernel_fns(kernel)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
+    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
     c = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
+    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id",
@@ -245,10 +245,17 @@ def cosine_topk_scan(
             " the input id type) or add a surrogate integer id"
         )
     q_rows = sorted(
-        (r[0], r[1]) for r in queries.select(id_col, vec_col).collect()
+        (r[0], r[1])
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None  # NULL query vectors have no neighbors
     )
     qids = [int(i) for i, _ in q_rows]
-    qvecs = [[float(x) for x in v] for _, v in q_rows]
+    # NULL elements become NaN and are dropped by the kernel's
+    # zero/NaN-norm mask, matching the SQL tier's norm filter
+    qvecs = [
+        [float(x) if x is not None else float("nan") for x in v]
+        for _, v in q_rows
+    ]
 
     def make_scan(qids, qvecs, k, chunk, id_name, vec_name):
         import numpy as _np
@@ -265,12 +272,16 @@ def cosine_topk_scan(
             qkeep = Qn > 0
             Q, Qn, qid_arr = Q[qkeep], Qn[qkeep], qid_arr[qkeep]
             for pdf in batches:
+                # NULL vectors can't be stacked (and have no
+                # neighbors); NULL elements arrive as NaN via the
+                # float64 cast and fall to the norm mask below
+                pdf = pdf[pdf[vec_name].notna()]
                 if len(pdf) == 0:
                     continue
                 V = _np.stack(pdf[vec_name].to_numpy()).astype(_np.float64)
                 ids = pdf[id_name].to_numpy().astype(_np.int64)
                 Vn = _np.sqrt(_np.cumsum(V * V, axis=1)[:, -1])
-                vkeep = Vn > 0
+                vkeep = Vn > 0  # numpy: NaN > 0 is False, unlike Spark
                 if not vkeep.all():
                     V, ids, Vn = V[vkeep], ids[vkeep], Vn[vkeep]
                 if len(ids) == 0:
@@ -416,7 +427,7 @@ def lsh_topk(
     q = with_lsh_signature(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-        ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0),
+        ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__")),
         "__qv__",
         dims,
         planes,
@@ -425,7 +436,7 @@ def lsh_topk(
     c = with_lsh_signature(
         _spread(emb, id_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-        ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0),
+        ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__")),
         "__cv__",
         dims,
         planes,
@@ -483,7 +494,7 @@ def ivf_topk(
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__").fit(corpus)
     assigned = model.transform(corpus).select(
         "neighbor_id", "__cv__", F.col("prediction").alias("__cell__")
-    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
+    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
@@ -492,7 +503,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
+    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -577,7 +588,7 @@ def ivf_fixed_topk(
 
     corpus = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__")).filter(F.col("__cn__") > 0)
+    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
     ac = corpus.crossJoin(F.broadcast(centroids)).select(
         "neighbor_id",
         "__cv__",
@@ -596,7 +607,7 @@ def ivf_fixed_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter(F.col("__qn__") > 0)
+    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -631,16 +642,19 @@ def embedding_near_dup_pairs(
     Results are identical in both modes (bit-exact cumsum fold +
     JVM-side round; equivalence-tested)."""
     s = with_lsh_signature(
-        _spread(emb, id_col).select(
-            F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
-        ),
+        # NULL embeddings dropped before the signature kernel
+        # (np.stack cannot batch them; a NULL vector has no
+        # neighbors by contract anyway)
+        _spread(emb, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")),
         "__v__",
         dims,
         planes,
         kernel=sig_kernel,
     )
     if mode == "join":
-        s = s.withColumn("__n__", norm("__v__")).filter(F.col("__n__") > 0)
+        s = s.withColumn("__n__", norm("__v__")).filter((F.col("__n__") > 0) & ~F.isnan("__n__"))
         a = s.alias("a")
         b = s.alias("b")
         pairs = a.join(
@@ -888,9 +902,12 @@ def semdedup(
     if policy != "greedy":
         raise ValueError(f"unknown policy {policy!r} (expected 'greedy' or 'dominated')")
     s = with_lsh_signature(
-        _spread(emb, id_col).select(
-            F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
-        ),
+        # NULL embeddings dropped before the signature kernel
+        # (np.stack cannot batch them; a NULL vector has no
+        # neighbors by contract anyway)
+        _spread(emb, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")),
         "__v__",
         dims,
         planes,
@@ -932,7 +949,17 @@ def quantize_int8(
     scale = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(mx / F.lit(127.0))
     staged = emb.select(
         F.col(id_col), v.alias("__v__"), scale.alias("scale")
+    ).filter(
+        # NULL vectors give a NULL scale (isnan is false on NULL, so
+        # test both); NaN elements give a NaN scale; a NULL ELEMENT
+        # slips past array_max (which skips NULLs) but would put NULLs
+        # in q — none of these are quantizable, and under ANSI the int
+        # cast of the NaN case would throw
+        F.col("scale").isNotNull()
+        & ~F.isnan("scale")
+        & ~F.exists("__v__", lambda x: x.isNull())
     )
+
     cols = [
         F.col(id_col),
         F.transform(

@@ -83,6 +83,66 @@ def test_embedding_near_dup_zero_vector(spark, vecs):
             assert 0 not in (r["a_id"], r["b_id"]), (mode, r)
 
 
+@pytest.fixture(scope="module")
+def dirty(spark):
+    """NULL vector, NaN element, NULL element, zero vector — none may
+    crash a tier or surface as a neighbor/query. Spark-specific trap
+    covered here: NaN compares GREATER than everything, so a plain
+    `norm > 0` filter passes NaN norms and NaN sims rank FIRST."""
+    rows = [
+        (0, None),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [float("nan"), 1.0, 0.0]),
+        (4, [1.0, 1.0, 0.0]),
+        (5, [1.0, None, 0.0]),
+        (6, [0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+_DEGEN = {0, 3, 5, 6}
+
+
+def test_dirty_vectors_all_tiers(spark, dirty):
+    q = dirty.filter(F.col("vec_id").isin(0, 1, 3))
+    outs = {
+        "cosine_topk": similarity.cosine_topk(dirty, q, k=3),
+        "cosine_topk_scan": similarity.cosine_topk_scan(dirty, q, k=3),
+        "lsh_topk": similarity.lsh_topk(dirty, q, k=3, dims=3, planes=1),
+        "near_dup_join": similarity.embedding_near_dup_pairs(
+            dirty, threshold=0.5, dims=3, planes=1, mode="join"
+        ),
+        "near_dup_grouped": similarity.embedding_near_dup_pairs(
+            dirty, threshold=0.5, dims=3, planes=1, mode="grouped"
+        ),
+        "ivf_fixed": similarity.ivf_fixed_topk(
+            dirty, q, k=3, centroid_ids=[1, 2], n_probe=2
+        ),
+    }
+    for name, df in outs.items():
+        rows = df.collect()
+        assert rows, f"{name}: clean vectors produced nothing"
+        for r in rows:
+            d = r.asDict()
+            ids = {v for c, v in d.items() if c.endswith("_id")}
+            assert not (ids & _DEGEN), f"{name}: degenerate id emitted {r}"
+            if "sim" in d:
+                assert d["sim"] is not None and d["sim"] == d["sim"], (name, r)
+
+
+def test_dirty_vectors_semdedup_and_quantize(spark, dirty):
+    for policy in ("greedy", "dominated"):
+        kept = {r["vec_id"] for r in similarity.semdedup(
+            dirty, threshold=0.5, dims=3, planes=1, policy=policy
+        ).collect()}
+        assert {1, 2} <= kept, policy  # non-dup clean vectors survive
+    # quantize drops only the unquantizable (NULL vec, NaN element);
+    # the zero vector legitimately quantizes (scale 1, all-zero q)
+    qz = {r["vec_id"] for r in similarity.quantize_int8(dirty).collect()}
+    assert qz == {1, 2, 4, 6}
+
+
 def test_semdedup_zero_vector(spark, vecs):
     # a zero vector is never a near-dup of anything, so it SURVIVES
     for policy in ("greedy", "dominated"):
