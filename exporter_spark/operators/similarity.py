@@ -92,9 +92,16 @@ def _make_dot_udf():
     def vec_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        av = _np.stack(a.to_numpy()).astype(_np.float64)
-        bv = _np.stack(b.to_numpy()).astype(_np.float64)
-        return pd.Series(_np.cumsum(av * bv, axis=1)[:, -1])
+        # NULL vectors can't be stacked; emit NaN so the SQL-side
+        # degenerate filter drops the row (same contract as the SQL
+        # kernel, where a NULL array folds to a NULL dot)
+        mask = (a.notna() & b.notna()).to_numpy()
+        out = _np.full(len(a), _np.nan)
+        if mask.any():
+            av = _np.stack(a[mask].to_numpy()).astype(_np.float64)
+            bv = _np.stack(b[mask].to_numpy()).astype(_np.float64)
+            out[mask] = _np.cumsum(av * bv, axis=1)[:, -1]
+        return pd.Series(out, index=a.index)
 
     return vec_dot
 
@@ -108,8 +115,13 @@ def _make_norm_udf():
     def vec_norm(a: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        av = _np.stack(a.to_numpy()).astype(_np.float64)
-        return pd.Series(_np.sqrt(_np.cumsum(av * av, axis=1)[:, -1]))
+        # NULL vector -> NaN norm -> dropped by the degenerate filter
+        mask = a.notna().to_numpy()
+        out = _np.full(len(a), _np.nan)
+        if mask.any():
+            av = _np.stack(a[mask].to_numpy()).astype(_np.float64)
+            out[mask] = _np.sqrt(_np.cumsum(av * av, axis=1)[:, -1])
+        return pd.Series(out, index=a.index)
 
     return vec_norm
 
@@ -163,6 +175,31 @@ def _kernel_fns(kernel: str):
     raise ValueError(f"unknown kernel {kernel!r} (expected 'numpy' or 'sql')")
 
 
+def _with_norm(df: DataFrame, knorm, vec: str, out: str) -> DataFrame:
+    """Norm column + the degenerate-vector contract in ONE place:
+    NULL vectors (NULL/NaN norm) and zero vectors have no defined
+    cosine and are dropped. The NaN test is explicit because Spark
+    orders NaN GREATER than every value, so a bare `> 0` filter would
+    pass NaN norms — and their NaN sims rank FIRST downstream."""
+    return df.withColumn(out, knorm(vec)).filter(
+        (F.col(out) > 0) & ~F.isnan(out)
+    )
+
+
+def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail of every top-k tier: total order by
+    (sim desc, neighbor_id asc) per query — deterministic and
+    oracle-comparable — keep ranks 1..k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -180,12 +217,18 @@ def cosine_topk(
     vector (before the join), not once per pair.
     """
     kdot, knorm = _kernel_fns(kernel)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
-    c = _spread(emb, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        ),
+        knorm, "__qv__", "__qn__",
+    )
+    c = _with_norm(
+        _spread(emb, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+        ),
+        knorm, "__cv__", "__cn__",
+    )
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id",
@@ -194,14 +237,7 @@ def cosine_topk(
             kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
         ).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(sims, k)
 
 
 def cosine_topk_scan(
@@ -247,7 +283,10 @@ def cosine_topk_scan(
     q_rows = sorted(
         (r[0], r[1])
         for r in queries.select(id_col, vec_col).collect()
-        if r[1] is not None  # NULL query vectors have no neighbors
+        # NULL query ids can't be ranked; NULL vectors have no
+        # neighbors — both silently dropped, like the SQL tier's
+        # NULL-propagating join/filter
+        if r[0] is not None and r[1] is not None
     )
     qids = [int(i) for i, _ in q_rows]
     # NULL elements become NaN and are dropped by the kernel's
@@ -262,6 +301,10 @@ def cosine_topk_scan(
         import pandas as _pd
 
         def scan(batches):
+            if not qvecs:
+                # empty (or fully degenerate) query set: no output —
+                # np.cumsum(axis=1) on the empty 2D stack would raise
+                return
             Q = _np.asarray(qvecs, dtype=_np.float64)  # nq × D
             Qn = _np.sqrt(_np.cumsum(Q * Q, axis=1)[:, -1])
             qid_arr = _np.asarray(qids, dtype=_np.int64)
@@ -326,14 +369,7 @@ def cosine_topk_scan(
     sims = partials.select(
         "query_id", "neighbor_id", F.round(F.col("__raw__"), 6).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(sims, k)
 
 
 def hyperplane_component(plane: int, dim: int) -> float:
@@ -425,18 +461,24 @@ def lsh_topk(
     """
     kdot, knorm = _kernel_fns(kernel)
     q = with_lsh_signature(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-        ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__")),
+        _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+            ),
+            knorm, "__qv__", "__qn__",
+        ),
         "__qv__",
         dims,
         planes,
         kernel=sig_kernel,
     )
     c = with_lsh_signature(
-        _spread(emb, id_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-        ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__")),
+        _with_norm(
+            _spread(emb, id_col).select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+            ),
+            knorm, "__cv__", "__cn__",
+        ),
         "__cv__",
         dims,
         planes,
@@ -450,14 +492,7 @@ def lsh_topk(
             kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
         ).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(sims, k)
 
 
 def ivf_topk(
@@ -486,24 +521,33 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     kdot, knorm = _kernel_fns(kernel)
-    corpus = _spread(emb, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv__"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"),
+    # degenerate vectors are cut BEFORE the KMeans fit: a NULL vector
+    # crashes the fit outright, and a NaN element silently poisons
+    # every centroid (NaN distances break routing for CLEAN vectors)
+    corpus = _with_norm(
+        _spread(emb, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+        ),
+        knorm, "__cv__", "__cn__",
+    ).withColumn(
+        "__feat__", array_to_vector(F.col("__cv__").cast("array<double>"))
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__").fit(corpus)
     assigned = model.transform(corpus).select(
-        "neighbor_id", "__cv__", F.col("prediction").alias("__cell__")
-    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
+        "neighbor_id", "__cv__", "__cn__", F.col("prediction").alias("__cell__")
+    )
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "__cell__ int, __centroid__ array<double>",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        ),
+        knorm, "__qv__", "__qn__",
+    )
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -537,14 +581,7 @@ def _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot):
             kdot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")), 6
         ).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(sims, k)
 
 
 def ivf_fixed_topk(
@@ -588,7 +625,7 @@ def ivf_fixed_topk(
 
     corpus = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
-    ).withColumn("__cn__", knorm("__cv__")).filter((F.col("__cn__") > 0) & ~F.isnan("__cn__"))
+    ).transform(lambda d: _with_norm(d, knorm, "__cv__", "__cn__"))
     ac = corpus.crossJoin(F.broadcast(centroids)).select(
         "neighbor_id",
         "__cv__",
@@ -605,9 +642,12 @@ def ivf_fixed_topk(
         .select("neighbor_id", "__cv__", "__cell__", "__cn__")
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    ).withColumn("__qn__", knorm("__qv__")).filter((F.col("__qn__") > 0) & ~F.isnan("__qn__"))
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        ),
+        knorm, "__qv__", "__qn__",
+    )
     return _ivf_probe_rerank(assigned, centroids, q, k, n_probe, kdot)
 
 
@@ -803,6 +843,9 @@ def embedding_near_dup_banded(
         )
     s = (
         _spread(emb, id_col)
+        # NULL embeddings dropped before the banded signature kernel
+        # (np.stack cannot batch them; no neighbors by contract)
+        .filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
         .withColumn("__sigs__", _BANDED_SIG_UDFS[key](F.col("__v__")))
         .select(
@@ -916,7 +959,12 @@ def semdedup(
     kept = s.groupBy("__sig__").applyInPandas(
         _make_greedy_semdedup(threshold), schema="__id__ long"
     )
-    return emb.join(kept, emb[id_col] == F.col("__id__"), "left_semi")
+    survivors = emb.join(kept, emb[id_col] == F.col("__id__"), "left_semi")
+    # NULL-embedding rows never reach the kernel (filtered above) but
+    # are not duplicates of anything — they SURVIVE, keeping the
+    # documented invariant greedy ⊇ dominated (whose left_anti keeps
+    # them naturally)
+    return survivors.unionByName(emb.filter(F.col(vec_col).isNull()))
 
 
 def quantize_int8(
@@ -1030,14 +1078,7 @@ def int8_topk(
     sims = joined.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _rank_topk(sims, k)
 
 
 # ------------------------------------------------- random projection

@@ -241,27 +241,33 @@ def sessionize(
         ts_us = (ev[ts_col].astype("int64") // 1000).to_numpy()
         vals = ev[value_col].to_numpy()
 
-        start = last = None
-        n, total = 0, 0.0
+        # interval merge over (event points + the state interval),
+        # sorted by start: a late event within ``gap`` of the current
+        # session (on EITHER side) joins it; a late event more than a
+        # gap BEFORE session_start forms its own session instead of
+        # silently bridging an interior silence longer than the gap
+        # (the old forward-only check merged it unconditionally).
+        # NULL values contribute 0 to total but still count the event
+        # — the batch F.sum/F.count semantics.
+        items = [
+            (int(t), int(t), 1, 0.0 if pd.isna(v) else float(v))
+            for t, v in zip(ts_us, vals)
+        ]
         if state.exists:
-            start, last, n, total = state.get
-        closed = []
-        for t, v in zip(ts_us, vals):
-            t, v = int(t), float(v)
-            if start is None:
-                start, last, n, total = t, t, 1, v
-            elif t - last > gap_us:
-                closed.append((start, last, n, total))
-                start, last, n, total = t, t, 1, v
-            else:
-                # a late out-of-order event may precede the recorded
-                # session start; the session must cover it
-                start, last = min(start, t), max(last, t)
-                n, total = n + 1, total + v
-        if start is None:
-            # every row in this batch had a NULL timestamp and no
-            # prior state exists — nothing to track or time out
+            items.append(tuple(state.get))
+        if not items:
+            # every row had a NULL timestamp and no prior state
+            # exists — nothing to track or time out
             return
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged = [items[0]]
+        for s0, e0, n0, v0 in items[1:]:
+            S, E, N, V = merged[-1]
+            if s0 - E <= gap_us:
+                merged[-1] = (min(S, s0), max(E, e0), N + n0, V + v0)
+            else:
+                merged.append((s0, e0, n0, v0))
+        *closed, (start, last, n, total) = merged
         state.update((start, last, n, total))
         # event-time timeout at session_end + gap (clamped above the
         # current watermark: Spark rejects timeouts at/behind it)

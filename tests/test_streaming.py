@@ -279,3 +279,49 @@ def test_sessionize_string_key_null_ts_and_late_event(spark, tmp_path):
     # counts 3 events (NULL-ts row ignored), and the t0+5h event that
     # closed it stays open in state
     assert got == {("u", t0 - 2 * m, t0 + 5 * m, 3, 3.0)}
+
+
+def test_sessionize_far_late_event_does_not_bridge(spark, tmp_path):
+    """A late event more than a gap BEFORE the recorded session start
+    must form its own session — the pre-fix forward-only gap check
+    merged it unconditionally, reporting one session spanning an
+    interior silence longer than the gap. Also: a NULL value counts
+    the event but contributes 0 to the total (batch F.sum/F.count
+    semantics), instead of poisoning the aggregate with NaN."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "sess3_src")
+    spark.createDataFrame(
+        [("u", t0, 1.0), ("u", t0 + 5 * m, None)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(
+        # 10:05 is 1h55m before the 12:00 session start — its own
+        # session; 17:00 closes everything earlier
+        [("u", t0 - 115 * m, 2.0), ("u", t0 + 300 * m, 1.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema=schema, maxFilesPerTrigger="1"
+    )
+    sessions = ss.sessionize(stream, gap_minutes=30, watermark="4 hours")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions3_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess3_ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions3_out").collect()
+    }
+    assert (t0 - 115 * m, t0 - 115 * m, 1, 2.0) in got, got  # own session
+    assert (t0, t0 + 5 * m, 2, 1.0) in got, got  # NULL value counted as 0

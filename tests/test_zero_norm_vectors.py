@@ -131,6 +131,53 @@ def test_dirty_vectors_all_tiers(spark, dirty):
                 assert d["sim"] is not None and d["sim"] == d["sim"], (name, r)
 
 
+def test_dirty_vectors_review_gap_tiers(spark, dirty):
+    """The tiers the first dirty-matrix pass missed (review finding):
+    banded near-dup (NULL crashed the banded signature kernel), the
+    KMeans IVF tier (NULL crashed the fit; NaN elements poisoned the
+    centroids), the numpy dot/norm kernels (NULL crashed np.stack
+    before the downstream filter could run), and the all-degenerate
+    query set (empty-stack AxisError in the scan kernel)."""
+    q = dirty.filter(F.col("vec_id").isin(0, 1, 3))
+    banded = similarity.embedding_near_dup_banded(
+        dirty, threshold=0.5, dims=3, planes_per_table=1, num_tables=2
+    ).collect()
+    for r in banded:
+        assert not ({r["a_id"], r["b_id"]} & _DEGEN), r
+    ivf = similarity.ivf_topk(dirty, q, k=3, n_clusters=2, n_probe=2).collect()
+    assert ivf
+    for r in ivf:
+        assert not ({r["query_id"], r["neighbor_id"]} & _DEGEN), r
+        assert r["sim"] == r["sim"] and r["sim"] is not None
+    for kern in ("numpy",):
+        rows = similarity.cosine_topk(dirty, q, k=3, kernel=kern).collect()
+        assert rows
+        for r in rows:
+            assert not ({r["query_id"], r["neighbor_id"]} & _DEGEN), (kern, r)
+    # every query degenerate: empty result, no crash
+    dq = dirty.filter(F.col("vec_id").isin(0, 3))
+    assert similarity.cosine_topk_scan(dirty, dq, k=3).count() == 0
+    # NULL query id: silently skipped like the SQL tier
+    nq = dirty.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.lit(None).cast("long")
+    )
+    assert similarity.cosine_topk_scan(dirty, nq, k=3).count() == 0
+
+
+def test_greedy_superset_of_dominated_with_nulls(spark, dirty):
+    """Documented invariant: greedy survivors ⊇ dominated survivors —
+    including NULL-embedding rows, which the pre-fix greedy silently
+    deleted (they never reached the kernel's kept set)."""
+    greedy = {r["vec_id"] for r in similarity.semdedup(
+        dirty, threshold=0.5, dims=3, planes=1, policy="greedy"
+    ).collect()}
+    dominated = {r["vec_id"] for r in similarity.semdedup(
+        dirty, threshold=0.5, dims=3, planes=1, policy="dominated"
+    ).collect()}
+    assert dominated <= greedy, (greedy, dominated)
+    assert 0 in greedy  # the NULL-embedding row survives
+
+
 def test_dirty_vectors_semdedup_and_quantize(spark, dirty):
     for policy in ("greedy", "dominated"):
         kept = {r["vec_id"] for r in similarity.semdedup(
