@@ -959,12 +959,16 @@ def semdedup(
     kept = s.groupBy("__sig__").applyInPandas(
         _make_greedy_semdedup(threshold), schema="__id__ long"
     )
-    survivors = emb.join(kept, emb[id_col] == F.col("__id__"), "left_semi")
     # NULL-embedding rows never reach the kernel (filtered above) but
     # are not duplicates of anything — they SURVIVE, keeping the
     # documented invariant greedy ⊇ dominated (whose left_anti keeps
-    # them naturally)
-    return survivors.unionByName(emb.filter(F.col(vec_col).isNull()))
+    # them naturally). One LEFT join + filter instead of a
+    # semi-join ∪ null-scan union, so the corpus is read once.
+    return (
+        emb.join(kept, emb[id_col] == F.col("__id__"), "left")
+        .filter(F.col("__id__").isNotNull() | F.col(vec_col).isNull())
+        .drop("__id__")
+    )
 
 
 def quantize_int8(
