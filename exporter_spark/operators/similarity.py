@@ -180,9 +180,21 @@ def _with_norm(df: DataFrame, knorm, vec: str, out: str) -> DataFrame:
     NULL vectors (NULL/NaN norm) and zero vectors have no defined
     cosine and are dropped. The NaN test is explicit because Spark
     orders NaN GREATER than every value, so a bare `> 0` filter would
-    pass NaN norms — and their NaN sims rank FIRST downstream."""
-    return df.withColumn(out, knorm(vec)).filter(
-        (F.col(out) > 0) & ~F.isnan(out)
+    pass NaN norms — and their NaN sims rank FIRST downstream.
+
+    Cost note: NULL vectors are cut by a cheap raw-column predicate
+    first; the zero/NaN-norm filter on the computed column is pushed
+    through the projection by Catalyst and re-evaluates the norm HOF
+    (the double-eval pattern BASELINE.md warns about) — accepted HERE
+    because it is one O(dims) pass against the O(k·dims)-per-pair
+    work every caller does next, and because downstream consumers
+    (IVF cell probing especially) require degenerate rows gone BEFORE
+    they divide. The numpy kernel path is immune (Catalyst evaluates
+    extracted Python UDFs once and filters their output attribute)."""
+    return (
+        df.filter(F.col(vec).isNotNull())
+        .withColumn(out, knorm(vec))
+        .filter((F.col(out) > 0) & ~F.isnan(out))
     )
 
 
