@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from exporter_spark import Exporter, ExportSpec  # noqa: E402
+from exporter_spark.operators.partitioning import cache_scope  # noqa: E402
 from exporter_spark.queries import QUERIES  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
 from exporter_spark.sources.files import load_table  # noqa: E402
@@ -96,6 +97,21 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     load_table(spark, SF_DIR, "lineitem").limit(1000).count()
 
+    # Per-entry storage/GC telemetry: distinguishes cache-pressure
+    # regressions from host noise when a driver bench disagrees with
+    # isolated runs (the round-4 gopher/winnow question). local[N] is
+    # one JVM, so driver MXBean GC time covers executor GC too.
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    gc_beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+
+    def _gc_ms() -> int:
+        return sum(
+            gc_beans.get(i).getCollectionTime() for i in range(gc_beans.size())
+        )
+
+    def _n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+
     def timed(fn, n: int = REPEAT) -> float:
         best = None
         for _ in range(n):
@@ -106,8 +122,19 @@ def main() -> None:
         return round(best, 3)
 
     for name in BENCH_QUERIES:
-        timings[name] = timed(lambda: _force(QUERIES[name].fn(spark, SF_DIR)))
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        gc0 = _gc_ms()
+        # cache_scope: repeats within an entry still reuse the cache
+        # (same timing semantics as every recorded baseline), but no
+        # entry's materialize() caches survive into the next entry —
+        # the 36-entry session no longer accumulates storage pressure.
+        with cache_scope():
+            timings[name] = timed(lambda: _force(QUERIES[name].fn(spark, SF_DIR)))
+            cached = _n_cached()
+        print(
+            f"[bench] {name}: {timings[name]}s "
+            f"(cached_rdds={cached} gc_delta_ms={_gc_ms() - gc0})",
+            file=sys.stderr,
+        )
 
     # q1 without the decimal-determinism tax (plain-double sums): the
     # plan a parity-indifferent user actually runs.

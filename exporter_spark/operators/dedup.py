@@ -462,7 +462,12 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------- dedup clustering
 
 def connected_components(
-    pairs: DataFrame, *, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+    pairs: DataFrame,
+    *,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster duplicate PAIRS into components: (id, component) where
     component = min id reachable through the pair graph.
@@ -481,8 +486,26 @@ def connected_components(
     not approximations). This is the standard Spark shape for the
     'keep one copy per duplicate cluster' stage after
     minhash/simhash/embedding pair generation.
+
+    Checkpoint durability: by default each round is truncated with
+    ``localCheckpoint`` — blocks live on executors WITHOUT
+    replication, so on a multi-node cluster one lost executor kills
+    the job mid-iteration. Pass ``checkpoint_dir`` (an HDFS/object
+    store/file: path) to use RELIABLE ``checkpoint()`` instead: each
+    round's labels are written to fault-tolerant storage and survive
+    executor loss — the right mode for a 1000-node run, at the cost
+    of one FS round-trip per iteration. Local default unchanged
+    (localCheckpoint is strictly faster single-node). Checkpoint
+    files are reclaimed when the SparkContext stops, or eagerly with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        _snap = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _snap = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    edges = _snap(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
@@ -491,7 +514,6 @@ def connected_components(
         # every iteration's join — without this the loop recomputes
         # the candidate generation O(iterations) times (measured 16.4s
         # → 5.8s on the sf0.1 survivors bench)
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -539,12 +561,12 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-        # localCheckpoint truncates the growing lineage — without it,
+        # the checkpoint truncates the growing lineage — without it,
         # each iteration re-plans the whole history (exponential
         # plans). Checkpoint BEFORE the fixed-point count so the round
         # materializes once, and the count joins two checkpointed
         # frames (cheap).
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _snap(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

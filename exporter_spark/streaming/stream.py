@@ -198,6 +198,20 @@ def sessionize(
     pandas transfer. Per-key state lives in the state store, never the
     driver. The processing fn is a self-contained closure (pickles by
     value; executors never import this package).
+
+    Known limitation (single-interval state): only the LATEST merged
+    interval is held in state; every earlier interval from a batch's
+    merge is emitted as closed immediately rather than held until the
+    watermark confirms its end. Two far-late events that land in
+    DIFFERENT micro-batches, within ``gap`` of each other but both
+    earlier than the open session, are therefore emitted as two
+    singleton sessions where pure gap semantics would define one.
+    Events inside ONE micro-batch (or within the watermark delay of
+    the open session) merge correctly. Holding a bounded list of open
+    intervals in state and closing each only on watermark timeout
+    would close this at the cost of list-valued state; the batch
+    ``sessionize`` (window lag-cumsum) is the exact-semantics path
+    when reprocessing history.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -145,6 +145,30 @@ def test_connected_components_long_chain(spark):
     assert all(r["component"] == 1 for r in rows)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from localCheckpoint
+    (executor-local blocks — dies with any executor on a cluster) to
+    reliable checkpoint() on fault-tolerant storage; the labeling must
+    be identical, and checkpoint files must actually land in the dir."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)] + [(100, 101), (101, 102)],
+        "a_id long, b_id long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    default = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    reliable = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == default
+    import pathlib
+
+    assert any(pathlib.Path(ckpt).rglob("*")), "no checkpoint files written"
+
+
 def test_connected_components_raises_on_truncation(spark):
     """Exhausting max_iter without a fixed point must be loud — a
     truncated labeling is a wrong dedup, not an approximation."""

@@ -67,3 +67,59 @@ def test_raw_text_guard_drops_short_docs(spark, sf_dir):
     short = d.withColumn("text", F.lit("ab"))  # all below shingle_n=8
     cands = dedup.minhash_candidate_pairs(short, "doc_id", "text")
     assert cands.count() == 0
+
+
+# ------------------------------------------------------------- cache
+# lifecycle: materialize() tracks every persist; cache_scope() owns
+# the release (round 5 — the round-4 mid-bench regressions traced to
+# never-unpersisted caches accumulating across a 36-entry session).
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+
+
+def test_cache_scope_releases_materialized_frames(spark, sf_dir):
+    from exporter_spark.operators.partitioning import cache_scope, materialize
+
+    base = _n_cached(spark)
+    with cache_scope(blocking=True):
+        d = materialize(load_table(spark, sf_dir, "region"))
+        d.count()  # populate the cache
+        assert _n_cached(spark) >= base + 1
+    assert _n_cached(spark) <= base
+
+
+def test_cache_scope_nests_and_release_is_idempotent(spark, sf_dir):
+    from exporter_spark.operators.partitioning import (
+        cache_scope,
+        materialize,
+        release_caches,
+    )
+
+    release_caches()  # drain frames tracked by earlier scope-less tests
+    base = _n_cached(spark)
+    with cache_scope(blocking=True):
+        outer = materialize(load_table(spark, sf_dir, "nation"))
+        outer.count()
+        marks = _n_cached(spark)
+        with cache_scope(blocking=True):
+            inner = materialize(load_table(spark, sf_dir, "region"))
+            inner.count()
+            assert _n_cached(spark) == marks + 1
+        # inner scope released only its own frame
+        assert _n_cached(spark) == marks
+    assert _n_cached(spark) <= base
+    assert release_caches() == 0  # nothing tracked → no-op
+
+
+def test_operator_materialize_is_scope_released(spark, sf_dir):
+    """A real operator that materializes internally (tf-idf) must
+    leave no cached RDDs once the owning scope exits."""
+    from exporter_spark.operators.partitioning import cache_scope
+
+    d = load_table(spark, sf_dir, "documents")
+    base = _n_cached(spark)
+    with cache_scope(blocking=True):
+        text.tfidf_top_terms(d).count()
+        assert _n_cached(spark) > base  # the tf frame was tracked
+    assert _n_cached(spark) <= base

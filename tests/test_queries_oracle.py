@@ -9,10 +9,15 @@ import math
 import duckdb
 import pytest
 
+from exporter_spark.operators.partitioning import cache_scope
 from exporter_spark.queries import QUERIES
 from exporter_spark.sources.files import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
 
 
 @pytest.fixture(scope="module")
@@ -76,9 +81,19 @@ def _rowset(cols, rows):
 @pytest.mark.parametrize("name", [n for n, q in QUERIES.items() if q.oracle])
 def test_query_matches_oracle(spark, con, name):
     q = QUERIES[name]
-    sdf = q.fn(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # Cache-discipline invariant: every persist a query triggers must
+    # be tracked by materialize() and released by the scope — a rogue
+    # .persist()/.cache() in an operator, or a materialize() that
+    # stops registering, leaks storage memory session-wide and fails
+    # here.
+    base_cached = _n_cached_rdds(spark)
+    with cache_scope(blocking=True):
+        sdf = q.fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    # <= not ==: an async unpersist from a prior test may still clear
+    leaked = _n_cached_rdds(spark) - base_cached
+    assert leaked <= 0, f"{name}: {leaked} cached RDD(s) leaked past cache_scope"
     rel = con.sql(q.oracle)
     dcols = rel.columns
     drows = rel.fetchall()
@@ -113,6 +128,10 @@ def test_q1_fast_mode_matches_decimal_path(spark):
 
 @pytest.mark.parametrize("name", [n for n, q in QUERIES.items() if q.oracle is None])
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name].fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+    base_cached = _n_cached_rdds(spark)
+    with cache_scope(blocking=True):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
+    leaked = _n_cached_rdds(spark) - base_cached
+    assert leaked <= 0, f"{name}: {leaked} cached RDD(s) leaked past cache_scope"

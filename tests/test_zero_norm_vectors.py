@@ -200,3 +200,23 @@ def test_semdedup_zero_vector(spark, vecs):
             ).collect()
         }
         assert 0 in kept, policy
+
+
+def test_null_corpus_id_scan_matches_sql_tier(spark, dirty):
+    """A NULL corpus id used to reach the scan kernel's int64 cast as
+    NaN and abort the whole job, while the SQL tier silently dropped
+    the row via its join — breaking the documented 'same answer as
+    cosine_topk' contract on degenerate input. Both now drop it."""
+    nc = dirty.union(
+        spark.createDataFrame([(None, [0.9, 0.1, 0.0])], dirty.schema)
+    )
+    q = dirty.filter(F.col("vec_id") == 1)
+    sql_rows = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(nc, q, k=3).collect()
+    )
+    scan_rows = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_scan(nc, q, k=3).collect()
+    )
+    assert scan_rows == sql_rows and sql_rows
