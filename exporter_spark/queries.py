@@ -3440,75 +3440,111 @@ def dup_rate_by_source(spark, sf_dir):
 
 # =====================================================================
 # Registry ordering — the driver's correctness harness verifies the
-# FIRST 50 registry entries only (insertion order).  Rounds 2-3 grew
-# the corpus to 98 and the flagship dedup/similarity/quality block
-# drifted past the window, so it received no driver-side check after
-# round 1 despite substantial rework.  The window below pins those 48
-# queries (plus two long-stable TPC-H canaries) into the first 50
-# slots; everything else — driver-green twice already — rides behind.
-# tests/test_registry_window.py asserts this composition so a future
-# insertion can't silently evict the block again.
+# FIRST 50 registry entries only (insertion order).  The window
+# ROTATES each round so no query sits unverified against its current
+# implementation for two consecutive rounds:
+#   round 4: the flagship dedup/similarity/quality block (48 queries
+#            + q1/q3 canaries) — all 48/50 green in CORRECTNESS_r04.
+#   round 5 (below): the other half — the TPC-H block, the formatter/
+#            tostring queries round 4 touched (CSV whitespace fix,
+#            JSON temporal rendering, tostring float oracle), and the
+#            relational/text back half, none driver-verified since
+#            r02/r03.  q1/q3 stay in every window as cross-round
+#            continuity canaries.
+# The r04 block rides the back half this round; it remains covered by
+# the full pytest oracle sweep at sf0.001 and by
+# tools/replay_driver_window.py --offset runs at sf0.01.
+# tests/test_registry_window.py asserts the rotation invariant: every
+# registered query is in THIS window or was in the previous round's.
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship dedup / clustering
-    "minhash_near_dup_pairs",
-    "minhash_dedup_survivors",
-    "dedup_clusters",
-    "dedup_exact_docs",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "paragraph_dedup_docs",
-    "dedup_tokens_within_docs",
-    "dedup_cluster_sizes",
-    "dup_rate_by_source",
-    # similarity / ANN
-    "cosine_topk",
-    "cosine_topk_scan",
-    "lsh_ann_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_banded",
-    "ivf_fixed_topk",
-    "ivf_ann_topk",
-    "semdedup_survivors",
-    "semdedup_survivors_greedy",
-    "embedding_quantize_stats",
-    "embedding_random_projection",
-    # text quality / filtering
-    "gopher_quality_signals",
-    "gopher_filter_stats",
-    "lm_quality_buckets",
-    "bigram_lm_scores",
-    "winnow_fingerprints",
-    "boilerplate_spans",
-    "pii_redaction_check",
-    # exact-substring / contamination
-    "exact_substring_spans",
-    "exact_substring_strip",
-    "ngram_contamination_check",
-    # retrieval / importance sampling
-    "bm25_topk_docs",
-    "tfidf_top_terms",
-    "top_tokens",
-    "dsir_importance_weights",
-    # sampling / mixture / packing
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "docs_capped_per_source",
-    "docs_rebalanced_mixture",
-    "temperature_mixture_docs",
-    "training_shuffle_docs",
-    "pack_chunks_docs",
-    "pretraining_mix_stats",
-    "lang_token_budget",
-    # multimodal / misc analytics
-    "multimodal_feature_stats",
-    "value_percentiles",
-    "conversion_funnel",
-    "retention_cohorts",
-    # TPC-H canaries (driver-green in r02 and r03)
+    # formatter / tostring paths touched by round-4 fixes — the
+    # highest-priority re-verification this round
+    "tostring_events",
+    "csv_lines_events",
+    "xml_rows_events",
+    "ndjson_lines_docs",
+    # TPC-H block (driver-green r02/r03; q1 decimal path and JSON
+    # temporal rendering were reworked since)
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_top_orders",
+    "q4_priority_returns",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supply_gaps",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_wealthy_low_activity",
+    # relational surface beyond TPC-H
+    "top_customers_per_nation",
+    "distinct_counts",
+    "mktsegment_stats",
+    "customers_without_orders",
+    "events_hourly",
+    "events_sessions",
+    "rollup_pricing",
+    "order_status_setops",
+    "part_brand_stats",
+    "purchase_attribution",
+    "cube_order_stats",
+    "running_customer_revenue",
+    "purchases_near_errors",
+    "lineitem_dispersion",
+    "approx_distinct_events",
+    # text / pipeline queries not in the r04 window
+    "token_stats_by_lang",
+    "bpe_token_stats_by_lang",
+    "lang_id_confusion",
+    "quality_by_source",
+    "curation_pipeline",
+    "doc_fingerprints",
+    "docs_sample_deterministic",
+    "int8_ann_topk",
+    "unigram_lm_scores",
+)
+
+# The previous round's window, kept for the rotation invariant: a
+# query may leave the driver's 50-slot window only if it was verified
+# there last round.
+_R04_WINDOW: frozenset[str] = frozenset(
+    {
+        "minhash_near_dup_pairs", "minhash_dedup_survivors",
+        "dedup_clusters", "dedup_exact_docs", "simhash_near_dup_pairs",
+        "ngram_jaccard_pairs", "paragraph_dedup_docs",
+        "dedup_tokens_within_docs", "dedup_cluster_sizes",
+        "dup_rate_by_source", "cosine_topk", "cosine_topk_scan",
+        "lsh_ann_topk", "embedding_near_dup",
+        "embedding_near_dup_banded", "ivf_fixed_topk", "ivf_ann_topk",
+        "semdedup_survivors", "semdedup_survivors_greedy",
+        "embedding_quantize_stats", "embedding_random_projection",
+        "gopher_quality_signals", "gopher_filter_stats",
+        "lm_quality_buckets", "bigram_lm_scores", "winnow_fingerprints",
+        "boilerplate_spans", "pii_redaction_check",
+        "exact_substring_spans", "exact_substring_strip",
+        "ngram_contamination_check", "bm25_topk_docs",
+        "tfidf_top_terms", "top_tokens", "dsir_importance_weights",
+        "docs_stratified_sample", "docs_train_test_split",
+        "docs_capped_per_source", "docs_rebalanced_mixture",
+        "temperature_mixture_docs", "training_shuffle_docs",
+        "pack_chunks_docs", "pretraining_mix_stats",
+        "lang_token_budget", "multimodal_feature_stats",
+        "value_percentiles", "conversion_funnel", "retention_cohorts",
+        "q1_pricing_summary", "q3_top_orders",
+    }
 )
 
 

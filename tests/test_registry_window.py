@@ -4,58 +4,33 @@ The round driver verifies only the FIRST 50 entries of the query
 registry (insertion order).  Round 3's verdict found that rounds 2-3
 had registered new relational queries ahead of the flagship
 dedup/similarity/quality block, silently evicting it from the window
-for two rounds.  These assertions fail the build if that ever happens
-again: every driver-critical operator family must sit inside the
-first 50 slots.
+for two rounds.  Since round 5 the window ROTATES deliberately; the
+invariant these tests pin is therefore not a fixed membership but the
+rotation contract: every registered query sits in THIS round's window
+or was verified in the PREVIOUS round's — nothing goes unverified for
+two consecutive rounds.
 """
 
 from __future__ import annotations
 
-from exporter_spark.queries import DRIVER_WINDOW, QUERIES
-
-DRIVER_CRITICAL = {
-    # dedup
-    "minhash_near_dup_pairs",
-    "minhash_dedup_survivors",
-    "dedup_clusters",
-    "simhash_near_dup_pairs",
-    "paragraph_dedup_docs",
-    "exact_substring_spans",
-    "exact_substring_strip",
-    "ngram_contamination_check",
-    # similarity
-    "cosine_topk",
-    "cosine_topk_scan",
-    "lsh_ann_topk",
-    "embedding_near_dup",
-    "ivf_fixed_topk",
-    "semdedup_survivors",
-    # quality / retrieval / sampling
-    "gopher_quality_signals",
-    "gopher_filter_stats",
-    "bm25_topk_docs",
-    "dsir_importance_weights",
-    "pretraining_mix_stats",
-    "training_shuffle_docs",
-    "docs_stratified_sample",
-    "temperature_mixture_docs",
-    # multimodal
-    "multimodal_feature_stats",
-}
+from exporter_spark.queries import _R04_WINDOW, DRIVER_WINDOW, QUERIES
 
 
 def test_window_is_the_first_50_entries():
     names = list(QUERIES)
     assert len(names) >= 50
+    assert len(DRIVER_WINDOW) == 50
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
 
 
-def test_driver_critical_queries_inside_window():
-    first_50 = set(list(QUERIES)[:50])
-    missing = DRIVER_CRITICAL - first_50
-    assert not missing, (
-        f"driver-critical queries evicted from the 50-entry window: "
-        f"{sorted(missing)}"
+def test_rotation_covers_every_query_within_two_rounds():
+    """A query may ride the back half only if the previous round's
+    driver window verified it — a NEW query must enter the window the
+    round it is registered."""
+    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R04_WINDOW
+    assert not uncovered, (
+        f"queries in neither this round's window nor last round's: "
+        f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
     )
 
 
@@ -66,7 +41,20 @@ def test_window_has_no_duplicates_or_unknowns():
 
 
 def test_window_keeps_canaries():
-    # two long-stable relational queries ride in the window as
+    # two long-stable relational queries ride in EVERY window as
     # cross-round continuity canaries
     first_50 = set(list(QUERIES)[:50])
     assert {"q1_pricing_summary", "q3_top_orders"} <= first_50
+
+
+def test_round4_touched_formatter_paths_in_window():
+    # round 4 changed the CSV whitespace handling, JSON temporal
+    # rendering, and the tostring float oracle — their registry
+    # queries must be re-verified by this round's driver run
+    first_50 = set(list(QUERIES)[:50])
+    assert {
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "tostring_events",
+    } <= first_50

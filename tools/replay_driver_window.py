@@ -9,9 +9,12 @@ same check, kept in-repo so a registry or oracle edit can be verified
 against the exact gate before the round closes.
 
 Usage:
-    python tools/replay_driver_window.py [sf_dir] [n_queries]
-defaults: /root/testdata/sf0.01, 50.  Prints one line per query and a
-final SUMMARY line; exit code 1 if any checked query fails.
+    python tools/replay_driver_window.py [sf_dir] [n_queries] [offset]
+defaults: /root/testdata/sf0.01, 50, 0.  Prints one line per query and
+a final SUMMARY line; exit code 1 if any checked query fails.
+``offset 50`` replays the registry's BACK half — the entries the
+driver does NOT check this round — so a window rotation never leaves
+a query unverified against its current implementation.
 """
 
 from __future__ import annotations
@@ -49,18 +52,22 @@ def _rowset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     spark = get_spark("exporter_spark-replay")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    window = list(QUERIES.items())[:n]
+    window = list(QUERIES.items())[offset : offset + n]
     failures = []
     for name, q in window:
         t0 = time.perf_counter()
         try:
-            sdf = q.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            from exporter_spark.operators.partitioning import cache_scope
+
+            with cache_scope():
+                sdf = q.fn(spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
             if q.oracle is None:
                 print(f"  {name}: rows-only ({len(srows)} rows, "
                       f"{time.perf_counter() - t0:.1f}s)")
