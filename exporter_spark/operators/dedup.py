@@ -505,6 +505,17 @@ def connected_components(
         _snap = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         _snap = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+
+    def _release(df: DataFrame | None) -> None:
+        # free a superseded round's checkpoint blocks NOW instead of
+        # waiting for the nondeterministic ContextCleaner — each round
+        # otherwise leaves a full label-table copy in storage memory
+        if df is None:
+            return
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — best-effort hygiene
+            pass
     edges = _snap(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -520,6 +531,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev_ckpt: DataFrame | None = None
     for i in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
@@ -574,16 +586,26 @@ def connected_components(
             .limit(1)
             .count()
         )
+        _release(prev_ckpt)  # superseded round — after the count uses it
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break
     else:
+        _release(prev_ckpt)
+        _release(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
             " — with pointer jumping that means a component diameter"
             f" beyond ~2^{max_iter - 1}; raise max_iter"
         )
-    return labels
+    _release(edges)
+    # the final labels' blocks must outlive this function (the caller
+    # consumes them); the owning cache_scope releases them after the
+    # consuming plan has run
+    from exporter_spark.operators.partitioning import track_checkpoint
+
+    return track_checkpoint(labels)
 
 
 def dedup_keep_representatives(

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame
 # accumulates MEMORY_AND_DISK entries from every dsir/tfidf/LM/strip/
 # funnel call until LRU pressure evicts them mid-job — measured as the
 # round-4 mid-bench slowdown cluster (VERDICT r04 §Performance).
-_LIVE_CACHES: list[DataFrame] = []
+# Entries are DataFrames (from materialize) or _CheckpointHandles
+# (from track_checkpoint) — anything with .unpersist(blocking).
+_LIVE_CACHES: list = []
 
 
 def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
@@ -33,6 +35,33 @@ def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
             pass
         n += 1
     return n
+
+
+class _CheckpointHandle:
+    """Duck-typed tracker entry for a (local)checkpointed frame:
+    ``unpersist`` releases the block-backed RDD underneath the
+    LogicalRDD. After release the frame CANNOT be recomputed (its
+    lineage was truncated at checkpoint time), so the handle must be
+    released only after the consuming plan has executed — which is
+    exactly the cache_scope exit contract."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        rdd = self._df._jdf.queryExecution().analyzed().rdd()  # noqa: SLF001
+        rdd.unpersist(blocking)
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a checkpointed frame with the cache tracker so the
+    owning cache_scope() releases its blocks. localCheckpoint blocks
+    otherwise linger until the ContextCleaner notices the RDD is
+    unreferenced — nondeterministic, and a storage-pressure source in
+    long sessions (each connected_components call used to leave its
+    edges + final-labels blocks behind)."""
+    _LIVE_CACHES.append(_CheckpointHandle(df))  # type: ignore[arg-type]
+    return df
 
 
 @contextlib.contextmanager
