@@ -29,9 +29,12 @@ from exporter_spark.sources.files import load_table  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # The host is shared and single runs have shown 2-10x outliers
-# (BASELINE.md); report the MIN of N runs per query so records track
-# the engine, not transient load. N=2 keeps total wall time ~90s.
-REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+# (BASELINE.md; round-5 bisect: embedding_near_dup 1.38s vs 8.95s on
+# identical code minutes apart). Report the MIN of N runs per query so
+# records track the engine, not transient load. N=3: a burst long
+# enough to poison all three repeats is rare; measured total wall
+# stays inside the driver budget.
+REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
 
 # Representative slice of the corpus: scans+aggs, multi-join, window,
 # time-series agg, text ops, LSH dedup, vector search.
