@@ -179,6 +179,7 @@ def sessionize(
     value_col: str = "value",
     gap_minutes: float = 30.0,
     watermark: str = "2 hours",
+    max_open_intervals: int = 64,
 ) -> DataFrame:
     """Custom stateful operator: event-time sessionization with an
     inactivity gap, via ``applyInPandasWithState`` (the PySpark analog
@@ -193,29 +194,29 @@ def sessionize(
     the event-time watermark passes ``session_end + gap`` (state
     timeout — bounds state for keys that go quiet forever).
 
-    Scale shape: state is O(active keys) × one tuple; each micro-batch
-    shuffles only that batch's rows on ``user_col``; Arrow-batched
-    pandas transfer. Per-key state lives in the state store, never the
-    driver. The processing fn is a self-contained closure (pickles by
-    value; executors never import this package).
+    Scale shape: state is O(active keys) × a bounded interval list;
+    each micro-batch shuffles only that batch's rows on ``user_col``;
+    Arrow-batched pandas transfer. Per-key state lives in the state
+    store, never the driver. The processing fn is a self-contained
+    closure (pickles by value; executors never import this package).
 
-    Known limitation (single-interval state): only the LATEST merged
-    interval is held in state; every earlier interval from a batch's
-    merge is emitted as closed immediately rather than held until the
-    watermark confirms its end. Two far-late events that land in
-    DIFFERENT micro-batches, within ``gap`` of each other but both
-    earlier than the open session, are therefore emitted as two
-    singleton sessions where pure gap semantics would define one.
-    Events inside ONE micro-batch (or within the watermark delay of
-    the open session) merge correctly. Holding a bounded list of open
-    intervals in state and closing each only on watermark timeout
-    would close this at the cost of list-valued state; the batch
-    ``sessionize`` (window lag-cumsum) is the exact-semantics path
-    when reprocessing history.
+    Late-data semantics (multi-interval state): every merged interval
+    is held OPEN in state until the event-time watermark passes
+    ``interval_end + gap`` — only then can no admissible future event
+    extend it, so only then is it emitted. Two far-late events landing
+    in DIFFERENT micro-batches within ``gap`` of each other therefore
+    merge into the one session gap semantics defines (the previous
+    single-interval design emitted them as two singletons). State per
+    key is bounded at ``max_open_intervals``; beyond it the OLDEST
+    intervals are emitted immediately (the pre-watermark-confirmation
+    degradation, loud in the docstring rather than silent in the
+    semantics). The batch ``sessionize`` (window lag-cumsum) remains
+    the exact path when reprocessing history.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_minutes * 60_000_000)
+    max_open = int(max_open_intervals)
     # the key column keeps ITS OWN type — hardcoding long would kill
     # the query at Arrow conversion for string/int32 keys
     key_type = df.schema[user_col].dataType.simpleString()
@@ -223,7 +224,10 @@ def sessionize(
         f"{user_col} {key_type}, session_start timestamp, session_end timestamp, "
         "n_events long, total_value double"
     )
-    state_schema = "start long, last long, n long, total double"
+    state_schema = (
+        "starts array<long>, lasts array<long>, ns array<long>, "
+        "totals array<double>"
+    )
 
     def fn(key, pdf_iter, state):
         import pandas as pd
@@ -241,10 +245,31 @@ def sessionize(
                 }
             )
 
+        def stored():
+            starts, lasts, ns, totals = state.get
+            return list(zip(starts, lasts, ns, totals))
+
+        # the watermark decides which intervals are final: no
+        # admissible future row (ts >= watermark) can join an
+        # interval once interval_end + gap < watermark
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
         if state.hasTimedOut:
-            start, last, n, total = state.get
-            state.remove()
-            yield session_row(start, last, n, total)
+            items = stored()
+            still_open = [it for it in items if it[1] + gap_us >= wm_us]
+            closed = [it for it in items if it[1] + gap_us < wm_us]
+            if still_open:
+                state.update(tuple(list(c) for c in zip(*still_open)))
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e + gap_us for _, e, _, _ in still_open) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            else:
+                state.remove()
+            for s in closed:
+                yield session_row(*s)
             return
 
         chunks = [pdf[[ts_col, value_col]] for pdf in pdf_iter]
@@ -255,20 +280,19 @@ def sessionize(
         ts_us = (ev[ts_col].astype("int64") // 1000).to_numpy()
         vals = ev[value_col].to_numpy()
 
-        # interval merge over (event points + the state interval),
-        # sorted by start: a late event within ``gap`` of the current
-        # session (on EITHER side) joins it; a late event more than a
-        # gap BEFORE session_start forms its own session instead of
-        # silently bridging an interior silence longer than the gap
-        # (the old forward-only check merged it unconditionally).
-        # NULL values contribute 0 to total but still count the event
-        # — the batch F.sum/F.count semantics.
+        # interval merge over (event points + every open state
+        # interval), sorted by start: a late event within ``gap`` of
+        # an open session (on EITHER side) joins it; a late event more
+        # than a gap BEFORE a session start forms its own interval
+        # instead of silently bridging an interior silence longer than
+        # the gap. NULL values contribute 0 to total but still count
+        # the event — the batch F.sum/F.count semantics.
         items = [
             (int(t), int(t), 1, 0.0 if pd.isna(v) else float(v))
             for t, v in zip(ts_us, vals)
         ]
         if state.exists:
-            items.append(tuple(state.get))
+            items.extend(stored())
         if not items:
             # every row had a NULL timestamp and no prior state
             # exists — nothing to track or time out
@@ -281,14 +305,25 @@ def sessionize(
                 merged[-1] = (min(S, s0), max(E, e0), N + n0, V + v0)
             else:
                 merged.append((s0, e0, n0, v0))
-        *closed, (start, last, n, total) = merged
-        state.update((start, last, n, total))
-        # event-time timeout at session_end + gap (clamped above the
-        # current watermark: Spark rejects timeouts at/behind it)
-        timeout_ms = max(
-            (last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
-        )
-        state.setTimeoutTimestamp(timeout_ms)
+        closed = [it for it in merged if it[1] + gap_us < wm_us]
+        still_open = [it for it in merged if it[1] + gap_us >= wm_us]
+        if len(still_open) > max_open:
+            # bounded state: force-close the oldest overflow now
+            closed.extend(still_open[: len(still_open) - max_open])
+            still_open = still_open[len(still_open) - max_open:]
+        if still_open:
+            state.update(tuple(list(c) for c in zip(*still_open)))
+            # event-time timeout at the EARLIEST interval_end + gap
+            # (clamped above the current watermark: Spark rejects
+            # timeouts at/behind it)
+            timeout_ms = max(
+                min(e + gap_us for _, e, _, _ in still_open) // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
+            # a NULL-ts-only batch whose stored intervals all aged out
+            state.remove()
         for s in closed:
             yield session_row(*s)
 

@@ -325,3 +325,58 @@ def test_sessionize_far_late_event_does_not_bridge(spark, tmp_path):
     }
     assert (t0 - 115 * m, t0 - 115 * m, 1, 2.0) in got, got  # own session
     assert (t0, t0 + 5 * m, 2, 1.0) in got, got  # NULL value counted as 0
+
+
+def test_sessionize_far_late_events_across_batches_merge(spark, tmp_path):
+    """The multi-interval-state contract (round 5): two far-late
+    events landing in DIFFERENT micro-batches, within gap of each
+    other, must merge into the ONE session gap semantics defines.
+    The previous single-interval state emitted the first as a closed
+    singleton before the watermark could confirm its end."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "sess4_src")
+    spark.createDataFrame(
+        [("u", t0, 1.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)  # distinct mod-times: oldest file processed first
+    spark.createDataFrame(
+        # 08:00 — four hours late, its own interval, must stay OPEN
+        [("u", t0 - 240 * m, 2.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(
+        # 08:10 joins the held 08:00 interval (within the 30m gap);
+        # 20:00 drives the watermark to 14:00, closing everything else
+        [("u", t0 - 230 * m, 3.0), ("u", t0 + 480 * m, 1.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema=schema, maxFilesPerTrigger="1"
+    )
+    sessions = ss.sessionize(stream, gap_minutes=30, watermark="6 hours")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions4_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess4_ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions4_out").collect()
+    }
+    # ONE merged late session, not two singletons
+    assert (t0 - 240 * m, t0 - 230 * m, 2, 5.0) in got, got
+    # the 12:00 singleton closed by the final 14:00 watermark
+    assert (t0, t0, 1, 1.0) in got, got
+    # no singleton 08:00 or 08:10 emission leaked out
+    assert not any(r[0] == r[1] and r[0] in (t0 - 240 * m, t0 - 230 * m) for r in got), got
