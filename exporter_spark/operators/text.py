@@ -563,13 +563,32 @@ def gopher_signals(
 ) -> DataFrame:
     """All quality signals as columns appended to ``df``.
 
-    ``kernel="pandas"`` (default, the 100 TB path) counts with one
-    Arrow-vectorized pass (~20× the interpreted-HOF expr path, which
-    re-tokenizes per signal); ``kernel="expr"`` is the pure-Catalyst
-    form whose SQL fragments the DuckDB oracle mirrors. Both produce
-    bit-identical values (equivalence-tested): the kernel emits only
-    exact integer counts and every division/round happens JVM-side."""
+    Kernels (all bit-identical, equivalence-tested — each emits only
+    exact integer counts and every division/round happens in the same
+    Catalyst projection):
+
+    * ``"java"`` — compiled JVM ``UDF1`` (no Python workers, no Arrow
+      transfer): 2.4-3.4× the pandas kernel end-to-end, and the
+      100 TB path now that round-5 attribution showed Python compute
+      at 75% of operator CPU at 30× scale (SCALE.md). Needs a JDK on
+      first use (compiled once, content-addressed jar).
+    * ``"auto"`` — ``"java"`` when a JDK is present and the kernel
+      builds, silently ``"pandas"`` otherwise. What the registry
+      queries use.
+    * ``"pandas"`` (default) — one Arrow-vectorized pass (~20× the
+      interpreted-HOF expr path, which re-tokenizes per signal).
+    * ``"expr"`` — the pure-Catalyst form whose SQL fragments the
+      DuckDB oracle mirrors.
+    """
     t = F.col(text_col)
+    if kernel == "auto":
+        try:
+            from exporter_spark.javakernel import ensure_gopher_java
+
+            ensure_gopher_java(df.sparkSession)
+            kernel = "java"
+        except Exception:  # noqa: BLE001 — no JDK / build failure
+            kernel = "pandas"
     if kernel == "expr":
         return df.select(
             "*",
@@ -588,13 +607,26 @@ def gopher_signals(
                 for n in DUP_NGRAM_NS
             ],
         )
-    if kernel != "pandas":
+    if kernel == "java":
+        # JVM kernel: same integer counts, no Python workers, no
+        # Arrow transfer — the cluster-scale path (SCALE.md round-5
+        # attribution: Python is 75% of operator CPU at 30×).
+        # Compiled on first use, attached via ADD JAR; falls back
+        # loudly if no JDK is present.
+        from exporter_spark.javakernel import ensure_gopher_java
+
+        fn = ensure_gopher_java(df.sparkSession)
+        df = spread(df)
+        s = df.select("*", F.call_udf(fn, t).alias("__c__"))
+    elif kernel == "pandas":
+        # single-file inputs arrive as ONE partition; spread before
+        # the Arrow batches so the scan parallelizes (no-op on
+        # already-partitioned input — the 100 TB case, and on
+        # streaming frames).
+        df = spread(df)
+        s = df.select("*", _gopher_count_udf()(t).alias("__c__"))
+    else:
         raise ValueError(f"unknown kernel: {kernel!r}")
-    # single-file inputs arrive as ONE partition; spread before the
-    # Arrow batches so the scan parallelizes (no-op on already-
-    # partitioned input — the 100 TB case, and on streaming frames).
-    df = spread(df)
-    s = df.select("*", _gopher_count_udf()(t).alias("__c__"))
     C = F.col("__c__")
     return s.select(
         *df.columns,

@@ -1,0 +1,84 @@
+"""JVM Gopher counts kernel: bit-identical to the Arrow/pandas kernel.
+
+The Java kernel (exporter_spark/javakernel/GopherCounts.java) is the
+cluster-scale path — round-5 attribution measured the Python loop at
+75% of operator CPU at 30× corpus scale, and the compiled kernel runs
+2.4-3.4× faster end-to-end. Both kernels emit only exact integer
+counts into the SAME Catalyst division/round projection, so any
+semantic drift shows up as an integer mismatch here, loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from exporter_spark.javakernel import javac_available
+from exporter_spark.operators import text
+from exporter_spark.sources.files import load_table
+
+needs_jdk = pytest.mark.skipif(
+    not javac_available(), reason="no JDK (javac/jar) in PATH"
+)
+
+
+@needs_jdk
+def test_java_kernel_matches_pandas_on_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pj = text.gopher_signals(d, kernel="java").orderBy("doc_id").collect()
+    pp = text.gopher_signals(d, kernel="pandas").orderBy("doc_id").collect()
+    assert len(pj) == len(pp) > 0
+    diff = [(a, b) for a, b in zip(pj, pp) if a != b]
+    assert not diff, diff[:2]
+
+
+@needs_jdk
+def test_java_kernel_matches_pandas_on_degenerate_strings(spark):
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "a\tb\x0bc\fd\re\nf"),  # every ASCII separator class member
+        (4, "\U0001d49c\U0001d49c ab \U0001d49cb"),  # astral: code points
+        (5, "- one\n* two\n• three\nfour ...\nfive…\n\n\n"),
+        (6, "### ## # ...... ... .."),  # non-overlapping symbol counts
+        (7, "tok " * 50),  # max-multiplicity n-grams
+        (8, "a\xa0b c"),  # NBSP must NOT split (ASCII \s class only)
+        (9, "x" * 5000),  # one giant token
+        (10, " lead and trail "),
+        (11, "\n".join(["same line"] * 7)),  # duplicate lines
+        (12, "short"),  # fewer tokens than every dup-ngram n
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pj = text.gopher_signals(d, kernel="java").orderBy("doc_id").collect()
+    pp = text.gopher_signals(d, kernel="pandas").orderBy("doc_id").collect()
+    diff = [(a, b) for a, b in zip(pj, pp) if a != b]
+    assert not diff, diff[:2]
+
+
+@needs_jdk
+def test_auto_kernel_resolves_to_java_here(spark, sf_dir):
+    """kernel='auto' must use the JVM kernel when a JDK is present:
+    the plan then contains the registered SQL UDF, not a Python
+    ArrowEvalPython node."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        text.gopher_signals(d, kernel="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan, plan[:500]
+
+
+def test_auto_kernel_never_raises(spark, sf_dir, monkeypatch):
+    """With the JDK 'missing', auto falls back to the pandas kernel
+    silently — same answer, slower path."""
+    import exporter_spark.javakernel as jk
+
+    monkeypatch.setattr(jk, "build_jar", lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("no jdk")
+    ))
+    # force re-registration attempt on a fresh session attr
+    if hasattr(spark, "_exporter_spark_java_kernels"):
+        del spark._exporter_spark_java_kernels
+    d = load_table(spark, sf_dir, "documents")
+    out = text.gopher_signals(d, kernel="auto")
+    assert out.count() > 0
