@@ -117,3 +117,12 @@ def from_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) ->
         spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path),
         "xml",
     )
+
+
+def from_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — the read twin of formatters.columnar.ORCFormatter,
+    so an ORC-landed export round-trips through the same loader
+    surface as every other source. Typed columnar scan with the same
+    pushdown/pruning behavior as parquet; no NTZ/nanos normalization
+    is needed (Spark's ORC writer stores session-zoned timestamps)."""
+    return tag_driver(spark.read.options(**options).orc(path), "orc")

@@ -285,3 +285,25 @@ def test_from_hive_table_named_like_sql_keyword(spark):
         assert from_hive(spark, "SELECT 2 AS b").first()["b"] == 2
     finally:
         spark.catalog.dropTempView("withdrawals")
+
+
+def test_orc_export_roundtrip(spark, sf_dir, tmp_path):
+    """ORC closes its loop: ORCFormatter-landed data reads back via
+    from_orc value-identical (incl. timestamps) with the 'orc' driver
+    tag, so an ORC landing zone uses the same loader surface as every
+    other source."""
+    from exporter_spark import Exporter, ExportSpec
+    from exporter_spark.sources.files import from_orc, load_table
+    from exporter_spark.sources.meta import DRIVER_META_KEY
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    out = str(tmp_path / "ev_orc")
+    Exporter(ev, "orc", ExportSpec()).write(out)
+    back = from_orc(spark, out)
+    assert back.count() == 100
+    a = {tuple(r) for r in ev.drop("props").collect()}
+    b = {tuple(r) for r in back.drop("props").collect()}
+    assert a == b
+    assert all(
+        f.metadata.get(DRIVER_META_KEY) == "orc" for f in back.schema.fields
+    )
