@@ -119,11 +119,20 @@ def test_q16_anti_join_pushes_probe_filter(spark):
 def test_gopher_signals_map_only_and_arrow(spark):
     """Quality signals are a pure map: no semantic shuffle (the only
     Exchange is the local-input spread, absent on partitioned input),
-    the counting kernel must be Arrow-vectorized — never row-Python —
-    and the scan must not read unrelated columns."""
+    the counting kernel must never be row-Python — with a JDK it is
+    the compiled JVM UDF (no Python eval node at all), otherwise the
+    Arrow-vectorized pandas kernel — and the scan must not read
+    unrelated columns."""
+    from exporter_spark.javakernel import javac_available
+
     plan = _plan(spark, "gopher_quality_signals")
     assert "ENSURE_REQUIREMENTS" not in plan
-    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    if javac_available():
+        # kernel="auto" resolved to the JVM counts UDF
+        assert "ArrowEvalPython" not in plan
+    else:
+        assert "ArrowEvalPython" in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read and "n_chars" not in read
 
