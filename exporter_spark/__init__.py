@@ -15,7 +15,18 @@ Layers (see SURVEY.md §7):
 """
 
 from exporter_spark.exporter import Exporter
+from exporter_spark.operators.partitioning import cache_scope, release_caches
 from exporter_spark.plans.spec import CellMeta, ExportSpec
 
-__all__ = ["Exporter", "ExportSpec", "CellMeta"]
+__all__ = [
+    "Exporter",
+    "ExportSpec",
+    "CellMeta",
+    # cache-lifecycle surface: operators persist intermediates they
+    # cannot safely unpersist themselves (the consuming plan runs
+    # after they return); wrap build+force in cache_scope() so a long
+    # session never accumulates storage pressure
+    "cache_scope",
+    "release_caches",
+]
 __version__ = "0.1.0"
