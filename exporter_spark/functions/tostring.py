@@ -103,6 +103,34 @@ def _make_go_float_udf():
 go_float_str = _make_go_float_udf()
 
 
+def _go_float_expr(d: Column) -> Column:
+    """The Go-parity renderer as a Column.
+
+    Default: the Arrow/numpy kernel — numpy's C Dragon4
+    (format_float_positional) MEASURED 2.8× faster end-to-end than the
+    compiled BigDecimal JVM twin on the sf0.1 lineitem float_go export
+    (2.36s vs 6.58s, byte-identical output; SCALE.md round 5). The JVM
+    kernel (javakernel/GoFloat.java, fuzz-pinned byte-identical over
+    187k multi-regime doubles incl. binade-boundary
+    asymmetric-interval cases) exists for deployments where executor
+    Python workers are unavailable — opt in via
+    EXPORTER_SPARK_GO_FLOAT_KERNEL=java."""
+    import os
+
+    if os.environ.get("EXPORTER_SPARK_GO_FLOAT_KERNEL") == "java":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                from exporter_spark.javakernel import ensure_go_float_java
+
+                return F.call_udf(ensure_go_float_java(spark), d)
+            except Exception:  # noqa: BLE001 — no JDK / build failure
+                pass
+    return go_float_str(d)
+
+
 def _rfc3339nano(col: Column) -> Column:
     """RFC3339Nano with trailing fractional zeros trimmed, per Go
     time.Format(time.RFC3339Nano). Session timezone is UTC ⇒ "Z".
@@ -151,7 +179,7 @@ def display_expr(
         d = col.cast("double")
         if float_mode == "go":
             return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
-                go_float_str(d)
+                _go_float_expr(d)
             )
         return d.cast("string")
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):

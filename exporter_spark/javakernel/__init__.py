@@ -44,13 +44,21 @@ def _pyspark_jars_glob() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
 
 
-def build_jar(java_file: str = "GopherCounts.java") -> str:
-    """Compile the kernel source into a content-addressed jar under
-    the system temp dir; return the jar path. Idempotent: an existing
-    jar for the same source bytes is reused."""
-    src = os.path.join(_PKG_DIR, java_file)
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+def build_jar() -> str:
+    """Compile every kernel source in this package into one
+    content-addressed jar under the system temp dir; return the jar
+    path. Idempotent: an existing jar for the same source bytes is
+    reused."""
+    srcs = sorted(
+        os.path.join(_PKG_DIR, f)
+        for f in os.listdir(_PKG_DIR)
+        if f.endswith(".java")
+    )
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     jar_path = os.path.join(
         tempfile.gettempdir(), f"exporter_spark_javakernel_{digest}.jar"
     )
@@ -58,15 +66,15 @@ def build_jar(java_file: str = "GopherCounts.java") -> str:
         return jar_path
     if not javac_available():
         raise RuntimeError(
-            "javac/jar not found — the Java kernel needs a JDK; use the"
-            " pandas kernel instead"
+            "javac/jar not found — the Java kernels need a JDK; use the"
+            " pandas kernels instead"
         )
     with tempfile.TemporaryDirectory(prefix="javakernel_build_") as build:
         subprocess.run(
             [
                 "javac", "-encoding", "UTF-8",
                 "-cp", _pyspark_jars_glob(),
-                "-d", build, src,
+                "-d", build, *srcs,
             ],
             check=True, capture_output=True,
         )
@@ -81,22 +89,35 @@ def build_jar(java_file: str = "GopherCounts.java") -> str:
     return jar_path
 
 
-def ensure_gopher_java(spark) -> str:
-    """Compile (if needed), attach, and register the Gopher counts
-    UDF on this session; returns the registered function name.
-    Idempotent per session."""
+GO_FLOAT_UDF_NAME = "go_float_java"
+
+
+def _ensure(spark, udf_name: str, class_name: str, schema: str) -> str:
+    """Compile (if needed), attach, and register one kernel UDF on
+    this session; returns the registered function name. Idempotent
+    per session."""
     registered = getattr(spark, "_exporter_spark_java_kernels", None)
     if registered is None:
         registered = set()
         spark._exporter_spark_java_kernels = registered
-    if GOPHER_UDF_NAME in registered:
-        return GOPHER_UDF_NAME
+    if udf_name in registered:
+        return udf_name
     jar = build_jar()
     spark.sql(f"ADD JAR '{jar}'")
     from pyspark.sql.types import _parse_datatype_string
 
     spark.udf.registerJavaFunction(
-        GOPHER_UDF_NAME, "GopherCounts", _parse_datatype_string(GOPHER_SCHEMA)
+        udf_name, class_name, _parse_datatype_string(schema)
     )
-    registered.add(GOPHER_UDF_NAME)
-    return GOPHER_UDF_NAME
+    registered.add(udf_name)
+    return udf_name
+
+
+def ensure_gopher_java(spark) -> str:
+    return _ensure(spark, GOPHER_UDF_NAME, "GopherCounts", GOPHER_SCHEMA)
+
+
+def ensure_go_float_java(spark) -> str:
+    """Go-parity shortest-round-trip fixed-notation float renderer
+    (strconv.FormatFloat(v, 'f', -1, 64)) as a JVM UDF."""
+    return _ensure(spark, GO_FLOAT_UDF_NAME, "GoFloat", "string")
