@@ -139,3 +139,43 @@ def test_go_float_java_matches_python_renderer(spark):
         .collect()
     )
     assert not bad, bad
+
+
+@needs_jdk
+def test_java_kernel_matches_pandas_random_unicode_fuzz(spark):
+    """Seeded random-text fuzz: mixed scripts, astral plane, every
+    ASCII separator, marker chars (#/.../…/bullets), NBSP and other
+    unicode spaces (which must NOT split — the class is ASCII \\s),
+    and pathological repetition. One DataFrame, exact row equality."""
+    import random
+
+    rng = random.Random(424242)
+    alphabets = [
+        "abcdefgh XYZ",                       # latin + case
+        "абвгд ёжз",                          # cyrillic
+        "你好世界 中文",                        # CJK
+        "\U0001f600\U0001d49c\U00010400",     # astral plane
+        " \t\n\x0b\f\r",                      # every separator
+        "#.…-*• ",                            # marker chars
+        "\xa0   ",             # unicode spaces: no split
+    ]
+
+    def rand_text():
+        n = rng.randint(0, 400)
+        parts = []
+        for _ in range(n):
+            a = rng.choice(alphabets)
+            parts.append(a[rng.randrange(len(a))])
+        s = "".join(parts)
+        if rng.random() < 0.2:  # inject heavy repetition
+            tok = s[: rng.randint(1, 8)] or "x"
+            s = ((tok + " ") * rng.randint(2, 30)) + s
+        return s
+
+    rows = [(i, rand_text()) for i in range(400)]
+    rows += [(9001, None), (9002, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pj = text.gopher_signals(d, kernel="java").orderBy("doc_id").collect()
+    pp = text.gopher_signals(d, kernel="pandas").orderBy("doc_id").collect()
+    diff = [(a, b) for a, b in zip(pj, pp) if a != b]
+    assert not diff, diff[:2]
