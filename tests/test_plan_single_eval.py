@@ -123,3 +123,33 @@ def test_operator_materialize_is_scope_released(spark, sf_dir):
         text.tfidf_top_terms(d).count()
         assert _n_cached(spark) > base  # the tf frame was tracked
     assert _n_cached(spark) <= base
+
+
+def test_stats_join_back_plans_serve_branches_from_cache(spark, sf_dir):
+    """The round-4 scan audit found stats-then-join-back operators
+    re-reading AND re-tokenizing the corpus once per branch (bigram LM
+    5 scans, pretraining composition 12). materialize() fixed it; this
+    pins the plan shape so a refactor can't silently lose the sharing:
+    every such query's executed plan must serve >= 2 branches from
+    InMemoryTableScan (actual release is owned by cache_scope at
+    execution time)."""
+    from exporter_spark.operators.partitioning import release_caches
+    from exporter_spark.queries import QUERIES
+
+    try:
+        for name in (
+            "dsir_importance_weights",
+            "bigram_lm_scores",
+            "tfidf_top_terms",
+            "exact_substring_strip",
+            "conversion_funnel",
+        ):
+            plan = (
+                QUERIES[name].fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            n = plan.count("InMemoryTableScan")
+            assert n >= 2, f"{name}: {n} InMemoryTableScan branches — " \
+                f"the materialize() scan sharing was lost"
+    finally:
+        release_caches()
