@@ -1,0 +1,40 @@
+"""Guard the driver's bench contract end-to-end.
+
+The round driver runs ``python bench.py`` and parses EXACTLY ONE JSON
+line from stdout; an import error, a stray print, or a broken entry
+silently corrupts the round's BENCH record. This runs the real thing
+as a subprocess at sf0.001 / repeat=1 (~45s) — the same execution
+path the driver uses, including a fresh interpreter and session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_one_json_line_with_all_entries():
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_REPEAT": "1",
+        "SPARK_GRAFT_CPUS": "4",
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout.strip()
+    assert "\n" not in out, f"stdout must be ONE line, got: {out[:300]}"
+    d = json.loads(out)
+    assert set(d) == {"metric", "value", "unit", "queries", "sf"}
+    assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
+    assert d["value"] > 0 and len(d["queries"]) >= 36
+    assert all(v > 0 for v in d["queries"].values()), d["queries"]
+    # per-entry telemetry goes to STDERR, never stdout
+    assert "cached_rdds" in proc.stderr
