@@ -380,3 +380,76 @@ def test_sessionize_far_late_events_across_batches_merge(spark, tmp_path):
     assert (t0, t0, 1, 1.0) in got, got
     # no singleton 08:00 or 08:10 emission leaked out
     assert not any(r[0] == r[1] and r[0] in (t0 - 240 * m, t0 - 230 * m) for r in got), got
+
+
+def test_sessionize_stream_equals_batch_on_events(spark, events_dir, tmp_path):
+    """Semantic pin: the stateful streaming sessionizer and a batch
+    window-cumsum sessionization agree EXACTLY on the real events
+    table — same sessions, same bounds, same aggregates. A far-future
+    sentinel event (its own user) drives the final watermark past
+    every real session's end+gap so the stream closes them all."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import Window
+
+    gap_min = 30
+    ev = spark.read.parquet(events_dir).select("user_id", "ts", "value")
+    src = str(tmp_path / "eq_src")
+    ev.coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    far = dt.datetime(2030, 1, 1)
+    spark.createDataFrame(
+        [(-999, far, 0.0)], "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema=schema, maxFilesPerTrigger="1"
+    )
+    q = (
+        ss.sessionize(stream, gap_minutes=gap_min, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("eq_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eq_ckpt"))
+        .start()
+    )
+    _wait(q)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT * FROM eq_sessions WHERE user_id != -999"
+        ).collect()
+    }
+
+    # batch twin: strict-gap split (gap > threshold), cumsum session id
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_min * 60_000_000
+    batch = (
+        ev.filter(F.col("ts").isNotNull())
+        .withColumn("__gap__", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "__sid__",
+            F.sum(F.when(F.col("__gap__") > gap_us, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "__sid__")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in batch.collect()
+    }
+    assert streamed == expected, (
+        len(streamed), len(expected),
+        sorted(streamed - expected)[:3], sorted(expected - streamed)[:3],
+    )
