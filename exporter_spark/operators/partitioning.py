@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame
 # round-4 mid-bench slowdown cluster (VERDICT r04 §Performance).
 # Entries are DataFrames (from materialize) or _CheckpointHandles
 # (from track_checkpoint) — anything with .unpersist(blocking).
+# Process-global and NOT thread-safe by design: the tracker mirrors
+# Spark's driver-side single-plan-builder usage. Concurrent job
+# submission from multiple driver threads should serialize plan
+# BUILDING (execution may overlap freely), or scope each thread's
+# builds with its own release_caches(from_index=...) watermark.
 _LIVE_CACHES: list = []
 
 
