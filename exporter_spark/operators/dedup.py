@@ -117,10 +117,11 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def hashed_shingles_sql(shingles_col: str) -> str:
-    """Per-shingle base hash h ∈ [0, 2^31-1) as a Spark-SQL fragment:
-    the top 60 bits of md5, reduced mod the Mersenne prime.
+def hashed_shingles_sql(shingles_col: str, family: str = "md5") -> str:
+    """Per-shingle base hash h ∈ [0, 2^31-1) as a Spark-SQL fragment,
+    reduced mod the Mersenne prime.
 
+    ``family="md5"`` (default, the ORACLE family): top 60 bits of md5.
     The DuckDB twin is ('0x' || substr(md5(s),1,15))::BIGINT — both
     engines agree bit-for-bit on md5 hex of UTF-8 text and on 64-bit
     integer %, which keeps the whole pipeline oracle-replayable with
@@ -128,14 +129,25 @@ def hashed_shingles_sql(shingles_col: str) -> str:
     seeds that is a 32× cut of the digest work, the dominant cost of
     the signature stage.
 
-    Tradeoff vs per-seed md5: two distinct shingles collide in the
-    31-bit base hash with probability ~2⁻³¹, and such a collision
-    aliases them across ALL seeds (the old family collided per seed
-    independently). The aliasing can only merge shingles — it never
-    separates them — so LSH recall is unaffected and the only cost is
-    a vanishing rate of extra candidates, which the exact-Jaccard
-    verify stage discards; final output stays value-exact either way.
+    ``family="xxhash64"`` (the PRODUCTION family): Spark's native
+    codegen'd XXH64 — no hex-string materialization, no conv() parse,
+    measured substantially faster (SCALE.md round 5). Not replayable
+    in DuckDB (its hash() is a different algorithm), so registry
+    queries stay on md5; the final verified output is family-agnostic
+    in practice because exact-Jaccard disposes whatever the banding
+    proposes (equality pinned in pytest at two SFs).
+
+    Tradeoff vs per-seed hashing (both families): two distinct
+    shingles collide in the 31-bit base hash with probability ~2⁻³¹,
+    and such a collision aliases them across ALL seeds. The aliasing
+    can only merge shingles — it never separates them — so LSH recall
+    is unaffected and the only cost is a vanishing rate of extra
+    candidates, which the exact-Jaccard verify stage discards.
     """
+    if family == "xxhash64":
+        return f"transform({shingles_col}, s -> pmod(xxhash64(s), {_MERSENNE}))"
+    if family != "md5":
+        raise ValueError(f"unknown minhash family: {family!r}")
     return (
         f"transform({shingles_col},"
         f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
@@ -176,13 +188,23 @@ def minhash_signature(text_col: str, num_hashes: int, shingle_n: int) -> Column:
     return minhash_over(shingle_sql(text_col, shingle_n), num_hashes)
 
 
-def minhash_bands(sig_col: str, bands: int, rows_per_band: int) -> Column:
-    """Band hashes: md5 of the concatenated signature slice per band.
-    Signatures are bigints; the explicit string cast keeps the join
-    key rendering identical to the DuckDB oracle's ::VARCHAR."""
+def minhash_bands(
+    sig_col: str, bands: int, rows_per_band: int, family: str = "md5"
+) -> Column:
+    """Band hashes per band: md5 of the concatenated signature slice
+    (oracle family — the explicit string cast keeps the join key
+    rendering identical to the DuckDB oracle's ::VARCHAR), or native
+    xxhash64 over the slice (production family — bigint keys, no hex
+    strings)."""
     parts = []
     for b in range(bands):
         lo = b * rows_per_band
+        if family == "xxhash64":
+            parts.append(
+                f"xxhash64(array_join(transform(slice({sig_col}, {lo + 1},"
+                f" {rows_per_band}), x -> cast(x as string)), '|'))"
+            )
+            continue
         slice_expr = (
             f"transform(slice({sig_col}, {lo + 1}, {rows_per_band}),"
             f" x -> cast(x as string))"
@@ -199,6 +221,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 8,
+    family: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs (a_id < b_id), deduplicated across bands.
 
@@ -228,16 +251,19 @@ def minhash_candidate_pairs(
             F.col(id_col).alias("__id__"),
             char_shingles(text_col, shingle_n).alias("__sh__"),
         )
-        .select("__id__", F.expr(hashed_shingles_sql("__sh__")).alias("__hs__"))
+        .select(
+            "__id__",
+            F.expr(hashed_shingles_sql("__sh__", family)).alias("__hs__"),
+        )
         .select(
             "__id__", minhash_over("__hs__", num_hashes, hashed=True).alias("__sig__")
         )
     )
     banded = sigs.select(
         "__id__",
-        F.posexplode(minhash_bands("__sig__", bands, rows_per_band)).alias(
-            "__band__", "__bhash__"
-        ),
+        F.posexplode(
+            minhash_bands("__sig__", bands, rows_per_band, family)
+        ).alias("__band__", "__bhash__"),
     )
     # Shuffle the banded triples on the join key: both sides of the
     # self-join below then hang off canonically-equal exchanges.
@@ -317,6 +343,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 8,
     threshold: float = 0.7,
     collapse_exact: bool = True,
+    family: str = "md5",
 ) -> DataFrame:
     """MinHash LSH → exact Jaccard verification. The standard near-dup
     pipeline: banded LSH proposes, exact Jaccard disposes.
@@ -337,6 +364,7 @@ def minhash_dedup_pairs(
         cands = minhash_candidate_pairs(
             df, id_col, text_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            family=family,
         )
         return jaccard_verify_pairs(
             cands, df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
@@ -370,6 +398,7 @@ def minhash_dedup_pairs(
     cands = minhash_candidate_pairs(
         reps, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        family=family,
     )
     rep_pairs = jaccard_verify_pairs(
         cands, reps, id_col, text_col, shingle_n=shingle_n, threshold=threshold

@@ -740,3 +740,24 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
     for key, s in sims.items():
         if key in exact_sims:
             assert abs(s - exact_sims[key]) <= 0.02, (key, s, exact_sims[key])
+
+
+def test_minhash_xxhash64_family_same_verified_output(spark, sf_dir):
+    """The production xxhash64 family (native codegen, no hex-string
+    md5 per shingle — 1.47x the pair pipeline at sf0.1, SCALE.md) must
+    produce the SAME verified pairs as the oracle md5 family: banding
+    proposes, exact Jaccard disposes, so the family only moves the
+    candidate set margin. Registry queries stay on md5 (DuckDB can't
+    replay XXH64); this pin keeps the fast path honest."""
+    d = load_table(spark, sf_dir, "documents")
+    md5_pairs = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.minhash_dedup_pairs(d, "doc_id", "text").collect()
+    }
+    xxh_pairs = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.minhash_dedup_pairs(
+            d, "doc_id", "text", family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs == xxh_pairs and md5_pairs
