@@ -453,3 +453,41 @@ def test_sessionize_stream_equals_batch_on_events(spark, events_dir, tmp_path):
         len(streamed), len(expected),
         sorted(streamed - expected)[:3], sorted(expected - streamed)[:3],
     )
+
+
+def test_sessionize_bounded_state_force_closes_oldest(spark, tmp_path):
+    """max_open_intervals bounds per-key state: when one batch leaves
+    more open intervals than the bound, the OLDEST are emitted
+    immediately (the documented pre-watermark degradation) and the
+    newest stay in state — state never grows past the bound."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    src = str(tmp_path / "sess5_src")
+    # 5 intervals, 1h apart (gap 30m keeps them separate); watermark
+    # 10h so NONE is closeable by event time within the batch
+    spark.createDataFrame(
+        [("u", t0 + i * h, float(i)) for i in range(5)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    sessions = ss.sessionize(
+        stream, gap_minutes=30, watermark="10 hours", max_open_intervals=2
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions5_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess5_ckpt"))
+        .start()
+    )
+    _wait(q)
+    got = sorted(
+        (r["session_start"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions5_out").collect()
+    )
+    # oldest 3 force-closed (5 open - bound 2); newest 2 held in state
+    assert got == [(t0, 1, 0.0), (t0 + h, 1, 1.0), (t0 + 2 * h, 1, 2.0)], got
