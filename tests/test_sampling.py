@@ -3,6 +3,7 @@ repartitioning, stratum semantics, quota bounds, redaction behavior."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from exporter_spark.operators import sampling, text
@@ -74,8 +75,10 @@ def test_redact_pii_values(spark):
         assert r["got"] == r["expected"], (r["got"], r["expected"])
 
 
-def test_winnow_guarantee_and_density(spark):
-    """Winnowing invariants: (1) two docs sharing a substring of
+@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+def test_winnow_guarantee_and_density(spark, family):
+    """Winnowing invariants, for BOTH the oracle (md5) and production
+    (xxhash64) hash families: (1) two docs sharing a substring of
     length >= k+w-1 share at least one fingerprint; (2) fingerprints
     are a sparse subset of k-grams; (3) disjoint docs don't collide."""
     k = w = 8
@@ -88,7 +91,7 @@ def test_winnow_guarantee_and_density(spark):
         ],
         "doc_id long, text string",
     )
-    fp = text.winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    fp = text.winnow_fingerprints(df, "doc_id", "text", k=k, w=w, family=family)
     rows = fp.collect()
     by_doc = {}
     for r in rows:
