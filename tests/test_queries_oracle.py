@@ -135,3 +135,19 @@ def test_rows_only_queries_run(spark, name):
         assert len(df.columns) > 0
     leaked = _n_cached_rdds(spark) - base_cached
     assert leaked <= 0, f"{name}: {leaked} cached RDD(s) leaked past cache_scope"
+
+
+def test_approx_distinct_tracks_exact_within_rsd(spark):
+    """approx_distinct_events is oracle-less (HLL sketches differ per
+    engine), so pin its accuracy contract directly: the estimate must
+    sit within a generous multiple of the default 5% relative standard
+    deviation of the exact count it is shipped alongside."""
+    from exporter_spark.queries import QUERIES
+
+    rows = QUERIES["approx_distinct_events"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert exact > 0
+        rel_err = abs(r["approx_users"] - exact) / exact
+        assert rel_err <= 0.15, (r["event_type"], r["approx_users"], exact)
