@@ -934,6 +934,7 @@ def exact_substring_spans(
     *,
     k: int = 10,
     min_count: int = 2,
+    family: str = "md5",
 ) -> DataFrame:
     """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -954,7 +955,15 @@ def exact_substring_spans(
     boilerplate grams are exactly what AQE skew-split handles), then
     ONE doc-keyed shuffle merges positions into spans (two window
     passes over the same partitioning, single exchange). Only
-    (id, pos, 32-hex) triples ever shuffle — never document text.
+    (id, pos, gram-hash) triples ever shuffle — never document text.
+
+    ``family``: "md5" (default) keys the duplication count on 32-hex
+    strings — DuckDB-replayable, which is what the oracle gate runs.
+    "xxhash64" keys on an 8-byte bigint: the SAME spans (pytest-pinned
+    at two SFs — a differing span would need a 64-bit hash collision)
+    with the corpus-wide shuffle carrying ~2.5× fewer key bytes, the
+    lever that matters at 100 TB where this triple shuffle IS the
+    operator's cost.
     """
     toks = _spread(df, id_col).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__l__")
@@ -973,11 +982,15 @@ def exact_substring_spans(
             )
         ).alias("i"),
         "__l__",
-    ).select(
-        id_col,
-        "i",
-        F.md5(F.array_join(F.slice("__l__", F.col("i"), k), " ")).alias("__h__"),
     )
+    gram_str = F.array_join(F.slice("__l__", F.col("i"), k), " ")
+    if family == "xxhash64":
+        gram_hash = F.xxhash64(gram_str)
+    elif family == "md5":
+        gram_hash = F.md5(gram_str)
+    else:
+        raise ValueError(f"unknown exact-substring family: {family!r}")
+    grams = grams.select(id_col, "i", gram_hash.alias("__h__"))
     cnt = F.count("*").over(Window.partitionBy("__h__"))
     dup = grams.withColumn("__cnt__", cnt).filter(
         F.col("__cnt__") >= min_count
@@ -1005,6 +1018,7 @@ def strip_duplicate_spans(
     *,
     k: int = 10,
     min_count: int = 2,
+    family: str = "md5",
 ) -> DataFrame:
     """The cut step of ExactSubstr dedup (arXiv:2107.06499 §4.2):
     remove every token covered by a corpus-duplicated span (as found
@@ -1022,7 +1036,7 @@ def strip_duplicate_spans(
     from exporter_spark.operators.partitioning import materialize
 
     spans = exact_substring_spans(
-        df, id_col, text_col, k=k, min_count=min_count
+        df, id_col, text_col, k=k, min_count=min_count, family=family
     ).select(F.col(id_col).alias("__sid__"), "span_start", "span_end")
     # materialized: the covered-token semi join and the survivor anti
     # join both consume this corpus-sized explode — un-materialized
