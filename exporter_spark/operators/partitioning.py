@@ -3,41 +3,96 @@
 from __future__ import annotations
 
 import contextlib
+import logging
+import threading
+import weakref
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-# Every frame materialize() persists, in creation order. Persist is
-# lazy and the cached frame is consumed when the CALLER executes the
-# returned plan, so the operator that created it can never unpersist
-# it safely — ownership has to sit with whoever forces the plan.
-# cache_scope()/release_caches() are that owner: without them a long
-# session (the driver's 36-entry bench, a real multi-job cluster)
-# accumulates MEMORY_AND_DISK entries from every dsir/tfidf/LM/strip/
-# funnel call until LRU pressure evicts them mid-job — measured as the
-# round-4 mid-bench slowdown cluster (VERDICT r04 §Performance).
-# Entries are DataFrames (from materialize) or _CheckpointHandles
-# (from track_checkpoint) — anything with .unpersist(blocking).
-# Process-global and NOT thread-safe by design: the tracker mirrors
-# Spark's driver-side single-plan-builder usage. Concurrent job
-# submission from multiple driver threads should serialize plan
-# BUILDING (execution may overlap freely), or scope each thread's
-# builds with its own release_caches(from_index=...) watermark.
-_LIVE_CACHES: list = []
+_log = logging.getLogger("exporter_spark.caches")
+
+
+class _Tracker(threading.local):
+    """Per-thread cache tracker. Every frame materialize() persists
+    (and every checkpoint track_checkpoint() registers) is appended to
+    the CALLING THREAD's list, in creation order. Persist is lazy and
+    the cached frame is consumed when the CALLER executes the returned
+    plan, so the operator that created it can never unpersist it
+    safely — ownership has to sit with whoever forces the plan.
+    cache_scope()/release_caches() are that owner: without them a long
+    session (the driver's 36-entry bench, a real multi-job cluster)
+    accumulates MEMORY_AND_DISK entries from every dsir/tfidf/LM/strip/
+    funnel call until LRU pressure evicts them mid-job — measured as
+    the round-4 mid-bench slowdown cluster (VERDICT r04 §Performance).
+
+    Thread-local (round 6): concurrent driver threads each track and
+    release only their OWN caches — a scope exit in thread A can no
+    longer unpersist a frame thread B is mid-consuming. A scope must
+    therefore exit on the thread that opened it (the only way a
+    ``with`` block can run anyway).
+
+    Entries appended while NO cache_scope is open on the thread are
+    held via weakref: a library caller that never scopes its calls no
+    longer accumulates unbounded strong DataFrame references (the
+    frame stays GC-eligible exactly as it was pre-tracker; its JVM
+    cache is then the caller's responsibility, as documented on
+    materialize). Inside a scope entries are strong — deterministic
+    release is the scope's whole contract."""
+
+    def __init__(self) -> None:
+        self.entries: list = []  # DataFrames, _CheckpointHandles, or _WeakEntry
+        self.depth: int = 0  # open cache_scope count on this thread
+
+
+_TRACKER = _Tracker()
+
+
+class _WeakEntry:
+    """Tracker entry for a frame registered outside any cache_scope:
+    resolves to a no-op once the frame has been garbage-collected."""
+
+    def __init__(self, entry) -> None:
+        self._ref = weakref.ref(entry)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        entry = self._ref()
+        if entry is not None:
+            entry.unpersist(blocking)
+
+    def dead(self) -> bool:
+        return self._ref() is None
+
+
+def _track(entry) -> None:
+    t = _TRACKER
+    if t.depth == 0:
+        # scope-less caller: weak entry, and prune dead ones so the
+        # list itself stays bounded over a long unscoped session
+        t.entries[:] = [
+            e for e in t.entries if not (isinstance(e, _WeakEntry) and e.dead())
+        ]
+        t.entries.append(_WeakEntry(entry))
+    else:
+        t.entries.append(entry)
 
 
 def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
-    """Unpersist every frame materialize() has tracked since
-    ``from_index`` (default: all of them). Returns how many were
-    released. Safe to call at any time — releasing before the plan
-    runs merely costs the re-scan the cache would have saved."""
+    """Unpersist every frame materialize() has tracked ON THIS THREAD
+    since ``from_index`` (default: all of them). Returns how many
+    entries were processed. Safe to call at any time — releasing
+    before the plan runs merely costs the re-scan the cache would have
+    saved. A failed release is LOGGED (warning), never silently
+    swallowed — a silent no-op here is exactly the storage-pressure
+    leak this tracker exists to prevent (round-6 ADVICE)."""
+    entries = _TRACKER.entries
     n = 0
-    while len(_LIVE_CACHES) > from_index:
-        df = _LIVE_CACHES.pop()
+    while len(entries) > from_index:
+        df = entries.pop()
         try:
             df.unpersist(blocking)
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
+        except Exception as exc:  # noqa: BLE001 — session may already be gone
+            _log.warning("cache release failed for %r: %s", df, exc)
         n += 1
     return n
 
@@ -48,9 +103,22 @@ class _CheckpointHandle:
     LogicalRDD. After release the frame CANNOT be recomputed (its
     lineage was truncated at checkpoint time), so the handle must be
     released only after the consuming plan has executed — which is
-    exactly the cache_scope exit contract."""
+    exactly the cache_scope exit contract.
+
+    The analyzed-plan class is validated at REGISTRATION (round-6
+    ADVICE): if a future Spark version or a plan-shape change stops
+    producing a LogicalRDD, registration fails loudly instead of the
+    release silently becoming a no-op."""
 
     def __init__(self, df: DataFrame) -> None:
+        analyzed = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        cls = analyzed.getClass().getSimpleName()
+        if cls != "LogicalRDD":
+            raise TypeError(
+                "track_checkpoint expects a checkpointed frame whose"
+                f" analyzed plan is a LogicalRDD, got {cls} — pass the"
+                " result of .checkpoint()/.localCheckpoint() directly"
+            )
         self._df = df
 
     def unpersist(self, blocking: bool = False) -> None:
@@ -64,8 +132,9 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
     otherwise linger until the ContextCleaner notices the RDD is
     unreferenced — nondeterministic, and a storage-pressure source in
     long sessions (each connected_components call used to leave its
-    edges + final-labels blocks behind)."""
-    _LIVE_CACHES.append(_CheckpointHandle(df))  # type: ignore[arg-type]
+    edges + final-labels blocks behind). Raises TypeError if the frame
+    is not actually checkpoint-backed (see _CheckpointHandle)."""
+    _track(_CheckpointHandle(df))
     return df
 
 
@@ -74,13 +143,18 @@ def cache_scope(*, blocking: bool = False) -> Iterator[None]:
     """Owns the lifecycle of every materialize() cache created inside
     the ``with`` block: build the plan, force it, and the caches are
     unpersisted on exit. Nests correctly — an inner scope releases
-    only its own frames. This is what bench.py and the oracle tests
-    wrap each query in, so a 36-entry session holds at most one
-    query's worth of cached data at a time."""
-    mark = len(_LIVE_CACHES)
+    only its own frames — and is thread-local: concurrent scopes on
+    different threads cannot release each other's caches. This is
+    what bench.py and the oracle tests wrap each query in, so a
+    36-entry session holds at most one query's worth of cached data
+    at a time."""
+    t = _TRACKER
+    mark = len(t.entries)
+    t.depth += 1
     try:
         yield
     finally:
+        t.depth -= 1
         release_caches(blocking=blocking, from_index=mark)
 
 
@@ -119,11 +193,16 @@ def materialize(df: DataFrame) -> DataFrame:
     KEEPS lineage, so an executor loss on a 1000-node run recomputes
     the lost blocks instead of failing the job.
 
-    Lifecycle: the persisted frame is registered in a module-level
-    list; the caller that forces the final plan releases it via
+    Lifecycle: the persisted frame is registered in a thread-local
+    tracker; the caller that forces the final plan releases it via
     ``cache_scope()`` (or ``release_caches()``). The operator itself
     cannot unpersist — persist is lazy and the cache is only consumed
     when the returned plan executes, after this function has returned.
+    Outside any cache_scope the tracker holds only a WEAK reference:
+    a long-lived session that never scopes its calls keeps its frames
+    GC-eligible, but then owns unpersisting them (or accepts LRU
+    eviction) itself — wrap calls in cache_scope() to get the
+    deterministic release.
 
     Streaming frames pass through untouched (persist is a batch-only
     concept)."""
@@ -132,5 +211,5 @@ def materialize(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(df)
+    _track(df)
     return df

@@ -153,3 +153,92 @@ def test_stats_join_back_plans_serve_branches_from_cache(spark, sf_dir):
                 f"the materialize() scan sharing was lost"
     finally:
         release_caches()
+
+
+# ------------------------------------------------------------ round 6
+# tracker hardening: thread-local scopes, weakref no-scope entries,
+# loud checkpoint registration (VERDICT r05 item 5 + ADVICE lows).
+
+def test_cache_scopes_are_thread_isolated(spark, sf_dir):
+    """Two concurrent scopes on different threads must each release
+    only their OWN frame — a scope exit in one thread can no longer
+    unpersist a frame another thread is mid-consuming."""
+    import threading
+
+    from exporter_spark.operators.partitioning import cache_scope, materialize
+
+    base = _n_cached(spark)
+    both_open = threading.Barrier(2, timeout=60)
+    b_done = threading.Event()
+    state: dict = {}
+
+    def thread_a():
+        with cache_scope(blocking=True):
+            d = materialize(load_table(spark, sf_dir, "region"))
+            d.count()
+            both_open.wait()          # B's frame is also cached now
+            assert b_done.wait(60)    # B's scope has exited
+            # B released ONLY its own frame; A's survives and serves
+            state["after_b_exit"] = _n_cached(spark)
+            state["a_rows"] = d.count()
+
+    def thread_b():
+        with cache_scope(blocking=True):
+            d = materialize(load_table(spark, sf_dir, "nation"))
+            d.count()
+            both_open.wait()
+        b_done.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    ta.join(120); tb.join(120)
+    assert not ta.is_alive() and not tb.is_alive()
+    # after B exited, exactly A's frame remained above the baseline
+    assert state["after_b_exit"] == base + 1
+    assert state["a_rows"] > 0
+    assert _n_cached(spark) <= base  # A's exit released the rest
+
+
+def test_scopeless_materialize_is_weakly_tracked(spark, sf_dir):
+    """Outside any cache_scope the tracker must hold only a weak
+    reference: dropping the frame keeps it GC-eligible (no unbounded
+    strong-ref accumulation in unscoped long sessions), and a later
+    release_caches() treats the dead entry as a no-op."""
+    import gc
+    import weakref
+
+    from exporter_spark.operators.partitioning import materialize, release_caches
+
+    release_caches()  # drain anything earlier tests left behind
+    d = materialize(load_table(spark, sf_dir, "region"))
+    ref = weakref.ref(d)
+    del d
+    gc.collect()
+    assert ref() is None, "scope-less tracker kept the frame alive"
+    release_caches()  # dead weak entry: must not raise
+    # the JVM-side CacheManager entry is the CALLER's to drop in the
+    # unscoped case (the documented tradeoff) — drop it here so it
+    # can't be repopulated by a later test's identical plan
+    load_table(spark, sf_dir, "region").unpersist(True)
+
+
+def test_track_checkpoint_rejects_non_checkpointed_frames(spark, sf_dir):
+    """Registration must fail loudly when the frame is not
+    checkpoint-backed — otherwise the release silently no-ops and the
+    storage leak the tracker exists to fix returns without signal."""
+    import pytest as _pytest
+
+    from exporter_spark.operators.partitioning import track_checkpoint
+
+    plain = load_table(spark, sf_dir, "region")  # analyzed plan: relation
+    with _pytest.raises(TypeError, match="LogicalRDD"):
+        track_checkpoint(plain)
+    # and the positive case still registers + releases cleanly
+    from exporter_spark.operators.partitioning import cache_scope
+
+    base = _n_cached(spark)
+    with cache_scope(blocking=True):
+        ck = track_checkpoint(plain.localCheckpoint())
+        assert ck.count() > 0
+    assert _n_cached(spark) <= base
