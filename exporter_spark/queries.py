@@ -3449,106 +3449,116 @@ def dup_rate_by_source(spark, sf_dir):
 # ROTATES each round so no query sits unverified against its current
 # implementation for two consecutive rounds:
 #   round 4: the flagship dedup/similarity/quality block (48 queries
-#            + q1/q3 canaries) — all 48/50 green in CORRECTNESS_r04.
-#   round 5 (below): the other half — the TPC-H block, the formatter/
-#            tostring queries round 4 touched (CSV whitespace fix,
-#            JSON temporal rendering, tostring float oracle), and the
-#            relational/text back half, none driver-verified since
-#            r02/r03.  q1/q3 stay in every window as cross-round
-#            continuity canaries.
-# The r04 block rides the back half this round; it remains covered by
-# the full pytest oracle sweep at sf0.001 and by
-# tools/replay_driver_window.py --offset runs at sf0.01.
+#            + q1/q3 canaries) — 48/50 green in CORRECTNESS_r04.
+#   round 5: the other half (TPC-H, formatter/tostring, relational/
+#            text back half) — 49/50 green in CORRECTNESS_r05.
+#   round 6 (below): the flagship block rotates BACK IN — round 5
+#            touched every one of its families (xxhash64 production
+#            hash families, the JVM Gopher kernel on the auto path,
+#            reliable-checkpoint connected components, and the owned
+#            cache lifecycle all queries now run under), and the
+#            rotation rule is that a round's implementation changes
+#            ride the NEXT window (round-6 ADVICE: rotate only
+#            untouched queries out).  q1/q3 stay in every window as
+#            cross-round continuity canaries.
+# The r05 half rides the back this round; it remains covered by the
+# full pytest oracle sweep vs DuckDB at sf0.001 (an automated gate —
+# test_queries_oracle.py parametrizes over the WHOLE registry, not
+# the window) and by tools/replay_driver_window.py --offset 50 runs
+# at sf0.01 before round end (round-workflow step 2).
 # tests/test_registry_window.py asserts the rotation invariant: every
 # registered query is in THIS window or was in the previous round's.
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # formatter / tostring paths touched by round-4 fixes — the
-    # highest-priority re-verification this round
-    "tostring_events",
-    "csv_lines_events",
-    "xml_rows_events",
-    "ndjson_lines_docs",
-    # TPC-H block (driver-green r02/r03; q1 decimal path and JSON
-    # temporal rendering were reworked since)
+    # continuity canaries (every window)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_top_orders",
-    "q4_priority_returns",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supply_gaps",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_low_activity",
-    # relational surface beyond TPC-H
-    "top_customers_per_nation",
-    "distinct_counts",
-    "mktsegment_stats",
-    "customers_without_orders",
-    "events_hourly",
-    "events_sessions",
-    "rollup_pricing",
-    "order_status_setops",
-    "part_brand_stats",
-    "purchase_attribution",
-    "cube_order_stats",
-    "running_customer_revenue",
-    "purchases_near_errors",
-    "lineitem_dispersion",
-    "approx_distinct_events",
-    # text / pipeline queries not in the r04 window
-    "token_stats_by_lang",
-    "bpe_token_stats_by_lang",
-    "lang_id_confusion",
-    "quality_by_source",
-    "curation_pipeline",
-    "doc_fingerprints",
-    "docs_sample_deterministic",
-    "int8_ann_topk",
-    "unigram_lm_scores",
+    # document dedup family — r05 added the xxhash64 production hash
+    # families and checkpoint_dir CC; re-verify the md5 defaults
+    "dedup_exact_docs",
+    "minhash_near_dup_pairs",
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dup_rate_by_source",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup_docs",
+    "dedup_tokens_within_docs",
+    "exact_substring_spans",
+    "exact_substring_strip",
+    "ngram_contamination_check",
+    # similarity / embedding family — cache-scope lifecycle touched
+    "cosine_topk",
+    "cosine_topk_scan",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_banded",
+    "ivf_fixed_topk",
+    "ivf_ann_topk",
+    "semdedup_survivors",
+    "semdedup_survivors_greedy",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    # text quality / LM family — JVM Gopher kernel is now the auto
+    # path; winnowing gained the xxhash64 family
+    "gopher_quality_signals",
+    "gopher_filter_stats",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "winnow_fingerprints",
+    "boilerplate_spans",
+    "pii_redaction_check",
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "top_tokens",
+    "dsir_importance_weights",
+    # sampling / mixture family (materialize-backed — cache lifecycle)
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "docs_capped_per_source",
+    "docs_rebalanced_mixture",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    "lang_token_budget",
+    # multimodal + events analytics
+    "multimodal_feature_stats",
+    "value_percentiles",
+    "conversion_funnel",
+    "retention_cohorts",
 )
 
 # The previous round's window, kept for the rotation invariant: a
 # query may leave the driver's 50-slot window only if it was verified
-# there last round.
-_R04_WINDOW: frozenset[str] = frozenset(
+# there last round (CORRECTNESS_r05: 49/50 green, the 50th being the
+# no-oracle approx_distinct_events).
+_R05_WINDOW: frozenset[str] = frozenset(
     {
-        "minhash_near_dup_pairs", "minhash_dedup_survivors",
-        "dedup_clusters", "dedup_exact_docs", "simhash_near_dup_pairs",
-        "ngram_jaccard_pairs", "paragraph_dedup_docs",
-        "dedup_tokens_within_docs", "dedup_cluster_sizes",
-        "dup_rate_by_source", "cosine_topk", "cosine_topk_scan",
-        "lsh_ann_topk", "embedding_near_dup",
-        "embedding_near_dup_banded", "ivf_fixed_topk", "ivf_ann_topk",
-        "semdedup_survivors", "semdedup_survivors_greedy",
-        "embedding_quantize_stats", "embedding_random_projection",
-        "gopher_quality_signals", "gopher_filter_stats",
-        "lm_quality_buckets", "bigram_lm_scores", "winnow_fingerprints",
-        "boilerplate_spans", "pii_redaction_check",
-        "exact_substring_spans", "exact_substring_strip",
-        "ngram_contamination_check", "bm25_topk_docs",
-        "tfidf_top_terms", "top_tokens", "dsir_importance_weights",
-        "docs_stratified_sample", "docs_train_test_split",
-        "docs_capped_per_source", "docs_rebalanced_mixture",
-        "temperature_mixture_docs", "training_shuffle_docs",
-        "pack_chunks_docs", "pretraining_mix_stats",
-        "lang_token_budget", "multimodal_feature_stats",
-        "value_percentiles", "conversion_funnel", "retention_cohorts",
-        "q1_pricing_summary", "q3_top_orders",
+        "tostring_events", "csv_lines_events", "xml_rows_events",
+        "ndjson_lines_docs",
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
+        "q4_priority_returns", "q5_region_revenue", "q6_revenue_change",
+        "q7_nation_volume", "q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q11_important_parts",
+        "q12_late_shipments", "q13_order_count_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_brand_supply_gaps", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q19_discounted_revenue",
+        "q20_promo_suppliers", "q21_waiting_suppliers",
+        "q22_wealthy_low_activity",
+        "top_customers_per_nation", "distinct_counts",
+        "mktsegment_stats", "customers_without_orders", "events_hourly",
+        "events_sessions", "rollup_pricing", "order_status_setops",
+        "part_brand_stats", "purchase_attribution", "cube_order_stats",
+        "running_customer_revenue", "purchases_near_errors",
+        "lineitem_dispersion", "approx_distinct_events",
+        "token_stats_by_lang", "bpe_token_stats_by_lang",
+        "lang_id_confusion", "quality_by_source", "curation_pipeline",
+        "doc_fingerprints", "docs_sample_deterministic",
+        "int8_ann_topk", "unigram_lm_scores",
     }
 )
 

@@ -8,12 +8,15 @@ for two rounds.  Since round 5 the window ROTATES deliberately; the
 invariant these tests pin is therefore not a fixed membership but the
 rotation contract: every registered query sits in THIS round's window
 or was verified in the PREVIOUS round's — nothing goes unverified for
-two consecutive rounds.
+two consecutive rounds.  Round-6 refinement (ADVICE r05): queries
+whose implementations the PREVIOUS round touched must ride the next
+window, so the driver gate always checks the current code, never the
+pre-change version it already verified.
 """
 
 from __future__ import annotations
 
-from exporter_spark.queries import _R04_WINDOW, DRIVER_WINDOW, QUERIES
+from exporter_spark.queries import _R05_WINDOW, DRIVER_WINDOW, QUERIES
 
 
 def test_window_is_the_first_50_entries():
@@ -27,7 +30,7 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered."""
-    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R04_WINDOW
+    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R05_WINDOW
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
@@ -47,14 +50,44 @@ def test_window_keeps_canaries():
     assert {"q1_pricing_summary", "q3_top_orders"} <= first_50
 
 
-def test_round4_touched_formatter_paths_in_window():
-    # round 4 changed the CSV whitespace handling, JSON temporal
-    # rendering, and the tostring float oracle — their registry
-    # queries must be re-verified by this round's driver run
+def test_round5_touched_families_in_window():
+    # round 5 changed the minhash/winnow/ExactSubstr hash-family
+    # plumbing, put the JVM Gopher kernel on the auto path, reworked
+    # connected-components checkpointing, and moved every
+    # materialize-backed operator onto the owned cache lifecycle —
+    # their registry queries must be re-verified by this round's
+    # driver run (the rotation rule: implementation changes ride the
+    # NEXT window)
     first_50 = set(list(QUERIES)[:50])
     assert {
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "tostring_events",
+        "minhash_near_dup_pairs",
+        "minhash_dedup_survivors",
+        "dedup_clusters",
+        "gopher_quality_signals",
+        "gopher_filter_stats",
+        "winnow_fingerprints",
+        "exact_substring_spans",
+        "exact_substring_strip",
+        "cosine_topk",
+        "semdedup_survivors",
+        "dsir_importance_weights",
+        "pretraining_mix_stats",
     } <= first_50
+
+
+def test_back_half_is_oracle_gated():
+    """The half riding outside the driver window must still be
+    automatically verified each round: every back-half query either
+    carries a DuckDB oracle (test_queries_oracle.py parametrizes over
+    the WHOLE registry, so pytest runs it vs the oracle at sf0.001) or
+    is one of the three documented no-oracle queries, which are pinned
+    by tools/pin_no_oracle.py at sf0.1 (PARITY.md)."""
+    no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert no_oracle <= {
+        "approx_distinct_events",
+        "semdedup_survivors_greedy",
+        "ivf_ann_topk",
+    }
+    back = set(QUERIES) - set(DRIVER_WINDOW)
+    unverifiable = {n for n in back if QUERIES[n].oracle is None} - no_oracle
+    assert not unverifiable
