@@ -83,6 +83,20 @@ BENCH_QUERIES = [
     "semdedup_survivors",
 ]
 
+# Non-registry entries main() measures besides BENCH_QUERIES. The
+# bench-contract test asserts the emitted JSON contains EXACTLY
+# BENCH_QUERIES + EXTRA_ENTRIES, so a renamed/removed entry can never
+# silently drop a measurement from the round record.
+EXTRA_ENTRIES = [
+    "q1_fast",
+    "export_csv",
+    "export_json",
+    "export_xml",
+    "export_parquet",
+    "export_xml_docs",
+    "export_json_array",
+]
+
 
 def _force(df) -> None:
     """Execute the full plan (noop sink: no skipped projections, no

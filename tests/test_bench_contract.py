@@ -34,7 +34,17 @@ def test_bench_emits_one_json_line_with_all_entries():
     d = json.loads(out)
     assert set(d) == {"metric", "value", "unit", "queries", "sf"}
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
-    assert d["value"] > 0 and len(d["queries"]) >= 36
+    # EXACT entry set — a renamed or dropped entry must fail here, not
+    # silently vanish from the round's BENCH record (VERDICT r05 #6)
+    sys.path.insert(0, REPO)
+    import bench
+
+    expected = set(bench.BENCH_QUERIES) | set(bench.EXTRA_ENTRIES)
+    assert set(d["queries"]) == expected, (
+        f"missing: {expected - set(d['queries'])}, "
+        f"unexpected: {set(d['queries']) - expected}"
+    )
+    assert d["value"] > 0
     assert all(v > 0 for v in d["queries"].values()), d["queries"]
     # per-entry telemetry goes to STDERR, never stdout
     assert "cached_rdds" in proc.stderr
