@@ -959,11 +959,15 @@ def exact_substring_spans(
 
     ``family``: "md5" (default) keys the duplication count on 32-hex
     strings — DuckDB-replayable, which is what the oracle gate runs.
-    "xxhash64" keys on an 8-byte bigint: the SAME spans (pytest-pinned
-    at two SFs — a differing span would need a 64-bit hash collision)
-    with the corpus-wide shuffle carrying ~2.5× fewer key bytes, the
-    lever that matters at 100 TB where this triple shuffle IS the
-    operator's cost.
+    "xxhash64" keys on TWO independently-seeded 8-byte bigints (a
+    128-bit key): a single 64-bit key expects birthday collisions at
+    the motivating corpus scale (~5e9+ distinct grams ⇒ ≈0.5 expected
+    false duplicated-gram groups, each a span strip_duplicate_spans
+    would cut from an innocent document); at 128 bits the collision
+    probability stays ≈1.5e-19 even at 1e10 grams. Produces the SAME
+    spans as md5 (pytest-pinned at two SFs) while the corpus-wide
+    shuffle carries half the md5 key bytes — the lever that matters
+    at 100 TB where this triple shuffle IS the operator's cost.
     """
     toks = _spread(df, id_col).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__l__")
@@ -985,13 +989,22 @@ def exact_substring_spans(
     )
     gram_str = F.array_join(F.slice("__l__", F.col("i"), k), " ")
     if family == "xxhash64":
-        gram_hash = F.xxhash64(gram_str)
+        # the leading literal chains into the seed (xxhash64 hashes
+        # its arguments sequentially), giving a second independent
+        # 64-bit hash — together a 128-bit duplication key
+        grams = grams.select(
+            id_col,
+            "i",
+            F.xxhash64(gram_str).alias("__h__"),
+            F.xxhash64(F.lit(-4), gram_str).alias("__h2__"),
+        )
+        key_cols = ["__h__", "__h2__"]
     elif family == "md5":
-        gram_hash = F.md5(gram_str)
+        grams = grams.select(id_col, "i", F.md5(gram_str).alias("__h__"))
+        key_cols = ["__h__"]
     else:
         raise ValueError(f"unknown exact-substring family: {family!r}")
-    grams = grams.select(id_col, "i", gram_hash.alias("__h__"))
-    cnt = F.count("*").over(Window.partitionBy("__h__"))
+    cnt = F.count("*").over(Window.partitionBy(*key_cols))
     dup = grams.withColumn("__cnt__", cnt).filter(
         F.col("__cnt__") >= min_count
     )

@@ -764,11 +764,13 @@ def test_minhash_xxhash64_family_same_verified_output(spark, sf_dir):
 
 
 def test_exact_substring_xxhash64_family_same_spans(spark, sf_dir):
-    """The xxhash64 family keys the duplication count on 8-byte
-    bigints instead of 32-hex md5 strings — ~2.5x fewer key bytes on
-    the corpus-wide triple shuffle that IS this operator's cost at
-    100 TB. Spans must be identical (a difference needs a 64-bit
-    collision)."""
+    """The xxhash64 family keys the duplication count on a 128-bit
+    pair of independently-seeded bigints instead of 32-hex md5
+    strings — half the key bytes on the corpus-wide triple shuffle
+    that IS this operator's cost at 100 TB, with collision odds
+    ~1.5e-19 at 1e10 grams (a single 64-bit key would expect real
+    collisions there; round-6 ADVICE). Spans must be identical (a
+    difference needs a 128-bit collision)."""
     d = load_table(spark, sf_dir, "documents")
     md5_spans = {
         tuple(r) for r in dedup.exact_substring_spans(d, k=10, min_count=2).collect()
