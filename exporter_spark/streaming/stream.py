@@ -212,6 +212,15 @@ def sessionize(
     degradation, loud in the docstring rather than silent in the
     semantics). The batch ``sessionize`` (window lag-cumsum) remains
     the exact path when reprocessing history.
+
+    .. warning:: **State-schema break (round 5).** The per-key state
+       changed from four scalars (start/last/n/total) to four ARRAYS
+       (the bounded multi-interval design above). A streaming query
+       restarted from a checkpoint written by the pre-round-5
+       single-interval version will fail or mis-decode its state
+       store rows — restart affected streams from a FRESH checkpoint
+       location (reprocessing history through the batch ``sessionize``
+       if exact continuity matters).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
