@@ -121,3 +121,12 @@ def ensure_go_float_java(spark) -> str:
     """Go-parity shortest-round-trip fixed-notation float renderer
     (strconv.FormatFloat(v, 'f', -1, 64)) as a JVM UDF."""
     return _ensure(spark, GO_FLOAT_UDF_NAME, "GoFloat", "string")
+
+
+SIMHASH_UDF_NAME = "simhash32_java"
+
+
+def ensure_simhash_java(spark) -> str:
+    """32-bit SimHash fingerprint (identical to the pandas kernel in
+    operators/dedup.py) as a JVM UDF."""
+    return _ensure(spark, SIMHASH_UDF_NAME, "SimHash32", "bigint")

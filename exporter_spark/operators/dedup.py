@@ -728,6 +728,7 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     num_tables: int = 4,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -735,6 +736,23 @@ def simhash_near_dup_pairs(
     ``num_tables`` 8-bit chunks; by pigeonhole, any pair within
     hamming ≤ num_tables-1 shares at least one exact chunk, so an
     exact equi-join per chunk finds all of them without O(n²).
+
+    ``kernel`` picks the fingerprint implementation — all three are
+    bit-identical (fuzz-pinned in test_javakernel.py), so the choice
+    is purely operational:
+
+    * ``"java"`` — compiled JVM ``UDF1`` (javakernel/SimHash32.java):
+      no Python workers, no Arrow transfer. Round-6 attribution
+      (SCALE.md) measured the pandas kernel's Python share at 63% of
+      operator wall at 30× corpus scale and rising (per-token
+      hashlib.md5 is interpreted work — the Gopher profile), so this
+      is the 100 TB path.
+    * ``"auto"`` — ``"java"`` when a JDK is present and the kernel
+      builds, silently ``"pandas"`` otherwise. What the registry
+      query uses.
+    * ``"pandas"`` — the Arrow-vectorized numpy kernel.
+    * ``"sql"`` — the pure-Catalyst expression (32 interpreted HOF
+      folds; the form the DuckDB oracle mirrors).
 
     The pigeonhole guarantee is a hard precondition, not a tuning
     suggestion — both violations below would silently LOSE recall,
@@ -752,8 +770,27 @@ def simhash_near_dup_pairs(
             " (pigeonhole: a pair within hamming h shares a chunk only when"
             " the fingerprint is split into > h chunks)"
         )
+    if kernel == "auto":
+        try:
+            from exporter_spark.javakernel import ensure_simhash_java
+
+            ensure_simhash_java(df.sparkSession)
+            kernel = "java"
+        except Exception:  # noqa: BLE001 — no JDK / build failure
+            kernel = "pandas"
+    if kernel == "java":
+        from exporter_spark.javakernel import ensure_simhash_java
+
+        fn = ensure_simhash_java(df.sparkSession)
+        fp_col = F.call_udf(fn, F.col(text_col))
+    elif kernel == "pandas":
+        fp_col = _simhash32_fast()(F.col(text_col))
+    elif kernel == "sql":
+        fp_col = simhash32(text_col)
+    else:
+        raise ValueError(f"unknown simhash kernel: {kernel!r}")
     fp = _spread(df, id_col).select(
-        F.col(id_col).alias("__id__"), _simhash32_fast()(F.col(text_col)).alias("__fp__")
+        F.col(id_col).alias("__id__"), fp_col.alias("__fp__")
     )
     chunk_bits = 32 // num_tables
     chunks = fp.select(

@@ -179,3 +179,105 @@ def test_java_kernel_matches_pandas_random_unicode_fuzz(spark):
     pp = text.gopher_signals(d, kernel="pandas").orderBy("doc_id").collect()
     diff = [(a, b) for a, b in zip(pj, pp) if a != b]
     assert not diff, diff[:2]
+
+
+# ---------------------------------------------------------- SimHash32
+# round 6: the simhash fingerprint got the same treatment after its
+# attribution (Python share 63% at 30x and rising — SCALE.md). All
+# three kernels must agree BIT-EXACTLY: the fingerprint feeds the
+# pigeonhole chunk join, so a single differing bit changes pair
+# candidates.
+
+def _simhash_cols(spark, df, kernel):
+    from pyspark.sql import functions as F
+
+    from exporter_spark.operators import dedup
+
+    if kernel == "java":
+        from exporter_spark.javakernel import ensure_simhash_java
+
+        col = F.call_udf(ensure_simhash_java(spark), F.col("text"))
+    elif kernel == "pandas":
+        col = dedup._simhash32_fast()(F.col("text"))
+    else:
+        col = dedup.simhash32("text")
+    return {r["doc_id"]: r["fp"] for r in df.select("doc_id", col.alias("fp")).collect()}
+
+
+@needs_jdk
+def test_simhash_java_matches_pandas_and_sql_on_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas", "sql")}
+    assert by["java"] == by["pandas"] == by["sql"]
+    assert len(by["java"]) > 0
+
+
+@needs_jdk
+def test_simhash_java_degenerate_whitespace_matrix(spark):
+    """The token boundary is CPython's str \\s (Unicode White_Space +
+    0x1C-0x1F), which Java's isWhitespace only approximates — NEL,
+    NBSP, FIGURE SPACE and NNBSP are the chars that diverge between
+    the platforms' defaults, so each gets a row where splitting (or
+    not) flips the fingerprint."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " \t\n\x0b\f\r"),              # all-space -> 0
+        (3, "a\x1cb\x1db\x1eb\x1fb"),      # file separators DO split in python \s
+        (4, "a\x85b"),                      # NEL splits (python), not java default
+        (5, "a\xa0b"),                      # NBSP splits in python \s (Zs)
+        (6, "a b"),                    # FIGURE SPACE (Zs, non-breaking)
+        (7, "a b"),                    # NNBSP
+        (8, "a b c"),            # line/para separators
+        (9, "a　b"),                    # ideographic space
+        (10, "a b"),                   # ogham space mark
+        (11, "\U0001f600 \U0001d49c\U00010400"),  # astral tokens
+        (12, "x" * 5000),                   # one huge token
+        (13, "tok " * 1000),                # heavy repetition
+        (14, "​zero width​"),     # ZWSP is NOT whitespace
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas")}
+    assert by["java"] == by["pandas"]
+    # and the documented NULL/empty contract
+    assert by["java"][0] is None and by["java"][1] == 0
+
+
+@needs_jdk
+def test_simhash_java_random_unicode_fuzz(spark):
+    import random
+
+    rng = random.Random(626262)
+    pool = (
+        "abcdefgh XYZ абвгд ёжз 你好世界 \U0001f600\U0001d49c"
+        " \t\n\x0b\f\r\x1c\x85\xa0   　​#…•"
+    )
+
+    def rand_text():
+        return "".join(
+            pool[rng.randrange(len(pool))] for _ in range(rng.randint(0, 300))
+        )
+
+    rows = [(i, rand_text()) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas")}
+    assert by["java"] == by["pandas"]
+
+
+@needs_jdk
+def test_simhash_pairs_kernel_parity_and_auto(spark, sf_dir):
+    """The full pair pipeline must emit the same pairs under every
+    kernel, and kernel="auto" must resolve to java here (JDK present)
+    without changing the answer."""
+    from exporter_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    outs = {}
+    for k in ("java", "pandas", "auto"):
+        outs[k] = {
+            tuple(r)
+            for r in dedup.simhash_near_dup_pairs(
+                d, "doc_id", "text", kernel=k
+            ).collect()
+        }
+    assert outs["java"] == outs["pandas"] == outs["auto"]
