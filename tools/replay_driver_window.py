@@ -15,6 +15,9 @@ a final SUMMARY line; exit code 1 if any checked query fails.
 ``offset 50`` replays the registry's BACK half — the entries the
 driver does NOT check this round — so a window rotation never leaves
 a query unverified against its current implementation.
+``n_queries = all`` replays the ENTIRE registry in one invocation
+(the mechanical pre-round-end step: front window + back half, one
+SUMMARY line).
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ def _rowset(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    n_arg = sys.argv[2] if len(sys.argv) > 2 else "50"
+    n = len(QUERIES) if n_arg == "all" else int(n_arg)
     offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     spark = get_spark("exporter_spark-replay")
     con = duckdb.connect()
