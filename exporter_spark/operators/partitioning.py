@@ -50,15 +50,30 @@ _TRACKER = _Tracker()
 
 class _WeakEntry:
     """Tracker entry for a frame registered outside any cache_scope:
-    resolves to a no-op once the frame has been garbage-collected."""
+    resolves to a no-op once the FRAME has been garbage-collected.
+
+    The weakref must target the underlying DataFrame, never a wrapper:
+    a fresh _CheckpointHandle has no referent besides the tracker, so
+    weak-reffing the handle itself would die the moment registration
+    returns and the caller's later release_caches() would silently
+    no-op while the caller still holds the frame (round-6 review)."""
 
     def __init__(self, entry) -> None:
-        self._ref = weakref.ref(entry)
+        if isinstance(entry, _CheckpointHandle):
+            self._ref = weakref.ref(entry._df)  # noqa: SLF001
+            self._ckpt = True
+        else:
+            self._ref = weakref.ref(entry)
+            self._ckpt = False
 
     def unpersist(self, blocking: bool = False) -> None:
-        entry = self._ref()
-        if entry is not None:
-            entry.unpersist(blocking)
+        target = self._ref()
+        if target is None:
+            return
+        if self._ckpt:
+            _CheckpointHandle(target).unpersist(blocking)
+        else:
+            target.unpersist(blocking)
 
     def dead(self) -> bool:
         return self._ref() is None

@@ -242,3 +242,25 @@ def test_track_checkpoint_rejects_non_checkpointed_frames(spark, sf_dir):
         ck = track_checkpoint(plain.localCheckpoint())
         assert ck.count() > 0
     assert _n_cached(spark) <= base
+
+
+def test_scopeless_track_checkpoint_releasable_while_frame_held(spark, sf_dir):
+    """Round-6 review regression guard: outside any scope the weak
+    entry must target the FRAME, not the _CheckpointHandle wrapper —
+    a weakref to the freshly-made handle dies at registration, and
+    release_caches() would silently no-op while the caller still
+    holds the checkpointed frame (the exact storage leak the tracker
+    exists to prevent)."""
+    from exporter_spark.operators.partitioning import (
+        release_caches,
+        track_checkpoint,
+    )
+
+    release_caches()
+    base = _n_cached(spark)
+    ck = track_checkpoint(load_table(spark, sf_dir, "region").localCheckpoint())
+    assert ck.count() > 0
+    assert _n_cached(spark) > base
+    released = release_caches(blocking=True)  # caller still holds ck
+    assert released >= 1
+    assert _n_cached(spark) <= base, "checkpoint blocks not released"

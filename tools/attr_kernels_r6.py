@@ -39,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.functions import pandas_udf  # noqa: E402
 from pyspark.sql.types import DoubleType, LongType  # noqa: E402
 
+from bench import _force  # noqa: E402 — the canonical plan-forcing strategy
 from exporter_spark.operators import dedup, similarity  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
 from exporter_spark.sources.files import load_table  # noqa: E402
@@ -46,10 +47,6 @@ from exporter_spark.sources.files import load_table  # noqa: E402
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPEAT = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 SCALES = (1, 10, 30)
-
-
-def _force(df):
-    df.write.format("noop").mode("overwrite").save()
 
 
 def timed(fn):
