@@ -281,3 +281,59 @@ def test_simhash_pairs_kernel_parity_and_auto(spark, sf_dir):
             ).collect()
         }
     assert outs["java"] == outs["pandas"] == outs["auto"]
+
+
+@needs_jdk
+def test_simhash_java_hypothesis_property(spark):
+    """Property check beyond the seeded fuzz: on arbitrary generated
+    text (whitespace-dense alphabet incl. every char where Python and
+    Java whitespace semantics diverge, plus astral plane), the Java
+    kernel must equal a pure-python reference of the pandas kernel's
+    definition. One Spark job per batch of examples."""
+    import hashlib
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from exporter_spark.javakernel import ensure_simhash_java
+
+    fn = ensure_simhash_java(spark)
+
+    def reference(text):
+        if text is None:
+            return None
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if not toks:
+            return 0
+        lanes = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                lanes[j] += 2 * ((h >> j) & 1) - 1
+        return sum((1 << j) for j in range(32) if lanes[j] > 0)
+
+    alphabet = (
+        "ab я世\U0001f600 \t\n\x0b\f\r\x1c\x1d\x1e\x1f\x85\xa0"
+        "       　​#"
+    )
+    texts = st.lists(
+        st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=20
+    )
+
+    @given(texts)
+    @settings(max_examples=15, deadline=None)
+    def check(batch):
+        rows = [(i, t) for i, t in enumerate(batch)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in d.select(
+                "doc_id", F.call_udf(fn, F.col("text")).alias("fp")
+            ).collect()
+        }
+        want = {i: reference(t) for i, t in rows}
+        assert got == want
+
+    check()
