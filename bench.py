@@ -138,6 +138,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    # Host-speed canary (round 7): a fixed pure-CPU JVM aggregate whose
+    # cost depends only on the machine, never on this engine's code —
+    # rounds 4 and 6 each burned a cycle arguing host-vs-code over
+    # uniform bench drift. Every BENCH_rN now carries its own
+    # denominator: if the canary drifts by the same factor as the
+    # corpus total, the drift is the host. Fixed 32 partitions so the
+    # work is identical regardless of $SPARK_GRAFT_CPUS; excluded from
+    # "queries" and the corpus total (it measures the host, not the
+    # engine).
+    host_canary = timed(
+        lambda: spark.range(0, 400_000_000, 1, 32)
+        .select(F.sum(F.col("id") % 7))
+        .collect()
+    )
+    print(f"[bench] host_canary: {host_canary}s", file=sys.stderr)
+
     for name in BENCH_QUERIES:
         gc0 = _gc_ms()
         # cache_scope: repeats within an entry still reuse the cache
@@ -209,6 +225,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-speed denominator, NOT part of the total (see
+                # the canary comment above)
+                "host_canary_sec": host_canary,
             }
         )
     )
