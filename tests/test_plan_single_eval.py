@@ -216,7 +216,10 @@ def test_scopeless_materialize_is_weakly_tracked(spark, sf_dir):
     del d
     gc.collect()
     assert ref() is None, "scope-less tracker kept the frame alive"
-    release_caches()  # dead weak entry: must not raise
+    # dead weak entry: must not raise, and must NOT be counted as a
+    # release (round-6 ADVICE: counting dead no-ops as 'processed'
+    # made skipped releases invisible to callers)
+    assert release_caches() == 0
     # the JVM-side CacheManager entry is the CALLER's to drop in the
     # unscoped case (the documented tradeoff) — drop it here so it
     # can't be repopulated by a later test's identical plan
@@ -264,3 +267,42 @@ def test_scopeless_track_checkpoint_releasable_while_frame_held(spark, sf_dir):
     released = release_caches(blocking=True)  # caller still holds ck
     assert released >= 1
     assert _n_cached(spark) <= base, "checkpoint blocks not released"
+
+
+# ------------------------------------------------------------ round 7
+# spread() probe: partition count must come from the physical plan's
+# own (cached) RDD, never the df.rdd property — .rdd builds a fresh
+# javaToPython serialization plan on every call, pure driver overhead
+# multiplied across every operator invocation (VERDICT r06 note 2).
+
+def test_spread_probe_avoids_df_rdd():
+    import ast
+    import inspect
+
+    from exporter_spark.operators import partitioning
+
+    src = inspect.getsource(partitioning.spread)
+    fn = ast.parse(src).body[0]
+    rdd_attrs = [
+        n.attr for n in ast.walk(fn)
+        if isinstance(n, ast.Attribute) and n.attr == "rdd"
+    ]
+    assert not rdd_attrs, "spread() regressed to the df.rdd probe"
+
+
+def test_spread_widens_narrow_input_and_passes_wide_through(spark, sf_dir):
+    from exporter_spark.operators.partitioning import spread
+
+    p = spark.sparkContext.defaultParallelism
+
+    def n_parts(df):
+        return df._jdf.queryExecution().toRdd().getNumPartitions()  # noqa: SLF001
+
+    narrow = load_table(spark, sf_dir, "nation")  # single parquet file
+    assert n_parts(narrow) < p
+    assert n_parts(spread(narrow)) == p
+    # keyed spread replaces the downstream exchange on the same key
+    assert n_parts(spread(narrow, "n_nationkey")) == p
+
+    wide = spark.range(0, 1000, 1, p * 2)  # already well-partitioned
+    assert spread(wide) is wide, "wide input must pass through untouched"
