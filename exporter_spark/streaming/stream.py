@@ -171,6 +171,14 @@ def streaming_dedup(df: DataFrame, keys: list[str], *, ts_col: str, watermark: s
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+# In-band version tag written as the FIRST field of every sessionize
+# state tuple. Bump it whenever the state encoding's MEANING changes,
+# even if the field shape stays identical — Spark's built-in
+# state-schema compatibility check only sees shape. v2 = the round-5
+# bounded multi-interval encoding (four parallel arrays).
+_SESSION_STATE_VERSION = 2
+
+
 def sessionize(
     df: DataFrame,
     *,
@@ -213,19 +221,25 @@ def sessionize(
     semantics). The batch ``sessionize`` (window lag-cumsum) remains
     the exact path when reprocessing history.
 
-    .. warning:: **State-schema break (round 5).** The per-key state
-       changed from four scalars (start/last/n/total) to four ARRAYS
-       (the bounded multi-interval design above). A streaming query
-       restarted from a checkpoint written by the pre-round-5
-       single-interval version will fail or mis-decode its state
-       store rows — restart affected streams from a FRESH checkpoint
-       location (reprocessing history through the batch ``sessionize``
-       if exact continuity matters).
+    .. warning:: **State-schema versioning (round 7).** The per-key
+       state tuple leads with an in-band ``schema_ver`` field
+       (currently ``2`` — the round-5 bounded multi-interval design).
+       Restarting from a checkpoint whose state carries a different
+       version raises a loud RuntimeError naming the mismatch instead
+       of silently mis-decoding. Checkpoints from BEFORE the tag
+       existed have a different field shape entirely and are rejected
+       by Spark's own state-schema compatibility check at restart; the
+       in-band tag additionally protects same-shape semantic changes
+       and deployments that disabled that check. Either way: restart
+       affected streams from a FRESH checkpoint location (reprocessing
+       history through the batch ``sessionize`` if exact continuity
+       matters).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_minutes * 60_000_000)
     max_open = int(max_open_intervals)
+    ver = _SESSION_STATE_VERSION  # closure-captured (pickles by value)
     # the key column keeps ITS OWN type — hardcoding long would kill
     # the query at Arrow conversion for string/int32 keys
     key_type = df.schema[user_col].dataType.simpleString()
@@ -234,8 +248,8 @@ def sessionize(
         "n_events long, total_value double"
     )
     state_schema = (
-        "starts array<long>, lasts array<long>, ns array<long>, "
-        "totals array<double>"
+        "schema_ver long, starts array<long>, lasts array<long>, "
+        "ns array<long>, totals array<double>"
     )
 
     def fn(key, pdf_iter, state):
@@ -255,7 +269,16 @@ def sessionize(
             )
 
         def stored():
-            starts, lasts, ns, totals = state.get
+            got_ver, starts, lasts, ns, totals = state.get
+            if got_ver != ver:
+                raise RuntimeError(
+                    "sessionize state-schema version mismatch: the"
+                    f" checkpoint's state carries version {got_ver}, this"
+                    f" code reads/writes version {ver} — the state was"
+                    " written by an incompatible sessionize; restart from"
+                    " a FRESH checkpoint location (reprocess history with"
+                    " the batch sessionize if continuity matters)"
+                )
             return list(zip(starts, lasts, ns, totals))
 
         # the watermark decides which intervals are final: no
@@ -268,7 +291,7 @@ def sessionize(
             still_open = [it for it in items if it[1] + gap_us >= wm_us]
             closed = [it for it in items if it[1] + gap_us < wm_us]
             if still_open:
-                state.update(tuple(list(c) for c in zip(*still_open)))
+                state.update((ver, *(list(c) for c in zip(*still_open))))
                 state.setTimeoutTimestamp(
                     max(
                         min(e + gap_us for _, e, _, _ in still_open) // 1000,
@@ -321,7 +344,7 @@ def sessionize(
             closed.extend(still_open[: len(still_open) - max_open])
             still_open = still_open[len(still_open) - max_open:]
         if still_open:
-            state.update(tuple(list(c) for c in zip(*still_open)))
+            state.update((ver, *(list(c) for c in zip(*still_open))))
             # event-time timeout at the EARLIEST interval_end + gap
             # (clamped above the current watermark: Spark rejects
             # timeouts at/behind it)

@@ -577,3 +577,121 @@ def test_foreach_batch_degenerate_corpus_byte_parity(
         assert stream_bytes == batch_bytes, (
             f"{name}: micro-batch output diverges from batch"
         )
+
+
+# ------------------------------------------------------------ round 7
+# sessionize state-schema versioning: restarting from an incompatible
+# checkpoint must fail LOUDLY (VERDICT r06 item 3) — previously the
+# break was only documented, and a restart could mis-decode state.
+
+def _crafted_sessionize_checkpoint(
+    spark, tmp_path, state_schema, state_tuple
+):
+    """Leave per-key state behind in a checkpoint using sessionize's
+    exact plan shape (watermark -> groupBy -> applyInPandasWithState)
+    but a crafted state writer, then stage a second batch so the
+    restarted sessionize is forced to DECODE that state."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "vsrc")
+    ckpt = str(tmp_path / "vckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(7, t0, 1.0)], "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+
+    def old_fn(key, pdf_iter, state):
+        for _ in pdf_iter:
+            pass
+        state.update(state_tuple)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        return iter(())
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    # file sink, not memory: the memory sink refuses checkpoint
+    # RECOVERY, and recovery is the whole point of these tests
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            old_fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "vout"))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    _wait(q)
+    spark.createDataFrame(
+        [(7, t0 + dt.timedelta(minutes=5), 2.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.mode("append").parquet(src)
+    return src, ckpt, schema
+
+
+def _restart_sessionize_and_capture_error(spark, src, ckpt, schema, out_path):
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    sessions = ss.sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = None
+    err = None
+    try:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_path)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+    except Exception as e:  # noqa: BLE001 — the loud failure IS the assert
+        err = str(e)
+    if err is None and q is not None:
+        exc = q.exception()
+        err = str(exc) if exc is not None else ""
+    if q is not None:
+        q.stop()
+    return err
+
+
+def test_sessionize_restart_wrong_state_version_fails_loud(spark, tmp_path):
+    """Same FIELD SHAPE, different in-band version: Spark's built-in
+    state-schema check cannot see this (shape-identical), so the
+    version tag in the state tuple must raise the documented error."""
+    t_us = 1_704_067_200_000_000
+    src, ckpt, schema = _crafted_sessionize_checkpoint(
+        spark, tmp_path,
+        "schema_ver long, starts array<long>, lasts array<long>, "
+        "ns array<long>, totals array<double>",
+        (1, [t_us], [t_us], [1], [1.0]),  # version 1 != current
+    )
+    err = _restart_sessionize_and_capture_error(
+        spark, src, ckpt, schema, str(tmp_path / "vout")
+    )
+    assert "state-schema version mismatch" in err, err[:2000]
+
+
+def test_sessionize_restart_pre_tag_shape_fails_loud(spark, tmp_path):
+    """A checkpoint written with the round-5/6 UNVERSIONED four-array
+    state shape must be rejected at restart by Spark's state-schema
+    compatibility check — a loud error, never a silent mis-decode."""
+    t_us = 1_704_067_200_000_000
+    src, ckpt, schema = _crafted_sessionize_checkpoint(
+        spark, tmp_path,
+        "starts array<long>, lasts array<long>, "
+        "ns array<long>, totals array<double>",
+        ([t_us], [t_us], [1], [1.0]),
+    )
+    err = _restart_sessionize_and_capture_error(
+        spark, src, ckpt, schema, str(tmp_path / "vout")
+    )
+    low = err.lower()
+    assert "schema" in low and "state" in low, err[:2000]
