@@ -24,7 +24,11 @@ import org.apache.spark.sql.api.java.UDF1;
  *    matches Python's re.split("\\s+") token boundaries code point
  *    for code point;
  *  - per token, the 32-bit lane value is the first 8 hex chars of
- *    md5(utf-8 bytes) (= first 4 digest bytes, big-endian);
+ *    md5(utf-8 bytes) (= first 4 digest bytes, big-endian); on
+ *    MALFORMED text (unpaired surrogates, which have no UTF-8
+ *    encoding) getBytes(UTF_8) substitutes '?' per surrogate — the
+ *    pandas kernel mirrors this with errors="replace" (round 7;
+ *    previously it raised, so kernel choice changed behavior there);
  *  - each bit contributes +1/-1 to its lane; fingerprint bit j is set
  *    iff lane j sums strictly positive; no tokens -> 0L.
  */

@@ -652,23 +652,51 @@ def dedup_keep_representatives(
 
 # ---------------------------------------------------------------- simhash
 
+# CPython's str-pattern \s, code point for code point, as a Java regex
+# character class (Java/Spark regex \s is ASCII-only). The set is
+# exhaustively pinned against re.match(r"\s") over the BMP+SMP in
+# test_javakernel.py. Round-7 fix (ADVICE r06): kernel="sql" used
+# '\\s+' and so tokenized NBSP/NEL/U+2007/U+202F text differently from
+# the pandas/java kernels.
+_PY_WS_RE = (
+    "[\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
+
 def simhash32(text_col: str) -> Column:
     """32-bit SimHash over whitespace tokens.
 
     Per token, 32 bits are taken from the first 8 hex chars of its
     md5; each bit contributes ±1 to its lane; the fingerprint is the
-    sign vector. Pure expressions (conv + bit ops), no UDF.
+    sign vector. Pure expressions (conv + bit ops), no UDF. Token
+    boundaries are CPython's ``\\s`` set (``_PY_WS_RE``), matching the
+    pandas and java kernels on any valid-Unicode text.
     """
-    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
-    hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    toks = F.filter(
+        F.split(F.col(text_col), _PY_WS_RE), lambda x: x != F.lit("")
+    )
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    def lane_merge(bit):
+        # a separate factory, NOT a default-arg lambda: pyspark builds
+        # one lambda variable per declared parameter, so a `bit=bit`
+        # default would be fed a Column
+        return lambda acc, h: (
+            acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
     lanes = []
     for bit in range(32):
         # sum over tokens of (2*bit_j - 1)  ⇒ positive ⇒ bit set
-        lanes.append(
-            f"shiftleft(cast(aggregate({hashes}, 0L, (acc, h) ->"
-            f" acc + 2 * (shiftright(h, {bit}) & 1) - 1) > 0 as bigint), {bit})"
-        )
-    return F.expr("cast(" + " + ".join(lanes) + " as bigint)")
+        lane = F.aggregate(hashes, F.lit(0).cast("bigint"), lane_merge(bit))
+        lanes.append(F.shiftleft((lane > 0).cast("bigint"), bit))
+    total = lanes[0]
+    for lane_bit in lanes[1:]:
+        total = total + lane_bit
+    return total.cast("bigint")
 
 
 def _make_simhash_udf():
@@ -693,8 +721,15 @@ def _make_simhash_udf():
         toks = [t for t in _re.split(r"\s+", text) if t]
         if not toks:
             return 0
+        # errors="replace": an unpaired surrogate (unrepresentable in
+        # UTF-8) hashes as '?', matching Java String.getBytes(UTF_8)
+        # in the JVM kernel — a strict encode() raised instead, so
+        # kernel choice changed behavior on malformed text (ADVICE r06)
         h = _np.array(
-            [int(_hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks],
+            [
+                int(_hashlib.md5(t.encode("utf-8", "replace")).hexdigest()[:8], 16)
+                for t in toks
+            ],
             dtype=_np.int64,
         )
         bits = (h[:, None] >> _np.arange(32)) & 1  # tokens × 32
@@ -738,8 +773,16 @@ def simhash_near_dup_pairs(
     exact equi-join per chunk finds all of them without O(n²).
 
     ``kernel`` picks the fingerprint implementation — all three are
-    bit-identical (fuzz-pinned in test_javakernel.py), so the choice
-    is purely operational:
+    bit-identical on valid-Unicode text (fuzz-pinned in
+    test_javakernel.py, including the unicode-whitespace matrix since
+    the round-7 ``_PY_WS_RE`` fix to the sql kernel), so on such text
+    the choice is purely operational. The one residual divergence is
+    MALFORMED text (unpaired surrogates, which have no UTF-8
+    encoding): java and pandas both hash each surrogate as ``'?'``
+    (Java ``getBytes(UTF_8)`` substitution, mirrored by Python
+    ``errors="replace"``), while sql hashes the session's internal
+    byte representation — malformed input has no canonical bytes, so
+    only the java/pandas pair is pinned there:
 
     * ``"java"`` — compiled JVM ``UDF1`` (javakernel/SimHash32.java):
       no Python workers, no Arrow transfer. Round-6 attribution
@@ -1001,7 +1044,12 @@ def exact_substring_spans(
     the motivating corpus scale (~5e9+ distinct grams ⇒ ≈0.5 expected
     false duplicated-gram groups, each a span strip_duplicate_spans
     would cut from an innocent document); at 128 bits the collision
-    probability stays ≈1.5e-19 even at 1e10 grams. Produces the SAME
+    probability stays ≈1.5e-19 even at 1e10 grams — MODELING the two
+    chained-seed XXH64 halves as independent ideal hashes. XXH64 is
+    a non-cryptographic hash with known seed-independent collision
+    structure, so that bound is a heuristic for natural corpora, not
+    a guarantee against adversarially crafted grams (an adversarial
+    setting wants the md5 family). Produces the SAME
     spans as md5 (pytest-pinned at two SFs) while the corpus-wide
     shuffle carries half the md5 key bytes — the lever that matters
     at 100 TB where this triple shuffle IS the operator's cost.

@@ -237,8 +237,10 @@ def test_simhash_java_degenerate_whitespace_matrix(spark):
         (14, "​zero width​"),     # ZWSP is NOT whitespace
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas")}
-    assert by["java"] == by["pandas"]
+    # round 7: "sql" joined the matrix — its split regex now carries
+    # CPython's full \s set (_PY_WS_RE) instead of Java's ASCII \s
+    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas", "sql")}
+    assert by["java"] == by["pandas"] == by["sql"]
     # and the documented NULL/empty contract
     assert by["java"][0] is None and by["java"][1] == 0
 
@@ -260,8 +262,32 @@ def test_simhash_java_random_unicode_fuzz(spark):
 
     rows = [(i, rand_text()) for i in range(500)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas")}
-    assert by["java"] == by["pandas"]
+    by = {k: _simhash_cols(spark, d, k) for k in ("java", "pandas", "sql")}
+    assert by["java"] == by["pandas"] == by["sql"]
+
+
+def test_simhash_pandas_kernel_surrogate_substitution():
+    """Malformed text (unpaired surrogates — no UTF-8 encoding): the
+    pandas kernel must hash each surrogate as '?', matching Java
+    String.getBytes(UTF_8) substitution in the JVM kernel, so kernel
+    choice cannot change behavior (ADVICE r06; a strict encode()
+    previously raised and killed the task). Exercised via the UDF's
+    raw python function — a lone surrogate cannot ride Arrow."""
+    import pandas as pd
+
+    from exporter_spark.operators import dedup
+
+    fn = dedup._simhash32_fast().func
+
+    def fps(texts):
+        # None maps to NaN in the float result series; normalize so
+        # the comparison is exact
+        return [None if pd.isna(v) else int(v) for v in fn(pd.Series(texts))]
+
+    got = fps(["\ud800 foo", "a\udcffb", None, "\ud800"])
+    want = fps(["? foo", "a?b", None, "?"])
+    assert got == want
+    assert want[2] is None
 
 
 @needs_jdk
