@@ -16,7 +16,7 @@ pre-change version it already verified.
 
 from __future__ import annotations
 
-from exporter_spark.queries import _R05_WINDOW, DRIVER_WINDOW, QUERIES
+from exporter_spark.queries import _R06_WINDOW, DRIVER_WINDOW, QUERIES
 
 
 def test_window_is_the_first_50_entries():
@@ -30,7 +30,7 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered."""
-    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R05_WINDOW
+    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R06_WINDOW
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
@@ -50,28 +50,28 @@ def test_window_keeps_canaries():
     assert {"q1_pricing_summary", "q3_top_orders"} <= first_50
 
 
-def test_round5_touched_families_in_window():
-    # round 5 changed the minhash/winnow/ExactSubstr hash-family
-    # plumbing, put the JVM Gopher kernel on the auto path, reworked
-    # connected-components checkpointing, and moved every
-    # materialize-backed operator onto the owned cache lifecycle —
-    # their registry queries must be re-verified by this round's
-    # driver run (the rotation rule: implementation changes ride the
-    # NEXT window)
+def test_round7_window_is_the_forced_complement():
+    # With 98 registered queries and a 50-slot window, the only window
+    # satisfying two-round coverage after r06's flagship block is its
+    # complement (the relational/formatter half) plus the q1/q3
+    # canaries. Round 7's code touches are covered against current
+    # code by: this window exercising the partitioning plumbing every
+    # query runs through (spread() probe, release-count contract); the
+    # simhash kernel edits being pinned by the three-kernel matrix/
+    # fuzz tests + fresh PARITY.md pins (test_parity_pins.py guards
+    # staleness); and the recorded round-end full-registry replay at
+    # sf0.01 (see the DRIVER_WINDOW comment in queries.py).
     first_50 = set(list(QUERIES)[:50])
+    assert first_50 == (set(QUERIES) - _R06_WINDOW) | {
+        "q1_pricing_summary", "q3_top_orders"
+    }
+    # spot-check the plumbing-heavy text/token entries stayed in
     assert {
-        "minhash_near_dup_pairs",
-        "minhash_dedup_survivors",
-        "dedup_clusters",
-        "gopher_quality_signals",
-        "gopher_filter_stats",
-        "winnow_fingerprints",
-        "exact_substring_spans",
-        "exact_substring_strip",
-        "cosine_topk",
-        "semdedup_survivors",
-        "dsir_importance_weights",
-        "pretraining_mix_stats",
+        "token_stats_by_lang",
+        "unigram_lm_scores",
+        "doc_fingerprints",
+        "curation_pipeline",
+        "int8_ann_topk",
     } <= first_50
 
 
