@@ -41,6 +41,37 @@ from exporter_spark.session import get_spark  # noqa: E402
 from exporter_spark.sources.files import load_table  # noqa: E402
 
 
+def family_source_files() -> list[str]:
+    """The sources whose changes invalidate the PARITY.md pins: the
+    hash-family operators and every JVM kernel (none of which the
+    driver's DuckDB gate can verify)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = [
+        os.path.join(root, "exporter_spark", "operators", "dedup.py"),
+        os.path.join(root, "exporter_spark", "operators", "text.py"),
+    ]
+    jdir = os.path.join(root, "exporter_spark", "javakernel")
+    files += sorted(
+        os.path.join(jdir, f) for f in os.listdir(jdir) if f.endswith(".java")
+    )
+    return files
+
+
+def family_source_sha() -> str:
+    """Content hash over the family/kernel sources, recorded in every
+    PARITY.md pin block. tests/test_parity_pins.py recomputes it and
+    FAILS if those sources changed without a fresh pin run — the pins
+    are the only correctness evidence for paths the oracle gate can
+    never replay (VERDICT r06 item 7)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for path in family_source_files():
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def pin_minhash(spark, sf_dir) -> bool:
     d = load_table(spark, sf_dir, "documents")
     sets = {}
@@ -151,6 +182,11 @@ def main() -> int:
         pin_exact_substring(spark, sf_dir),
         pin_winnow(spark, sf_dir),
     ]
+    print(
+        f"PIN source-sha: {family_source_sha()}"
+        " (record in PARITY.md — tests/test_parity_pins.py enforces"
+        " freshness)"
+    )
     return 0 if all(results) else 1
 
 
