@@ -54,6 +54,11 @@ def _rowset(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # accept a bare SF name ("sf0.01") for the standard testdata root —
+    # passing it verbatim used to fail only later, at view creation
+    # (VERDICT r06 note)
+    if not os.path.isdir(sf_dir) and os.path.isdir(f"/root/testdata/{sf_dir}"):
+        sf_dir = f"/root/testdata/{sf_dir}"
     n_arg = sys.argv[2] if len(sys.argv) > 2 else "50"
     n = len(QUERIES) if n_arg == "all" else int(n_arg)
     offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
