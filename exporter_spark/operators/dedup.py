@@ -653,11 +653,14 @@ def dedup_keep_representatives(
 # ---------------------------------------------------------------- simhash
 
 # CPython's str-pattern \s, code point for code point, as a Java regex
-# character class (Java/Spark regex \s is ASCII-only). The set is
-# exhaustively pinned against re.match(r"\s") over the BMP+SMP in
-# test_javakernel.py. Round-7 fix (ADVICE r06): kernel="sql" used
-# '\\s+' and so tokenized NBSP/NEL/U+2007/U+202F text differently from
-# the pandas/java kernels.
+# character class (Java/Spark regex \s is ASCII-only). The class is
+# exhaustively pinned against re.match(r"\s") over ALL of Unicode
+# (0x0-0x10FFFF) by test_javakernel.py::
+# test_py_ws_re_is_exactly_cpython_whitespace, so a future
+# CPython-whitespace-table drift fails a test instead of silently
+# de-aligning the sql kernel. Round-7 fix (ADVICE r06): kernel="sql"
+# used '\\s+' and so tokenized NBSP/NEL/U+2007/U+202F text differently
+# from the pandas/java kernels.
 _PY_WS_RE = (
     "[\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
     "\\u2028\\u2029\\u202f\\u205f\\u3000]+"

@@ -66,14 +66,16 @@ class _WeakEntry:
             self._ref = weakref.ref(entry)
             self._ckpt = False
 
-    def unpersist(self, blocking: bool = False) -> None:
+    def resolve(self):
+        """The strong entry (DataFrame or _CheckpointHandle) if the
+        frame is still alive, else None. Callers must resolve ONCE
+        and act on the result — a separate alive-check before acting
+        is a TOCTOU: the frame can be GC'd between the two calls and
+        the action silently no-ops (round-7 review)."""
         target = self._ref()
         if target is None:
-            return
-        if self._ckpt:
-            _CheckpointHandle(target).unpersist(blocking)
-        else:
-            target.unpersist(blocking)
+            return None
+        return _CheckpointHandle(target) if self._ckpt else target
 
     def dead(self) -> bool:
         return self._ref() is None
@@ -110,14 +112,18 @@ def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
     n = 0
     while len(entries) > from_index:
         df = entries.pop()
-        if isinstance(df, _WeakEntry) and df.dead():
-            _log.warning(
-                "cache release skipped: a scope-less materialize()d frame"
-                " was GC'd before release — its JVM cache entry persists"
-                " until LRU eviction (wrap calls in cache_scope() for"
-                " deterministic release)"
-            )
-            continue
+        if isinstance(df, _WeakEntry):
+            # resolve ONCE and hold the strong ref — a dead()-check
+            # followed by unpersist would race a GC between the two
+            df = df.resolve()
+            if df is None:
+                _log.warning(
+                    "cache release skipped: a scope-less materialize()d"
+                    " frame was GC'd before release — its JVM cache entry"
+                    " persists until LRU eviction (wrap calls in"
+                    " cache_scope() for deterministic release)"
+                )
+                continue
         try:
             df.unpersist(blocking)
         except Exception as exc:  # noqa: BLE001 — session may already be gone

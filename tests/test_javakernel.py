@@ -363,3 +363,27 @@ def test_simhash_java_hypothesis_property(spark):
         assert got == want
 
     check()
+
+
+def test_py_ws_re_is_exactly_cpython_whitespace():
+    """_PY_WS_RE (the sql kernel's token boundary) must equal
+    CPython's \\s over ALL of Unicode — the class is a hardcoded
+    snapshot of a table CPython has changed before (U+180E left the
+    whitespace set in Unicode 6.3), so this is the drift alarm the
+    class comment promises. The escapes used (\\t, \\xhh, \\uhhhh,
+    ranges) parse identically as Python and Java regex, so pinning
+    the Python interpretation pins the Spark-side one; the kernel
+    matrix/fuzz tests above cover the Java engine on the divergent
+    code points themselves."""
+    import re
+
+    from exporter_spark.operators.dedup import _PY_WS_RE
+
+    cls = re.compile(_PY_WS_RE)
+    ws = re.compile(r"\s")
+    diff = [
+        hex(cp)
+        for cp in range(0x110000)
+        if bool(cls.match(chr(cp))) != bool(ws.match(chr(cp)))
+    ]
+    assert not diff, f"_PY_WS_RE diverges from CPython \\s at: {diff[:20]}"

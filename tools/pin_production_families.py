@@ -46,11 +46,15 @@ def family_source_files() -> list[str]:
     hash-family operators and every JVM kernel (none of which the
     driver's DuckDB gate can verify)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jdir = os.path.join(root, "exporter_spark", "javakernel")
     files = [
         os.path.join(root, "exporter_spark", "operators", "dedup.py"),
         os.path.join(root, "exporter_spark", "operators", "text.py"),
+        # the compile/ADD JAR/UDF-registration wrapper shapes kernel
+        # behavior too (compile flags, registered return types) — a
+        # change there must also invalidate the pins (round-7 review)
+        os.path.join(jdir, "__init__.py"),
     ]
-    jdir = os.path.join(root, "exporter_spark", "javakernel")
     files += sorted(
         os.path.join(jdir, f) for f in os.listdir(jdir) if f.endswith(".java")
     )
