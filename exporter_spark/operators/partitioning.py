@@ -114,8 +114,16 @@ def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
         df = entries.pop()
         if isinstance(df, _WeakEntry):
             # resolve ONCE and hold the strong ref — a dead()-check
-            # followed by unpersist would race a GC between the two
-            df = df.resolve()
+            # followed by unpersist would race a GC between the two.
+            # resolve() may itself touch the JVM (_CheckpointHandle
+            # re-validation), so it gets the same guard as unpersist:
+            # the 'safe to call at any time' contract holds even when
+            # the session/gateway is already gone (round-7 ADVICE).
+            try:
+                df = df.resolve()
+            except Exception as exc:  # noqa: BLE001 — session may already be gone
+                _log.warning("cache release failed during resolve: %s", exc)
+                continue
             if df is None:
                 _log.warning(
                     "cache release skipped: a scope-less materialize()d"
@@ -128,7 +136,11 @@ def release_caches(*, blocking: bool = False, from_index: int = 0) -> int:
             df.unpersist(blocking)
         except Exception as exc:  # noqa: BLE001 — session may already be gone
             _log.warning("cache release failed for %r: %s", df, exc)
-        n += 1
+        else:
+            # count only ACTUAL releases — a logged unpersist failure
+            # is not a release, and callers read this number as 'how
+            # many cache entries are now gone' (round-7 ADVICE)
+            n += 1
     return n
 
 

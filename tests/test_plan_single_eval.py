@@ -306,3 +306,54 @@ def test_spread_widens_narrow_input_and_passes_wide_through(spark, sf_dir):
 
     wide = spark.range(0, 1000, 1, p * 2)  # already well-partitioned
     assert spread(wide) is wide, "wide input must pass through untouched"
+
+
+# ------------------------------------------------------------ round 8
+# release_caches contract hardening (ADVICE r07): (a) the return value
+# counts only ACTUAL releases — a logged unpersist failure must not
+# inflate it; (b) resolve() may itself touch the JVM (it rebuilds a
+# _CheckpointHandle, whose __init__ re-validates the analyzed plan via
+# Py4J), so a dead gateway must be swallowed there too, preserving the
+# documented 'safe to call at any time / session may already be gone'
+# contract.
+
+def test_release_caches_does_not_count_failed_unpersist():
+    from exporter_spark.operators import partitioning
+    from exporter_spark.operators.partitioning import release_caches
+
+    release_caches()  # drain anything earlier tests left behind
+
+    class _FailingFrame:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("simulated dead session")
+
+    partitioning._TRACKER.entries.append(_FailingFrame())
+    assert release_caches() == 0, (
+        "a failed unpersist was counted as a release"
+    )
+    assert not partitioning._TRACKER.entries
+
+
+def test_release_caches_survives_resolve_raising():
+    """A weak checkpoint entry resolved after the JVM gateway is gone
+    raises from _CheckpointHandle.__init__ — release_caches must log
+    and continue, not propagate (the finally-block caller in
+    cache_scope would otherwise mask the original exception)."""
+    from exporter_spark.operators import partitioning
+    from exporter_spark.operators.partitioning import (
+        _WeakEntry,
+        release_caches,
+    )
+
+    release_caches()
+
+    class _GatewayGoneEntry(_WeakEntry):
+        def __init__(self):  # no referent needed
+            pass
+
+        def resolve(self):
+            raise RuntimeError("Py4J gateway is shut down")
+
+    partitioning._TRACKER.entries.append(_GatewayGoneEntry())
+    assert release_caches() == 0  # must not raise, must not count
+    assert not partitioning._TRACKER.entries
