@@ -1,0 +1,92 @@
+"""Plan-shape regression guard over sentinel queries.
+
+Round 7 committed a full 98-plan scan audit
+(tools/audits/r07_scan_audit_sf0.001.txt) but nothing diffed against
+it — a plan-shape drift (e.g. a guard reintroducing the Catalyst
+filter-pushdown double-eval that cost +35% in round 4, see
+test_plan_single_eval.py and BASELINE.md r04) would surface only as a
+bench wobble, which the round-7 host-drift protocol taught us never to
+read as a code signal by itself.  This test re-runs the audit on a
+handful of sentinel queries (the heaviest pipelines plus the two
+documented multi-scan watch items from VERDICT r07) and asserts each
+plan's FileScan count does not EXCEED the committed snapshot — fewer
+scans is an improvement, more is the regression this exists to catch.
+
+InMemoryTableScan / ReusedExchange counts are reported but not gated:
+they vary with AQE's runtime broadcast-threshold decisions at tiny SFs
+(the documented pretraining_mix_stats FileScan=18/InMem=6 artifact),
+whereas a FileScan-count increase always means a real extra pass over
+the corpus.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+import pytest
+
+from exporter_spark.queries import QUERIES
+
+_AUDIT = (
+    pathlib.Path(__file__).parent.parent
+    / "tools"
+    / "audits"
+    / "r07_scan_audit_sf0.001.txt"
+)
+
+# The sentinels: the minhash pair pipeline (double-eval trap lives
+# here), the deepest materialize() composition, the funnel (single-scan
+# base was a round-5 fix), the two multi-scan watch items from
+# VERDICT r07, and the bigram LM (round-4's 5-scan finding).
+SENTINELS = (
+    "minhash_near_dup_pairs",
+    "pretraining_mix_stats",
+    "conversion_funnel",
+    "dup_rate_by_source",
+    "bigram_lm_scores",
+)
+
+
+def _recorded_counts() -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {}
+    pat = re.compile(
+        r"^(\w+): FileScan=(\d+) InMem=(\d+) Reused=(\d+)\s*$"
+    )
+    for line in _AUDIT.read_text().splitlines():
+        m = pat.match(line)
+        if m:
+            out[m.group(1)] = {
+                "FileScan": int(m.group(2)),
+                "InMem": int(m.group(3)),
+                "Reused": int(m.group(4)),
+            }
+    return out
+
+
+def test_snapshot_covers_the_sentinels():
+    recorded = _recorded_counts()
+    missing = [s for s in SENTINELS if s not in recorded]
+    assert not missing, f"sentinels absent from the committed audit: {missing}"
+
+
+@pytest.mark.parametrize("name", SENTINELS)
+def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
+    recorded = _recorded_counts()[name]
+    df = QUERIES[name].fn(spark, sf_dir)
+    # execute so the ADAPTIVE plan is final — pre-execution plans hide
+    # AQE's stage replacements and would under- or over-count
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    got = {
+        "FileScan": plan.count("FileScan"),
+        "InMem": plan.count("InMemoryTableScan"),
+        "Reused": plan.count("ReusedExchange"),
+    }
+    assert got["FileScan"] <= recorded["FileScan"], (
+        f"{name}: FileScan count grew {recorded['FileScan']} -> "
+        f"{got['FileScan']} (InMem {recorded['InMem']}->{got['InMem']}, "
+        f"Reused {recorded['Reused']}->{got['Reused']}) — an extra pass "
+        "over the corpus; see tools/audits/ and BASELINE.md r04 for the "
+        "last such regression"
+    )
