@@ -178,6 +178,23 @@ def streaming_dedup(df: DataFrame, keys: list[str], *, ts_col: str, watermark: s
 # bounded multi-interval encoding (four parallel arrays).
 _SESSION_STATE_VERSION = 2
 
+# Forward-migration registry: ``{from_version: step}`` where ``step``
+# takes the four state field arrays ``(starts, lasts, ns, totals)``
+# AT ``from_version`` and returns the same four arrays re-encoded AT
+# ``from_version + 1``.  On restart, state read at an older version is
+# walked up step by step before use and re-written at the current
+# version on its next update — a rolling upgrade needs no offline
+# checkpoint rewrite.  Empty today (no semantic re-encoding has shipped
+# since the tag was introduced); the v2->v3 rehearsal lives in
+# tests/test_streaming.py so the first REAL bump follows a proven
+# pattern instead of inventing one against a production checkpoint.
+#
+# Scope limit: in-band migration can only re-encode MEANING within the
+# SAME field shape — a field-shape change is rejected by Spark's own
+# state-schema compatibility check at restart and requires a fresh
+# checkpoint (reprocess history through the batch sessionize).
+_SESSION_STATE_MIGRATIONS: dict = {}
+
 
 def sessionize(
     df: DataFrame,
@@ -188,6 +205,8 @@ def sessionize(
     gap_minutes: float = 30.0,
     watermark: str = "2 hours",
     max_open_intervals: int = 64,
+    _state_version: int | None = None,
+    _migrations: dict | None = None,
 ) -> DataFrame:
     """Custom stateful operator: event-time sessionization with an
     inactivity gap, via ``applyInPandasWithState`` (the PySpark analog
@@ -225,21 +244,37 @@ def sessionize(
        state tuple leads with an in-band ``schema_ver`` field
        (currently ``2`` — the round-5 bounded multi-interval design).
        Restarting from a checkpoint whose state carries a different
-       version raises a loud RuntimeError naming the mismatch instead
-       of silently mis-decoding. Checkpoints from BEFORE the tag
-       existed have a different field shape entirely and are rejected
-       by Spark's own state-schema compatibility check at restart; the
-       in-band tag additionally protects same-shape semantic changes
-       and deployments that disabled that check. Either way: restart
-       affected streams from a FRESH checkpoint location (reprocessing
-       history through the batch ``sessionize`` if exact continuity
-       matters).
+       version walks the ``_SESSION_STATE_MIGRATIONS`` registry
+       forward one step at a time (round 8: rolling same-shape
+       re-encodes without an offline checkpoint rewrite — migrated
+       state is persisted at the current version on its next update);
+       if no migration path reaches the current version, a loud
+       RuntimeError names the mismatch instead of silently
+       mis-decoding. Checkpoints from BEFORE the tag existed have a
+       different field shape entirely and are rejected by Spark's own
+       state-schema compatibility check at restart; the in-band tag
+       additionally protects same-shape semantic changes and
+       deployments that disabled that check. With no migration path:
+       restart affected streams from a FRESH checkpoint location
+       (reprocessing history through the batch ``sessionize`` if exact
+       continuity matters).
+
+       ``_state_version`` / ``_migrations`` override the module
+       version/registry so the upgrade path can be REHEARSED against a
+       real checkpoint in tests before a production bump ships — they
+       are not a user surface.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_minutes * 60_000_000)
     max_open = int(max_open_intervals)
-    ver = _SESSION_STATE_VERSION  # closure-captured (pickles by value)
+    # closure-captured (pickles by value; executors never import this
+    # package) — snapshot the registry so a post-start mutation can't
+    # desync running tasks
+    ver = _SESSION_STATE_VERSION if _state_version is None else int(_state_version)
+    migrations = dict(
+        _SESSION_STATE_MIGRATIONS if _migrations is None else _migrations
+    )
     # the key column keeps ITS OWN type — hardcoding long would kill
     # the query at Arrow conversion for string/int32 keys
     key_type = df.schema[user_col].dataType.simpleString()
@@ -270,11 +305,22 @@ def sessionize(
 
         def stored():
             got_ver, starts, lasts, ns, totals = state.get
+            # walk the forward-migration chain: each registered step
+            # re-encodes the four field arrays from got_ver to
+            # got_ver + 1 (same Arrow shape — Spark's schema check
+            # guarantees the SHAPE already matched). Upgraded state is
+            # persisted at `ver` on this key's next state.update().
+            while got_ver < ver and got_ver in migrations:
+                starts, lasts, ns, totals = migrations[got_ver](
+                    starts, lasts, ns, totals
+                )
+                got_ver += 1
             if got_ver != ver:
                 raise RuntimeError(
                     "sessionize state-schema version mismatch: the"
                     f" checkpoint's state carries version {got_ver}, this"
-                    f" code reads/writes version {ver} — the state was"
+                    f" code reads/writes version {ver} and no registered"
+                    " migration path covers the gap — the state was"
                     " written by an incompatible sessionize; restart from"
                     " a FRESH checkpoint location (reprocess history with"
                     " the batch sessionize if continuity matters)"

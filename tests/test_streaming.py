@@ -695,3 +695,130 @@ def test_sessionize_restart_pre_tag_shape_fails_loud(spark, tmp_path):
     )
     low = err.lower()
     assert "schema" in low and "state" in low, err[:2000]
+
+
+# round 8 (VERDICT r07 item 4): the v2->v3 migration REHEARSAL — the
+# forward path the version tag was built for. A real production bump
+# must follow exactly this pattern: register a step in
+# _SESSION_STATE_MIGRATIONS re-encoding the four field arrays one
+# version forward, and the restarted stream upgrades per-key state
+# in place (rolling, no offline checkpoint rewrite).
+
+def _make_v2_sessionize_checkpoint(spark, tmp_path, tag):
+    """Run the REAL v2 sessionize over a first batch, leaving one open
+    per-key interval in checkpointed state, then stage a second batch
+    so a restart must decode that state."""
+    import datetime as dt
+
+    src = str(tmp_path / f"{tag}_src")
+    ckpt = str(tmp_path / f"{tag}_ckpt")
+    out = str(tmp_path / f"{tag}_out")
+    t0 = dt.datetime(2024, 1, 1)
+    rows_schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(7, t0, 1.0), (7, t0 + dt.timedelta(minutes=5), 2.0)], rows_schema
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    q = (
+        ss.sessionize(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    _wait(q)
+    # a much later event: after it is processed the watermark passes
+    # the open v2 session's end + gap, so the restarted code MUST
+    # decode (and under v3, migrate) the stored interval to close it
+    spark.createDataFrame(
+        [(7, t0 + dt.timedelta(hours=10), 5.0)], rows_schema
+    ).write.mode("append").parquet(src)
+    return src, ckpt, out, schema, t0, rows_schema
+
+
+def test_sessionize_v2_to_v3_migration_rehearsal(spark, tmp_path):
+    """Restarting a real v2 checkpoint under v3 code with a registered
+    2->3 migration step must succeed AND produce exactly the sessions
+    gap semantics defines over the full event set — proof the v2 state
+    was read THROUGH the migration (the version check would have raised
+    otherwise, see the negative control below) and merged with
+    post-restart events."""
+    import datetime as dt
+
+    src, ckpt, out, schema, t0, rows_schema = _make_v2_sessionize_checkpoint(
+        spark, tmp_path, "mig"
+    )
+
+    def shim_2_to_3(starts, lasts, ns, totals):
+        # v3 keeps the v2 field meaning (the rehearsal re-encode is the
+        # identity); a real bump re-encodes values here
+        return starts, lasts, ns, totals
+
+    def restart_v3():
+        stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+        q = (
+            ss.sessionize(
+                stream, gap_minutes=30, watermark="2 hours",
+                _state_version=3, _migrations={2: shim_2_to_3},
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _wait(q)
+
+    restart_v3()  # processes the 10h event; migrates + rewrites state at v3
+    # third batch advances the watermark to t0+18h, closing both the
+    # migrated v2 session (t0..t0+5min) and the 10h singleton
+    spark.createDataFrame(
+        [(7, t0 + dt.timedelta(hours=20), 0.5)], rows_schema
+    ).write.mode("append").parquet(src)
+    restart_v3()  # also proves a v3->v3 resume over MIGRATED state
+
+    got = {
+        (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (t0, t0 + dt.timedelta(minutes=5), 2, 3.0),
+        (t0 + dt.timedelta(hours=10), t0 + dt.timedelta(hours=10), 1, 5.0),
+    }, got
+
+
+def test_sessionize_v3_without_migration_still_fails_loud(spark, tmp_path):
+    """Negative control for the rehearsal: the same v2 checkpoint under
+    v3 code WITHOUT a registered migration path must raise the loud
+    version-mismatch error — proving the rehearsal's success actually
+    went through the migration step rather than never reading state."""
+    src, ckpt, out, schema, _t0, _rs = _make_v2_sessionize_checkpoint(
+        spark, tmp_path, "nomig"
+    )
+    stream = ss.stream_from_files(spark, src, "parquet", schema=schema)
+    sessions = ss.sessionize(
+        stream, gap_minutes=30, watermark="2 hours",
+        _state_version=3, _migrations={},
+    )
+    q = None
+    err = None
+    try:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+    except Exception as e:  # noqa: BLE001 — the loud failure IS the assert
+        err = str(e)
+    if err is None and q is not None:
+        exc = q.exception()
+        err = str(exc) if exc is not None else ""
+    if q is not None:
+        q.stop()
+    assert "state-schema version mismatch" in err, err[:2000]
+    assert "no registered migration path" in err, err[:2000]
