@@ -38,16 +38,29 @@ _XML_ESCAPES = [
 ]
 
 
+# Go xml.EscapeText additionally replaces runes outside the XML
+# character range (isInCharacterRange: \t \n \r, 0x20-0xD7FF,
+# 0xE000-0xFFFD, 0x10000-0x10FFFF) with U+FFFD — i.e. the C0 controls
+# other than \t\n\r, plus U+FFFE/U+FFFF. Surrogates cannot reach us
+# through valid UTF-8. Done as one translate() pass (no regex).
+_XML_INVALID = "".join(
+    chr(c)
+    for c in [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0xFFFE, 0xFFFF]
+)
+_XML_INVALID_REPL = "�" * len(_XML_INVALID)
+_XML_INVALID_TABLE = str.maketrans(dict.fromkeys(_XML_INVALID, "�"))
+
+
 def xml_escape_expr(col: Column) -> Column:
     for raw, ent in _XML_ESCAPES:
         col = F.replace(col, F.lit(raw), F.lit(ent))
-    return col
+    return F.translate(col, _XML_INVALID, _XML_INVALID_REPL)
 
 
 def xml_escape(s: str) -> str:
     for raw, ent in _XML_ESCAPES:
         s = s.replace(raw, ent)
-    return s
+    return s.translate(_XML_INVALID_TABLE)
 
 
 def xml_row_expr(

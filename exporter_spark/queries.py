@@ -1484,7 +1484,8 @@ def _duck_csv_q(expr: str) -> str:
 
 def _duck_xml_esc(expr: str) -> str:
     """DuckDB replica of formatters.xml.xml_escape_expr (Go
-    xml.EscapeText entity table, & first)."""
+    xml.EscapeText entity table, & first; then the out-of-character-
+    range runes → U+FFFD translate pass, same set as _XML_INVALID)."""
     out = expr
     for raw, ent in [
         ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"),
@@ -1492,7 +1493,9 @@ def _duck_xml_esc(expr: str) -> str:
     ]:
         raw_sql = "''''" if raw == "''" else f"'{raw}'"
         out = f"replace({out}, {raw_sql}, '{ent}')"
-    return out
+    invalid = [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0xFFFE, 0xFFFF]
+    frm = " || ".join(f"chr({c})" for c in invalid)
+    return f"translate({out}, {frm}, repeat(chr(65533), {len(invalid)}))"
 
 
 # Display-string subquery shared by the CSV/XML record oracles: the

@@ -1,0 +1,137 @@
+"""Adversarial round-trip fuzz over the export fidelity paths.
+
+The golden suite pins the quoting/escaping tables on curated inputs;
+this file pins them on hypothesis-generated unicode — weighted toward
+the characters the tables exist for (quotes, delimiters, CR/LF, Go's
+unicode.IsSpace set, XML entities, C0 controls, U+FFFE/FFFF) — by
+writing through the REAL fidelity stream and parsing back with an
+independent parser (csv.reader / xml.etree).
+
+Parity targets: Go encoding/csv quoting (reference codec/csv/
+csv.go:196-210) and Go xml.EscapeText (codec/xml/xml.go:118), whose
+entity table AND out-of-character-range -> U+FFFD rule both must
+survive a parse round-trip byte-exactly.
+
+Each example pays Spark jobs, so example counts are small; the
+adversarial alphabet (not volume) is what buys coverage here.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import xml.etree.ElementTree as ET
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exporter_spark import Exporter, ExportSpec
+from exporter_spark.formatters.csv import GO_SPACE_CHARS, _go_csv_field
+from exporter_spark.formatters.xml import _XML_INVALID, xml_escape
+
+# The characters the quoting/escaping tables branch on, heavily
+# over-weighted relative to plain unicode.
+_NASTY = sorted(
+    set(
+        '",;\r\n\t\\.&<>\'' + GO_SPACE_CHARS + _XML_INVALID + "\x7f\x85�\U0001f600"
+    )
+)
+_CELL = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(_NASTY),
+        st.characters(max_codepoint=0x10FFFF),
+    ),
+    max_size=12,
+)
+_ROWS = st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=5)
+
+
+def _xml_expected(s: str) -> str:
+    """What Go xml.EscapeText preserves of a text node: everything,
+    except runes outside the XML character range become U+FFFD."""
+    return "".join(
+        ch
+        if (
+            ch in "\t\n\r"
+            or 0x20 <= ord(ch) <= 0xD7FF
+            or 0xE000 <= ord(ch) <= 0xFFFD
+            or ord(ch) >= 0x10000
+        )
+        else "�"
+        for ch in s
+    )
+
+
+@given(_ROWS)
+@settings(max_examples=8, deadline=None)
+def test_csv_fidelity_round_trip(spark, rows):
+    """fidelity stream -> csv.reader recovers every cell byte-exactly.
+    Go quoting is a superset of what Python's reader requires (extra
+    quotes on leading-IsSpace fields are harmless), so any divergence
+    from encoding/csv's table shows up as a value mismatch here."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    out = Exporter(df, "csv", ExportSpec().with_order_by("id")).write_string()
+    parsed = list(csv.reader(io.StringIO(out)))
+    assert parsed[0] == ["id", "c0", "c1"]
+    assert parsed[1:] == [[str(i), a, b] for i, (a, b) in enumerate(rows)]
+
+
+@given(st.lists(_CELL, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None)
+def test_csv_dual_path_quoting_agrees(spark, cells):
+    """The JVM expression (csv_field_expr, the scale/fidelity record
+    path) and the Python twin (_go_csv_field, the header path) must
+    emit byte-identical fields for arbitrary unicode — same dual-path
+    contract the goldens pin on curated strings."""
+    from pyspark.sql import functions as F
+
+    from exporter_spark.formatters.csv import csv_field_expr
+
+    df = spark.createDataFrame([(c,) for c in cells], "raw string")
+    got = [
+        r["q"]
+        for r in df.select(csv_field_expr(F.col("raw"), ",", "").alias("q")).collect()
+    ]
+    assert got == [_go_csv_field(c, ",") for c in cells]
+
+
+@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_xml_fidelity_round_trip(spark, rows):
+    """fidelity stream -> ElementTree recovers every cell after Go's
+    EscapeText transform (entity table + invalid-rune -> U+FFFD), and
+    NULL cells are absent elements (xml.go:113-115). A missing entity
+    or an unreplaced control rune makes the document unparseable or
+    the value wrong — either fails here."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    out = Exporter(df, "xml", ExportSpec().with_order_by("id")).write_string()
+    root = ET.fromstring(out)
+    assert root.tag == "data" and len(root) == len(rows)
+    for row_el, (i, (a, b)) in zip(root, enumerate(rows)):
+        assert row_el.find("id").text == str(i)
+        for tag, val in (("c0", a), ("c1", b)):
+            el = row_el.find(tag)
+            if val is None:
+                assert el is None
+            else:
+                assert (el.text or "") == _xml_expected(val)
+
+
+def test_xml_python_twin_matches_expr_table(spark):
+    """xml_escape (Python twin) agrees with xml_escape_expr (Catalyst)
+    on the full adversarial alphabet in one batch."""
+    from pyspark.sql import functions as F
+
+    from exporter_spark.formatters.xml import xml_escape_expr
+
+    cells = ["".join(_NASTY), "plain", "", "a\x00b￾￿c", "&<>\"'\t\n\r"]
+    df = spark.createDataFrame([(c,) for c in cells], "raw string")
+    got = [
+        r["e"]
+        for r in df.select(xml_escape_expr(F.col("raw")).alias("e")).collect()
+    ]
+    assert got == [xml_escape(c) for c in cells]
