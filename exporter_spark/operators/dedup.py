@@ -497,6 +497,7 @@ def connected_components(
     b_col: str = "b_id",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster duplicate PAIRS into components: (id, component) where
     component = min id reachable through the pair graph.
@@ -515,6 +516,11 @@ def connected_components(
     not approximations). This is the standard Spark shape for the
     'keep one copy per duplicate cluster' stage after
     minhash/simhash/embedding pair generation.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
+    propagation rounds the fixed point took (the scale-sweep
+    observable: diameter growth shows up here before it shows up in
+    wall time).
 
     Checkpoint durability: by default each round is truncated with
     ``localCheckpoint`` — blocks live on executors WITHOUT
@@ -618,6 +624,8 @@ def connected_components(
         _release(prev_ckpt)  # superseded round — after the count uses it
         prev_ckpt = new_labels
         labels = new_labels
+        if stats is not None:
+            stats["rounds"] = i + 1
         if changed == 0:
             break
     else:

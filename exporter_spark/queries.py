@@ -3269,8 +3269,8 @@ def conversion_funnel(spark, sf_dir):
     )
     return (
         s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_click_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase_after"))))
     )
 
 

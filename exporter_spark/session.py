@@ -40,7 +40,28 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy (round 8): estimate-based STATIC broadcast
+        # is off; broadcasts happen only (a) where the code says
+        # F.broadcast(...) — every genuinely-small side is hinted — or
+        # (b) when AQE sees the side's RUNTIME size under 64 MB.
+        # Compile-time sizeInBytes estimates undershoot badly on
+        # non-scan inputs (checkpointed / unioned / post-transform
+        # frames): the 100x sweep caught the planner statically
+        # broadcasting corpus-sized LSH-band and shingle-array join
+        # sides, collecting >1 GiB to the driver (maxResultSize abort
+        # here; an OOM on a real cluster). Runtime stats are exact, so
+        # AQE keeps the tiny-input broadcast wins without the hazard.
+        # SPARK_GRAFT_STATIC_BROADCAST_BYTES re-enables estimate-based
+        # static broadcast (A/B harness + escape hatch for deployments
+        # whose inputs are all well-estimated leaf scans).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_STATIC_BROADCAST_BYTES", "-1"),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

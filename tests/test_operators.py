@@ -139,10 +139,15 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 30)], "a_id long, b_id long"
     )
-    comp = dedup.connected_components(pairs)
+    stats: dict = {}
+    comp = dedup.connected_components(pairs, stats=stats)
     rows = comp.collect()
     assert len(rows) == 30
     assert all(r["component"] == 1 for r in rows)
+    # rounds-to-converge observable (scale-sweep hook): log2(29) ≈ 5
+    # jumped rounds, nowhere near max_iter, and definitely not the
+    # plain-propagation 29
+    assert 3 <= stats["rounds"] <= 10, stats
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):

@@ -36,10 +36,24 @@ def test_q1_scan_prunes_columns(spark):
 
 
 def test_small_dim_joins_broadcast(spark):
+    """Broadcast policy (round 8): explicitly hinted small dims are
+    broadcast in the STATIC plan; the fact-side joins compile to
+    SMJ/shuffle (estimate-based static broadcast is OFF — compile-time
+    sizeInBytes lies on non-scan inputs, see session.py) and AQE
+    converts them from RUNTIME sizes — so after execution the final
+    adaptive plan at this tiny SF is all-broadcast."""
     for name in ("q3_top_orders", "q5_region_revenue"):
         plan = _plan(spark, name)
-        assert "BroadcastHashJoin" in plan, name
-        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # the hinted dims
+        df = QUERIES[name].fn(spark, SF_DIR)
+        df.collect()
+        dump = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in dump, name
+        # the adaptive dump appends the pre-AQE "Initial Plan" — only
+        # the Final Plan section is the executed shape
+        final = dump.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, name
+        assert "SortMergeJoin" not in final, (name, final)
 
 
 def test_fingerprints_read_only_needed_columns(spark):
