@@ -452,15 +452,41 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 4,
     threshold: float = 0.5,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs shingle Jaccard within a blocking key. Exact but
-    quadratic per block — the blocking column is the scale contract."""
+    quadratic per block — the blocking column is the scale contract,
+    and since round 8 that contract is ENFORCED, not just documented:
+    any block larger than ``max_block`` docs fails the job loudly
+    (``assert_true`` inside the plan — distributed, lazy, no driver
+    pre-pass) instead of silently exploding into n² pairs. 10,000 docs
+    is ~5e7 pairs within one block; past that, pick a finer blocking
+    key or switch to the banded minhash path. ``max_block=None``
+    disables the guard for callers who have measured their blocks."""
     df = _spread(df, id_col)
     sh = df.select(
         F.col(id_col).alias("__id__"),
         F.col(block_col).alias("__blk__"),
         char_shingles(text_col, shingle_n).alias("__sh__"),
     )
+    if max_block is not None:
+        bn = F.count("*").over(Window.partitionBy("__blk__"))
+        sh = sh.withColumn("__bn__", bn).filter(
+            F.assert_true(
+                F.col("__bn__") <= max_block,
+                F.concat(
+                    F.lit("ngram_jaccard_pairs: block "),
+                    F.col("__blk__").cast("string"),
+                    F.lit(" holds "),
+                    F.col("__bn__").cast("string"),
+                    F.lit(
+                        f" docs > max_block={max_block} — all-pairs within"
+                        " a block is quadratic; use a finer blocking key,"
+                        " the banded minhash path, or raise max_block"
+                    ),
+                ),
+            ).isNull()
+        ).drop("__bn__")
     a = sh.alias("a")
     b = sh.alias("b")
     joined = a.join(

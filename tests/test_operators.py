@@ -196,6 +196,25 @@ def test_ngram_jaccard_pairs(dup_docs, spark):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_ngram_jaccard_hot_block_guard(dup_docs, spark):
+    """The quadratic-per-block contract is enforced in-plan: a block
+    over max_block fails loudly at execution (distributed assert, no
+    driver pre-pass); under the limit, results are unchanged."""
+    import pytest
+
+    blocked = dup_docs.withColumn("blk", F.lit(1))
+    hot = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", "blk", threshold=0.5, max_block=3
+    )
+    with pytest.raises(Exception, match="max_block=3"):
+        hot.collect()
+    ok = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", "blk", threshold=0.5, max_block=5
+    )
+    got = {(r["a_id"], r["b_id"]) for r in ok.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+
+
 def test_simhash_near_dup(dup_docs):
     pairs = dedup.simhash_near_dup_pairs(dup_docs, "doc_id", "text", max_hamming=3)
     got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}

@@ -35,6 +35,19 @@ def test_q1_scan_prunes_columns(spark):
     assert "l_orderkey" not in read and "l_partkey" not in read
 
 
+def test_session_broadcast_policy_pinned(spark):
+    """The round-8 broadcast contract (BASELINE.md): no estimate-based
+    static broadcast (compile-time sizeInBytes lies on post-transform
+    inputs — the 100x sweep's maxResultSize abort), AQE broadcasts
+    from exact runtime sizes, everything else is explicit hints. A
+    config drift here silently reintroduces the driver-OOM hazard."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ) == str(64 * 1024 * 1024)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_small_dim_joins_broadcast(spark):
     """Broadcast policy (round 8): explicitly hinted small dims are
     broadcast in the STATIC plan; the fact-side joins compile to
