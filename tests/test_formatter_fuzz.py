@@ -121,6 +121,46 @@ def test_xml_fidelity_round_trip(spark, rows):
                 assert (el.text or "") == _xml_expected(val)
 
 
+@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_json_array_round_trip(spark, rows):
+    """Array framing -> json.loads recovers every cell byte-exactly
+    (reference codec/json/json.go:83-156: array framing, sorted keys,
+    NULL -> null). The JSON escape table has no lossy transform, so
+    unlike XML the recovered value must equal the INPUT, including C0
+    controls, lone-surrogate-adjacent planes, and U+FFFE/FFFF."""
+    import json as pyjson
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    out = Exporter(df, "json", ExportSpec().with_order_by("id")).write_string()
+    parsed = pyjson.loads(out)
+    assert parsed == [
+        {"id": i, "c0": a, "c1": b} for i, (a, b) in enumerate(rows)
+    ]
+
+
+@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_ndjson_round_trip(spark, rows):
+    """NDJSON mode: one json.loads-able object per line, same
+    byte-exact cell recovery; the framing toggle must change framing
+    ONLY (json.go:51-55), never the escape table."""
+    import json as pyjson
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    out = Exporter(
+        df, "json", ExportSpec().with_order_by("id").with_newline_delimited()
+    ).write_string()
+    lines = [ln for ln in out.split("\n") if ln]
+    assert [pyjson.loads(ln) for ln in lines] == [
+        {"id": i, "c0": a, "c1": b} for i, (a, b) in enumerate(rows)
+    ]
+
+
 def test_xml_python_twin_matches_expr_table(spark):
     """xml_escape (Python twin) agrees with xml_escape_expr (Catalyst)
     on the full adversarial alphabet in one batch."""
