@@ -677,6 +677,7 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     mode: str = "grouped",
     sig_kernel: str = "numpy",
+    max_bucket: int | None = 16384,
 ) -> DataFrame:
     """Near-duplicate vectors (cosine ≥ threshold) via LSH bucketing +
     exact verification; returns (a_id, b_id, sim).
@@ -688,7 +689,11 @@ def embedding_near_dup_pairs(
     shipped exactly once. Every pair lives in exactly one bucket, so
     no cross-bucket dedup is needed. (A pathological bucket still
     costs O(b²) pairs — identical to what the join would produce for
-    that bucket; more planes or banding bounds b.)
+    that bucket; more planes or banding bounds b, and since round 8
+    ``max_bucket`` enforces the bound loudly: expected bucket size is
+    n/2^planes, so ``planes`` must GROW as log2(n) — a fixed-width
+    signature quietly turns this operator quadratic as the corpus
+    scales. ``max_bucket=None`` disables.)
 
     ``mode="join"`` is the declarative self-join used as the oracle
     reference; its two branches each evaluate the signature (a
@@ -730,18 +735,25 @@ def embedding_near_dup_pairs(
         raise ValueError(f"unknown mode {mode!r} (expected 'grouped' or 'join')")
 
     pairs = s.groupBy("__sig__").applyInPandas(
-        _make_bucket_verify(threshold), schema="a_id long, b_id long, __raw__ double"
+        _make_bucket_verify(threshold, max_bucket),
+        schema="a_id long, b_id long, __raw__ double",
     )
     return pairs.select(
         "a_id", "b_id", F.round(F.col("__raw__"), 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
 
 
-def _make_bucket_verify(threshold):
+def _make_bucket_verify(threshold, max_bucket=None):
     """applyInPandas kernel: all-pairs cosine within one bucket, in
     blocked C-speed matrix chunks; emits the strict upper triangle
     (by id) of pairs whose RAW sim could still round up past the
-    threshold. Self-contained closure (numpy/pandas only)."""
+    threshold. Self-contained closure (numpy/pandas only).
+
+    ``max_bucket``: the within-bucket work is O(n²); a bucket past
+    this bound fails the job loudly (same contract-enforcement idiom
+    as ngram_jaccard_pairs' max_block) instead of silently burning a
+    quadratic task — the fix is more signature bits, and the error
+    says so."""
     import numpy as _np
     import pandas as _pd
 
@@ -755,6 +767,16 @@ def _make_bucket_verify(threshold):
 
     def verify(pdf):
         n = len(pdf)
+        if max_bucket is not None and n > max_bucket:
+            raise ValueError(
+                f"near-dup LSH bucket holds {n} vectors >"
+                f" max_bucket={max_bucket} — all-pairs verification is"
+                " quadratic per bucket, and bucket size grows as"
+                " n/2^bits for a FIXED signature width. Add signature"
+                " bits as the corpus grows (planes ~ log2(n /"
+                " target_bucket)), or raise/disable max_bucket after"
+                " measuring."
+            )
         if n < 2:
             return empty
         order = _np.argsort(pdf["__id__"].to_numpy())
@@ -838,6 +860,7 @@ def embedding_near_dup_banded(
     dims: int = 64,
     planes_per_table: int = 4,
     num_tables: int = 8,
+    max_bucket: int | None = 16384,
 ) -> DataFrame:
     """Multi-table (banded) LSH near-dup pairs — the recall-safe
     variant of ``embedding_near_dup_pairs``. A single w-plane
@@ -849,8 +872,15 @@ def embedding_near_dup_banded(
     Shape: one banded-signature pass per vector (numpy kernel), ONE
     shuffle on (table, signature), per-bucket C-speed verification,
     then a distinct (a pair can match in several tables; sims are
-    bit-exact deterministic so distinct collapses them). No O(n²)
-    stage at any point."""
+    bit-exact deterministic so distinct collapses them). The
+    quadratic work is CONFINED to buckets, not eliminated: a table
+    has 2^planes_per_table buckets, so for a FIXED signature width
+    expected bucket size — and with it per-bucket all-pairs cost —
+    grows linearly/quadratically with the corpus (the round-8 ANN
+    sweep measured the bend). ``planes_per_table`` must grow as
+    log2(n / target_bucket) at scale (recall is then re-tuned with
+    ``num_tables``), and ``max_bucket`` enforces the contract loudly
+    (None disables)."""
     key = (dims, planes_per_table, num_tables)
     if key not in _BANDED_SIG_UDFS:
         H = banded_hyperplanes(dims, planes_per_table, num_tables)
@@ -871,7 +901,8 @@ def embedding_near_dup_banded(
         )
     )
     pairs = s.groupBy("__tbl__", "__sig__").applyInPandas(
-        _make_bucket_verify(threshold), schema="a_id long, b_id long, __raw__ double"
+        _make_bucket_verify(threshold, max_bucket),
+        schema="a_id long, b_id long, __raw__ double",
     )
     return (
         pairs.select("a_id", "b_id", F.round(F.col("__raw__"), 6).alias("sim"))
@@ -880,7 +911,7 @@ def embedding_near_dup_banded(
     )
 
 
-def _make_greedy_semdedup(threshold):
+def _make_greedy_semdedup(threshold, max_bucket=None):
     """applyInPandas kernel: greedy SemDeDup scan of one LSH bucket in
     ascending-id order — a vector is dropped iff its cosine to some
     already-KEPT smaller-id vector rounds to >= threshold (so a
@@ -892,6 +923,15 @@ def _make_greedy_semdedup(threshold):
     import pandas as _pd
 
     def survivors(pdf):
+        if max_bucket is not None and len(pdf) > max_bucket:
+            raise ValueError(
+                f"semdedup LSH bucket holds {len(pdf)} vectors >"
+                f" max_bucket={max_bucket} — the greedy scan is"
+                " quadratic per bucket, and bucket size grows as"
+                " n/2^planes for a FIXED signature width. Grow"
+                " `planes` as log2(n / target_bucket), or"
+                " raise/disable max_bucket after measuring."
+            )
         order = _np.argsort(pdf["__id__"].to_numpy())
         ids = pdf["__id__"].to_numpy()[order].astype(_np.int64)
         if len(ids) == 1:
@@ -918,6 +958,7 @@ def semdedup(
     planes: int = 8,
     policy: str = "greedy",
     sig_kernel: str = "numpy",
+    max_bucket: int | None = 16384,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023, arXiv:2303.09540): partition the corpus into
@@ -943,7 +984,10 @@ def semdedup(
     exactly once on its signature; the only quadratic work is within
     a bucket (bounded by planes; band with
     :func:`embedding_near_dup_banded` for recall instead of more
-    planes). No global O(n²) stage, nothing on the driver."""
+    planes). No global O(n²) stage, nothing on the driver. A FIXED
+    ``planes`` lets buckets grow as n/2^planes with the corpus —
+    grow it as log2(n); ``max_bucket`` (round 8) fails loudly past
+    the bound instead of burning a quadratic task (None disables)."""
     if policy == "dominated":
         pairs = embedding_near_dup_pairs(
             emb,
@@ -953,6 +997,7 @@ def semdedup(
             dims=dims,
             planes=planes,
             sig_kernel=sig_kernel,
+            max_bucket=max_bucket,
         )
         drops = pairs.select(F.col("b_id").alias("__drop__")).distinct()
         return emb.join(
@@ -973,7 +1018,7 @@ def semdedup(
         kernel=sig_kernel,
     )
     kept = s.groupBy("__sig__").applyInPandas(
-        _make_greedy_semdedup(threshold), schema="__id__ long"
+        _make_greedy_semdedup(threshold, max_bucket), schema="__id__ long"
     )
     # NULL-embedding rows never reach the kernel (filtered above) but
     # are not duplicates of anything — they SURVIVE, keeping the

@@ -225,6 +225,39 @@ def test_simhash_near_dup(dup_docs):
 # ---------------------------------------------------------------- similarity
 
 
+def test_embedding_bucket_guards(spark):
+    """The within-bucket quadratic contract is enforced loudly (round
+    8, same idiom as ngram_jaccard's max_block): identical vectors all
+    land in one LSH bucket, so a small max_bucket must fail the job
+    with the sizing rule in the message, and the default must leave
+    results unchanged."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="max_bucket=3"):
+        similarity.embedding_near_dup_pairs(
+            emb, dims=8, planes=4, max_bucket=3
+        ).count()
+    assert (
+        similarity.embedding_near_dup_pairs(emb, dims=8, planes=4).count() == 45
+    )
+    with pytest.raises(Exception, match="max_bucket=3"):
+        similarity.semdedup(emb, dims=8, planes=4, max_bucket=3).count()
+    assert similarity.semdedup(emb, dims=8, planes=4).count() == 1
+    with pytest.raises(Exception, match="max_bucket=3"):
+        similarity.embedding_near_dup_banded(
+            emb, dims=8, planes_per_table=2, num_tables=2, max_bucket=3
+        ).count()
+    assert (
+        similarity.embedding_near_dup_banded(
+            emb, dims=8, planes_per_table=2, num_tables=2
+        ).count()
+        == 45
+    )
+
+
 def test_cosine_matches_numpy(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20).cache()
     rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
