@@ -23,6 +23,31 @@ from pyspark.sql import DataFrame
 from exporter_spark.plans.spec import ExportSpec
 
 
+def jvm_str(s: str) -> str:
+    """Project a Python string onto the JVM string domain — what the
+    same value looks like after crossing into a DataFrame.
+
+    CPython strings may carry surrogate CODE POINTS (U+D800-DFFF);
+    JVM/Arrow strings cannot receive them — the transfer encodes each
+    Python code point to UTF-8, where every surrogate (even a
+    high+low sequence that would pair in UTF-16) is individually
+    unencodable and becomes its own U+FFFD. Measured against the real
+    boundary in the round-8 fuzz: '\\ud800\\udfff' arrives as TWO
+    replacement chars, never the combined astral char — so the
+    projection is strictly per-code-point, no pairing. Go strings
+    (the parity target) can't hold surrogates either (invalid
+    UTF-8). The Python formatter twins run BEFORE any JVM boundary
+    (headers, fidelity-stream assembly); without this projection they
+    diverge from their Catalyst-expression counterparts on inputs the
+    pipeline can never actually carry. No-op for any string that ever
+    crossed the boundary."""
+    if any("\ud800" <= ch <= "\udfff" for ch in s):
+        return "".join(
+            "�" if "\ud800" <= ch <= "\udfff" else ch for ch in s
+        )
+    return s
+
+
 class Formatter(Protocol):
     spec: ExportSpec
 

@@ -21,7 +21,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.base import BaseFormatter, jvm_str
 
 # Go unicode.IsSpace set (encoding/csv fieldNeedsQuotes quotes a field
 # whose FIRST rune is any of these — not just space/tab):
@@ -59,6 +59,11 @@ def csv_line_expr(cols: list[str], delimiter: str, null_value: str) -> Column:
 
 
 def _go_csv_field(s: str, delimiter: str) -> str:
+    # JVM-domain projection (formatters/base.jvm_str): unpaired
+    # surrogates become U+FFFD exactly as they would crossing into a
+    # DataFrame, keeping this twin byte-identical to csv_field_expr
+    # on ALL Python inputs, not just boundary-representable ones.
+    s = jvm_str(s)
     if s == r"\.":  # encoding/csv special-cases a lone `\.`
         return '"\\."'
     needs = (

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.base import BaseFormatter, jvm_str
 
 _DECLARATION = '<?xml version="1.0" encoding="UTF-8"?>\n'
 
@@ -58,6 +58,12 @@ def xml_escape_expr(col: Column) -> Column:
 
 
 def xml_escape(s: str) -> str:
+    # JVM-domain projection first (see formatters/base.jvm_str): an
+    # unpaired surrogate is both invalid XML and unrepresentable in a
+    # JVM string — it becomes U+FFFD here exactly as it would crossing
+    # into a DataFrame, keeping this twin aligned with
+    # xml_escape_expr on all Python inputs.
+    s = jvm_str(s)
     for raw, ent in _XML_ESCAPES:
         s = s.replace(raw, ent)
     return s.translate(_XML_INVALID_TABLE)

@@ -26,14 +26,21 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from exporter_spark import Exporter, ExportSpec
+from exporter_spark.formatters.base import jvm_str
 from exporter_spark.formatters.csv import GO_SPACE_CHARS, _go_csv_field
 from exporter_spark.formatters.xml import _XML_INVALID, xml_escape
 
 # The characters the quoting/escaping tables branch on, heavily
-# over-weighted relative to plain unicode.
+# over-weighted relative to plain unicode. Includes raw unpaired
+# surrogates — CPython can hold them, the JVM/Arrow boundary cannot
+# (they become U+FFFD in a DataFrame), and the round-8 fuzz caught
+# the Python twins diverging from the JVM expressions on exactly that.
 _NASTY = sorted(
     set(
-        '",;\r\n\t\\.&<>\'' + GO_SPACE_CHARS + _XML_INVALID + "\x7f\x85�\U0001f600"
+        '",;\r\n\t\\.&<>\''
+        + GO_SPACE_CHARS
+        + _XML_INVALID
+        + "\x7f\x85�\U0001f600\ud800􏰀\udfff"
     )
 )
 _CELL = st.text(
@@ -43,7 +50,13 @@ _CELL = st.text(
     ),
     max_size=12,
 )
-_ROWS = st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=5)
+# Round-trip tests compare OUTPUT against INPUT, so their domain is
+# what a DataFrame can actually carry: the jvm_str projection of the
+# raw strategy (lone surrogates -> U+FFFD, pairs combined). The
+# dual-path test keeps the RAW domain — the twins must agree with the
+# JVM expressions even on inputs only CPython can represent.
+_JCELL = _CELL.map(jvm_str)
+_ROWS = st.lists(st.tuples(_JCELL, _JCELL), min_size=1, max_size=5)
 
 
 def _xml_expected(s: str) -> str:
@@ -97,7 +110,7 @@ def test_csv_dual_path_quoting_agrees(spark, cells):
     assert got == [_go_csv_field(c, ",") for c in cells]
 
 
-@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@given(st.lists(st.tuples(_JCELL | st.none(), _JCELL), min_size=1, max_size=5))
 @settings(max_examples=8, deadline=None)
 def test_xml_fidelity_round_trip(spark, rows):
     """fidelity stream -> ElementTree recovers every cell after Go's
@@ -121,7 +134,7 @@ def test_xml_fidelity_round_trip(spark, rows):
                 assert (el.text or "") == _xml_expected(val)
 
 
-@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@given(st.lists(st.tuples(_JCELL | st.none(), _JCELL), min_size=1, max_size=5))
 @settings(max_examples=8, deadline=None)
 def test_json_array_round_trip(spark, rows):
     """Array framing -> json.loads recovers every cell byte-exactly
@@ -141,7 +154,7 @@ def test_json_array_round_trip(spark, rows):
     ]
 
 
-@given(st.lists(st.tuples(_CELL | st.none(), _CELL), min_size=1, max_size=5))
+@given(st.lists(st.tuples(_JCELL | st.none(), _JCELL), min_size=1, max_size=5))
 @settings(max_examples=8, deadline=None)
 def test_ndjson_round_trip(spark, rows):
     """NDJSON mode: one json.loads-able object per line, same
@@ -159,6 +172,27 @@ def test_ndjson_round_trip(spark, rows):
     assert [pyjson.loads(ln) for ln in lines] == [
         {"id": i, "c0": a, "c1": b} for i, (a, b) in enumerate(rows)
     ]
+
+
+def test_jvm_str_projection():
+    """jvm_str is exactly the Python->JVM string boundary: every
+    surrogate CODE POINT -> its own U+FFFD (measured: even an ordered
+    high+low sequence does NOT pair across the transfer — CPython
+    strings are code points, and each is UTF-8-encoded separately);
+    boundary-representable strings pass through untouched."""
+    assert jvm_str("\ud800") == "\ufffd"
+    assert jvm_str("a\udfffb") == "a\ufffdb"
+    # an ordered high+low sequence stays TWO replacement chars — the
+    # boundary never reassembles pairs (probe-verified in round 8:
+    # '\\ud800\\udfff' through createDataFrame arrives as two U+FFFD)
+    assert jvm_str("\ud83d\ude00") == "\ufffd\ufffd"
+    assert jvm_str("\udc00\ud800") == "\ufffd\ufffd"
+    plain = "plain ascii, caf\xe9, \U0001f600, \ufffd, \x00\t\r\n"
+    assert jvm_str(plain) == plain
+    # twins apply the projection, so raw-surrogate input quotes/escapes
+    # exactly like its DataFrame image
+    assert _go_csv_field("\ud800", ",") == "\ufffd"
+    assert xml_escape("<\ud800>") == "&lt;\ufffd&gt;"
 
 
 def test_xml_python_twin_matches_expr_table(spark):
