@@ -154,6 +154,28 @@ def main() -> None:
     )
     print(f"[bench] host_canary: {host_canary}s", file=sys.stderr)
 
+    # IO canary (round 8): the CPU canary missed a night window where
+    # totals ran 1.3x the record on identical code with a mid-band CPU
+    # reading — the drift's IO/memory component hit the export and
+    # cache-build entries hardest (BASELINE.md round-8 closing
+    # record; adjudicated by worktree A/B + isolated pairs). This
+    # writes-and-reads a fixed ~100 MB parquet through the same temp
+    # filesystem the export entries use, so every BENCH record now
+    # carries a disk-path denominator too. Excluded from the total.
+    def _io_probe():
+        d = tempfile.mkdtemp(prefix="exporter_spark_iocanary_")
+        try:
+            p = f"{d}/t"
+            spark.range(0, 12_500_000, 1, 32).withColumn(
+                "pad", F.col("id") % 997
+            ).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).select(F.sum("pad")).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    io_canary = timed(_io_probe)
+    print(f"[bench] io_canary: {io_canary}s", file=sys.stderr)
+
     for name in BENCH_QUERIES:
         gc0 = _gc_ms()
         # cache_scope: repeats within an entry still reuse the cache
@@ -225,9 +247,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # host-speed denominator, NOT part of the total (see
-                # the canary comment above)
+                # host-speed denominators, NOT part of the total (see
+                # the canary comments above): CPU and disk-path
                 "host_canary_sec": host_canary,
+                "io_canary_sec": io_canary,
             }
         )
     )

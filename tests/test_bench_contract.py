@@ -33,12 +33,14 @@ def test_bench_emits_one_json_line_with_all_entries():
     assert "\n" not in out, f"stdout must be ONE line, got: {out[:300]}"
     d = json.loads(out)
     assert set(d) == {
-        "metric", "value", "unit", "queries", "sf", "host_canary_sec"
+        "metric", "value", "unit", "queries", "sf",
+        "host_canary_sec", "io_canary_sec",
     }
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
-    # round-7 host-speed canary: pure-CPU denominator, carried in the
-    # record but excluded from the engine total
+    # host-speed canaries: pure-CPU (round 7) and disk-path (round 8),
+    # carried in the record but excluded from the engine total
     assert d["host_canary_sec"] > 0
+    assert d["io_canary_sec"] > 0
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     # EXACT entry set — a renamed or dropped entry must fail here, not
     # silently vanish from the round's BENCH record (VERDICT r05 #6)
