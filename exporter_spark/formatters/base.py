@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame
 from exporter_spark.plans.spec import ExportSpec
 
 
+from exporter_spark.functions.tostring import qcol  # noqa: F401  (re-export:
+# every formatter record expression resolves literal column names
+# through qcol — see its docstring in functions/tostring.py)
+
+
 def jvm_str(s: str) -> str:
     """Project a Python string onto the JVM string domain — what the
     same value looks like after crossing into a DataFrame.

@@ -21,7 +21,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from exporter_spark.formatters.base import BaseFormatter, jvm_str
+from exporter_spark.formatters.base import BaseFormatter, jvm_str, qcol
 
 # Go unicode.IsSpace set (encoding/csv fieldNeedsQuotes quotes a field
 # whose FIRST rune is any of these — not just space/tab):
@@ -54,7 +54,7 @@ def csv_field_expr(col: Column, delimiter: str, null_value: str) -> Column:
 def csv_line_expr(cols: list[str], delimiter: str, null_value: str) -> Column:
     """One CSV record (no line terminator) as a single expression."""
     return F.concat_ws(
-        delimiter, *[csv_field_expr(F.col(c), delimiter, null_value) for c in cols]
+        delimiter, *[csv_field_expr(qcol(c), delimiter, null_value) for c in cols]
     )
 
 
@@ -151,7 +151,7 @@ class CSVFormatter(BaseFormatter):
             if spec.crlf:
                 line = F.concat(line, F.lit("\r"))  # text writer adds \n
             writer = (
-                out.select(*(partition_by or []), line.alias("value"))
+                out.select(*[qcol(c) for c in (partition_by or [])], line.alias("value"))
                 .write.mode("overwrite")
             )
             if partition_by:

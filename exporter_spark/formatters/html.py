@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from exporter_spark import fsio
-from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.base import BaseFormatter, qcol
 
 NULL_SPAN = '<span style="color:#aaaaaa;">[NULL]</span>'
 
@@ -75,7 +75,7 @@ class HTMLFormatter(BaseFormatter):
             parts.append(F.lit("<td>"))
             # NULL ⇒ configurable rendering (html.go:36,176-180);
             # values unescaped (html.go:160)
-            parts.append(F.coalesce(F.col(c), F.lit(null_s)))
+            parts.append(F.coalesce(qcol(c), F.lit(null_s)))
             parts.append(F.lit("</td>"))
         parts.append(F.lit("</tr>"))
         return F.concat(*parts).alias("__tr__")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from exporter_spark import fsio
-from exporter_spark.formatters.base import BaseFormatter
+from exporter_spark.formatters.base import BaseFormatter, qcol
 from exporter_spark.functions.tostring import _go_fixed_repr
 
 
@@ -214,7 +214,7 @@ def json_line_expr(schema, cols: list[str]):
     for i, c in enumerate(cols):
         prefix = ("{" if i == 0 else ",") + json.dumps(c, ensure_ascii=False) + ":"
         parts.append(F.lit(prefix))
-        parts.append(_json_fragment(F.col(c), by_name[c]))
+        parts.append(_json_fragment(qcol(c), by_name[c]))
     parts.append(F.lit("}"))
     return F.concat(*parts)
 
@@ -234,7 +234,9 @@ def _render_temporals(out: DataFrame) -> DataFrame:
     exprs = []
     changed = False
     for i, f in enumerate(out.schema.fields):
-        c = out[i]
+        # qcol, not out[i]: positional access still parses the name
+        # (Dataset.apply) and fails on dotted/backticked columns
+        c = qcol(f.name)
         if isinstance(f.dataType, T.TimestampType):
             exprs.append(_rfc3339nano(c).alias(f.name))
             changed = True
@@ -321,7 +323,8 @@ class JSONFormatter(BaseFormatter):
         spec = self.spec
         out = _render_temporals(self._dedup_columns(spec.compile_raw(df)))
         if spec.sort_keys:
-            out = out.select(*sorted(out.columns))
+            # qcol: a plain string select parses the names
+            out = out.select(*[qcol(c) for c in sorted(out.columns)])
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

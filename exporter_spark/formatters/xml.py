@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from exporter_spark.formatters.base import BaseFormatter, jvm_str
+from exporter_spark.formatters.base import BaseFormatter, jvm_str, qcol
 
 _DECLARATION = '<?xml version="1.0" encoding="UTF-8"?>\n'
 
@@ -82,9 +82,9 @@ def xml_row_expr(
     boolean, temporal renderings)."""
     parts = [F.lit(f"<{row_tag}>")]
     for c, tag in zip(cols, tags):
-        body = F.col(c) if c in escape_safe else xml_escape_expr(F.col(c))
+        body = qcol(c) if c in escape_safe else xml_escape_expr(qcol(c))
         parts.append(
-            F.when(F.col(c).isNull(), F.lit("")).otherwise(
+            F.when(qcol(c).isNull(), F.lit("")).otherwise(
                 F.concat(F.lit(f"<{tag}>"), body, F.lit(f"</{tag}>"))
             )
         )
@@ -196,7 +196,9 @@ class XMLFormatter(BaseFormatter):
             value = self._row_expr(
                 [c for c, _ in keep], [t for _, t in keep], safe
             ).alias("value")
-            writer = out.select(*(partition_by or []), value).write.mode("overwrite")
+            writer = out.select(
+                *[qcol(c) for c in (partition_by or [])], value
+            ).write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.text(path)

@@ -190,6 +190,20 @@ def display_expr(
     return col.cast("string")
 
 
+def qcol(name: str) -> Column:
+    """Exact top-level column reference for a KNOWN column name.
+
+    The reference treats column names as opaque strings; Spark parses
+    them — ``F.col("a.b")`` reads the dot as struct access, and even
+    positional ``df[i]`` routes through ``Dataset.apply``'s name
+    parser, which rejects an embedded backtick outright. Backtick-
+    quote with doubled inner backticks (the SQL identifier escape)
+    and every name resolves literally. Use ONLY for names taken from
+    ``df.columns``/schema — user expression strings (struct access,
+    SQL fragments) must keep plain parsing."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def display_columns(
     df,
     *,
@@ -215,6 +229,8 @@ def display_columns(
         if f.name in formatters:
             expr = formatters[f.name]
         else:
-            expr = display_expr(df[i], f.dataType, float_mode=float_mode)
+            # qcol, not df[i]: positional access still parses the
+            # name (Dataset.apply) and chokes on backticks/dots
+            expr = display_expr(qcol(f.name), f.dataType, float_mode=float_mode)
         out.append(expr.alias(f.name))
     return out

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from exporter_spark.functions.tostring import display_columns, display_expr
+from exporter_spark.functions.tostring import display_columns, display_expr, qcol
 from exporter_spark.sources.meta import driver_of
 
 # preprocessor: (row_id | None, {col: display_str|None}) -> (dict | None)
@@ -189,7 +189,17 @@ class ExportSpec:
         if self.filter is not None:
             df = df.filter(self.filter)
         if self.order_by:
-            df = df.orderBy(*self.order_by)
+            # a string that names an ACTUAL column resolves exactly
+            # (backtick-quoted — F.col would parse a dot in the name
+            # as struct access and fail); anything else keeps plain
+            # parsing so "s.a" struct-field ordering still works
+            cols = set(df.columns)
+            df = df.orderBy(
+                *[
+                    qcol(c) if isinstance(c, str) and c in cols else c
+                    for c in self.order_by
+                ]
+            )
         out_cols = df.columns
         rid, df = self._with_row_id(df)
         resolved = self._resolve_formatters(df, rid, out_cols)
@@ -265,7 +275,8 @@ class ExportSpec:
                 resolved[fld.name] = m
             else:
                 meta = CellMeta(row_id=rid, driver=drv, column=fld)
-                col = df[i]
+                # qcol: positional df[i] still parses the name
+                col = qcol(fld.name)
                 # nil never reaches reference mappers (csv.go:195-198)
                 resolved[fld.name] = F.when(col.isNull(), F.lit(None)).otherwise(
                     m(col, meta)

@@ -209,3 +209,35 @@ def test_xml_python_twin_matches_expr_table(spark):
         for r in df.select(xml_escape_expr(F.col("raw")).alias("e")).collect()
     ]
     assert got == [xml_escape(c) for c in cells]
+
+
+def test_adversarial_column_names(spark):
+    """The reference treats column names as opaque strings; Spark
+    parses them everywhere (F.col dots -> struct access, Dataset.apply
+    rejecting backticks). All four fidelity exports, order_by on the
+    weird name, and the distributed writers must work — while string
+    order_by that does NOT name a column keeps plain parsing (struct
+    access)."""
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(2, "y"), (1, "x")], "id long, v string"
+    ).toDF("a.b", "c`d")
+    for fmt in ["csv", "json", "xml", "html"]:
+        out = Exporter(df, fmt, ExportSpec().with_order_by("a.b")).write_string()
+        assert out and "x" in out, fmt
+    got = Exporter(df, "csv", ExportSpec().with_order_by("a.b")).write_string()
+    assert got == 'a.b,c`d\n1,x\n2,y\n'
+    d = tempfile.mkdtemp(prefix="colnames_")
+    try:
+        for fmt in ["csv", "json", "parquet"]:
+            Exporter(df, fmt, ExportSpec()).write(f"{d}/{fmt}")
+        back = spark.read.parquet(f"{d}/parquet")
+        assert set(back.columns) == {"a.b", "c`d"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # struct-field order_by strings still parse as expressions
+    df2 = spark.createDataFrame([((3, 4),), ((1, 2),)], "s struct<a:long,b:long>")
+    rows = ExportSpec().with_order_by("s.a")._compile(df2, display=False).collect()
+    assert [r["s"]["a"] for r in rows] == [1, 3]
