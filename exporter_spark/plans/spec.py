@@ -104,6 +104,17 @@ class ExportSpec:
         return replace(self, custom_header=list(names))
 
     def with_delimiter(self, d: str) -> "ExportSpec":
+        # encoding/csv validDelim (csv.go hands the rune to
+        # csv.Writer.Comma; Write then rejects NUL, '"', CR, LF and
+        # utf8.RuneError with this exact error). A rune is ONE
+        # character by construction — multi-char also can't reach
+        # Spark's native csv writer, whose sep is one char — so the
+        # fidelity and scale paths stay behavior-identical.
+        if (
+            len(d) != 1
+            or d in '\x00"\r\n�'
+        ):
+            raise ValueError("csv: invalid field or comment delimiter")
         return replace(self, delimiter=d)
 
     def with_crlf(self, on: bool = True) -> "ExportSpec":

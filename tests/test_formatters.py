@@ -284,3 +284,18 @@ def test_csv_go_unicode_space_quoting(spark):
 
     assert _go_csv_field(" x", ",") == '" x"'
     assert _go_csv_field("x y", ",") == "x y"
+
+
+def test_delimiter_validation_matches_go():
+    """encoding/csv validDelim: NUL, quote, CR, LF, RuneError and
+    multi-char are rejected with Go's exact error; ordinary unicode
+    runes are fine."""
+    import pytest
+
+    from exporter_spark.plans.spec import ExportSpec
+
+    for bad in ['\x00', '"', '\r', '\n', '\ufffd', 'ab', '']:
+        with pytest.raises(ValueError, match="invalid field or comment delimiter"):
+            ExportSpec().with_delimiter(bad)
+    for ok in [';', '\t', '|', '\u20ac']:
+        assert ExportSpec().with_delimiter(ok).delimiter == ok
