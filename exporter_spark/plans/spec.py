@@ -106,13 +106,18 @@ class ExportSpec:
     def with_delimiter(self, d: str) -> "ExportSpec":
         # encoding/csv validDelim (csv.go hands the rune to
         # csv.Writer.Comma; Write then rejects NUL, '"', CR, LF and
-        # utf8.RuneError with this exact error). A rune is ONE
-        # character by construction — multi-char also can't reach
-        # Spark's native csv writer, whose sep is one char — so the
-        # fidelity and scale paths stay behavior-identical.
+        # anything failing utf8.ValidRune — i.e. surrogate code
+        # points and utf8.RuneError — with this exact error). A rune
+        # is ONE character by construction — multi-char also can't
+        # reach Spark's native csv writer, whose sep is one char — so
+        # the fidelity and scale paths stay behavior-identical. The
+        # surrogate check matters beyond parity: a lone surrogate
+        # degrades to U+FFFD at the JVM boundary, the very RuneError
+        # this guard rejects.
         if (
             len(d) != 1
             or d in '\x00"\r\n�'
+            or "\ud800" <= d <= "\udfff"
         ):
             raise ValueError("csv: invalid field or comment delimiter")
         return replace(self, delimiter=d)

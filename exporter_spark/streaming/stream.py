@@ -193,6 +193,15 @@ _SESSION_STATE_VERSION = 2
 # SAME field shape — a field-shape change is rejected by Spark's own
 # state-schema compatibility check at restart and requires a fresh
 # checkpoint (reprocess history through the batch sessionize).
+#
+# Steps MUST be pure functions of their four inputs (no IO, no
+# side effects, deterministic): a step can run more than once for the
+# same key — Spark replays micro-batches on failure before the
+# upgraded state's update() lands, and a key whose state is read but
+# whose intervals all stay open across a restart is re-migrated on
+# the next restart too (ADVICE r08).  Purity makes every re-run
+# byte-identical, so repeated migration is a no-op in effect; an
+# impure or expensive step would re-run unpredictably per key.
 _SESSION_STATE_MIGRATIONS: dict = {}
 
 

@@ -287,15 +287,54 @@ def test_csv_go_unicode_space_quoting(spark):
 
 
 def test_delimiter_validation_matches_go():
-    """encoding/csv validDelim: NUL, quote, CR, LF, RuneError and
-    multi-char are rejected with Go's exact error; ordinary unicode
-    runes are fine."""
+    """encoding/csv validDelim: NUL, quote, CR, LF, RuneError,
+    surrogate code points (utf8.ValidRune is false for U+D800-DFFF)
+    and multi-char are rejected with Go's exact error; ordinary
+    unicode runes are fine."""
     import pytest
 
     from exporter_spark.plans.spec import ExportSpec
 
-    for bad in ['\x00', '"', '\r', '\n', '\ufffd', 'ab', '']:
+    bads = ['\x00', '"', '\r', '\n', '\ufffd', 'ab', '',
+            '\ud800', '\udbff', '\udc00', '\udfff']
+    for bad in bads:
         with pytest.raises(ValueError, match="invalid field or comment delimiter"):
             ExportSpec().with_delimiter(bad)
     for ok in [';', '\t', '|', '\u20ac']:
         assert ExportSpec().with_delimiter(ok).delimiter == ok
+
+
+def test_xml_surrogates_unreachable_in_plan(spark):
+    """Pins the round-9 adjudication of ADVICE r08 item 2: the XML
+    escape expression carries no surrogate replacement because the
+    class cannot occur in the JVM expression domain \u2014 Spark string
+    ops are code-point-based, so nothing in-plan can split an astral
+    pair into a lone surrogate, and chr() of a surrogate code point
+    masks to a byte rather than producing one. If a Spark upgrade
+    ever changes either fact, this test fails and the (measured,
+    rejected: +60% on the escape chain) regexp_replace defense must
+    be reconsidered."""
+    from pyspark.sql import functions as F
+
+    from exporter_spark.formatters.xml import xml_escape_expr
+
+    df = spark.createDataFrame([("a\U0001f600b",)], ["s"])
+    # a full astral pair passes through the escape chain untouched
+    assert (
+        df.select(xml_escape_expr(F.col("s")).alias("e")).collect()[0].e
+        == "a\U0001f600b"
+    )
+    # substring is code-point-based: "cutting" after the emoji's
+    # first UTF-16 unit still yields the WHOLE code point, never a
+    # lone surrogate
+    cut = df.select(F.substring("s", 1, 2).alias("c")).collect()[0].c
+    assert cut == "a\U0001f600"
+    assert not any("\ud800" <= ch <= "\udfff" for ch in cut)
+    # chr() cannot manufacture a surrogate either (masks to a byte)
+    made = spark.range(1).select(F.chr(F.lit(0xD83D)).alias("c")).collect()[0].c
+    assert not any("\ud800" <= ch <= "\udfff" for ch in made)
+    # and the Python fidelity twin DOES sanitize a lone surrogate the
+    # way Go treats the invalid UTF-8 it would be encoded as
+    from exporter_spark.formatters.xml import xml_escape
+
+    assert xml_escape("a\ud800b") == "a\ufffdb"

@@ -74,8 +74,15 @@ def test_snapshot_covers_the_sentinels():
 def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
     recorded = _recorded_counts()[name]
     df = QUERIES[name].fn(spark, sf_dir)
-    # execute so the ADAPTIVE plan is final — pre-execution plans hide
-    # AQE's stage replacements and would under- or over-count
+    # NOTE (ADVICE r08): the noop write runs its own QueryExecution,
+    # so executedPlan() below is this DataFrame's PRE-execution
+    # adaptive plan (isFinalPlan=false) — FileScan counts are
+    # planning-time, before AQE stage replacement.  That is exactly
+    # how tools/scan_audit.py generated the committed snapshot, so
+    # the comparison is apples-to-apples; switching both sides to a
+    # final plan (collect() through the same DataFrame) would
+    # invalidate every committed snapshot and gate on AQE's
+    # SF-dependent runtime choices instead of the plan shape.
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     got = {

@@ -5,7 +5,13 @@ exchange reuse.
 Spark shares no scans between plan branches, so a stats-then-join-back
 pipeline silently multiplies corpus reads (round 4 found the bigram LM
 at 5 scans, dup_rate_by_source at 21). This tool executes each query
-at a small SF and reports, from the final adaptive plan:
+at a small SF and reports counts from the query's PRE-execution
+adaptive plan (the noop write runs its own QueryExecution, so
+executedPlan() on the DataFrame still shows isFinalPlan=false —
+ADVICE r08): FileScan counts are planning-time plan shape, stable
+across SFs, unlike AQE's runtime stage replacements.
+tests/test_scan_audit_regression.py compares against the snapshots
+this writes using the identical read, so the gate is consistent:
 
   FileScan            parquet scans (text count — cached-plan
                       printouts repeat their child, so compare
