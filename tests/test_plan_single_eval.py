@@ -357,3 +357,40 @@ def test_release_caches_survives_resolve_raising():
     partitioning._TRACKER.entries.append(_GatewayGoneEntry())
     assert release_caches() == 0  # must not raise, must not count
     assert not partitioning._TRACKER.entries
+
+
+def test_ngram_jaccard_guard_shares_the_join_exchange(spark, sf_dir):
+    """VERDICT r08 watch item: the max_block guard computes a
+    count-over-Window partitioned by __blk__ immediately before the
+    block-key self-join. Spark satisfies the SortMergeJoin's
+    distribution requirement with the Window's OWN exchange, so the
+    guard must add ZERO extra shuffles: exactly one
+    hashpartitioning(__blk__) exchange per self-join side. If a
+    Catalyst change ever inserts a second block-key exchange above
+    the Window, the guard silently doubles the pipeline's largest
+    shuffle — this pins that it can't."""
+    d = load_table(spark, sf_dir, "documents")
+    df = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=0.5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    blk_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(__blk__", plan)
+    )
+    assert blk_exchanges == 2, (
+        f"expected 2 block-key exchanges (one per self-join side), "
+        f"found {blk_exchanges}:\n"
+        + "\n".join(
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        )
+    )
+    # and the guard's Window sits directly on that exchange (no
+    # intervening exchange between Window and its block-key shuffle)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "__bn__" in ln:
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "hashpartitioning(__blk__" in below, (
+                "guard Window no longer fed by the block-key "
+                f"exchange:\n{below}"
+            )
