@@ -241,3 +241,88 @@ def test_adversarial_column_names(spark):
     df2 = spark.createDataFrame([((3, 4),), ((1, 2),)], "s struct<a:long,b:long>")
     rows = ExportSpec().with_order_by("s.a")._compile(df2, display=False).collect()
     assert [r["s"]["a"] for r in rows] == [1, 3]
+
+
+@given(st.lists(st.tuples(_JCELL | st.none(), _JCELL), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_html_template_assembly_round_trip(spark, rows):
+    """HTML cells are deliberately NOT escaped (html.go:160 parity
+    quirk), so there is no parse-back oracle; the property instead is
+    exact template assembly — the Catalyst <tr> concat expression and
+    the skeleton splice must reproduce an independently-computed
+    Python document byte-for-byte for arbitrary unicode cells, with
+    NULL as the gray span (html.go:36) and the header carrying
+    name + lowercase type (html.go:104-109)."""
+    from exporter_spark.formatters.html import _STYLE, NULL_SPAN
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    out = Exporter(df, "html", ExportSpec().with_order_by("id")).write_string()
+    th = "".join(
+        f"<th>{n}<br/><small>{t}</small></th>"
+        for n, t in [("id", "bigint"), ("c0", "string"), ("c1", "string")]
+    )
+    expected = (
+        '<!DOCTYPE html>\n<html>\n<head>\n<meta charset="utf-8"/>\n'
+        + _STYLE
+        + "</head>\n<body>\n<table>\n"
+        + "<thead>\n<tr>" + th + "</tr>\n</thead>\n<tbody>\n"
+        + "".join(
+            f"<tr><td>{i}</td><td>{NULL_SPAN if a is None else a}</td>"
+            f"<td>{b}</td></tr>\n"
+            for i, (a, b) in enumerate(rows)
+        )
+        + "</tbody>\n</table>\n</body>\n</html>\n"
+    )
+    assert out == expected
+
+
+# Mapper outputs must ride the SAME Go-quoting path as plain cells —
+# the suffix carries every character class the quoting table branches
+# on, so an unquoted mapper output corrupts the parse and fails here.
+_MAPPER_SUFFIX = '|,"x\r\n\t  '
+
+
+@given(st.lists(st.tuples(_JCELL | st.none(), _JCELL), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_mapper_path_round_trip(spark, rows):
+    """Per-column and per-type mapper outputs (plans/spec.py
+    _resolve_formatters, the r08 qcol routing) through the CSV
+    fidelity stream: csv.reader must recover the TRANSFORMED cells —
+    column mapper on c0 (nil bypass: NULL skips the mapper and stays
+    ""), type mapper on the long id observing CellMeta.row_id (1-based
+    under order_by, reference Metadata dispatch csv.go:199-205)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, c0 string, c1 string"
+    )
+    spec = (
+        ExportSpec()
+        .with_order_by("id")
+        .with_formatter(
+            "c0", lambda col, meta: F.concat(col, F.lit(_MAPPER_SUFFIX))
+        )
+        .with_type_formatter(
+            T.LongType,
+            lambda col, meta: F.concat(
+                F.lit("#"),
+                meta.row_id.cast("string"),
+                F.lit(":"),
+                col.cast("string"),
+            ),
+        )
+    )
+    out = Exporter(df, "csv", spec).write_string()
+    parsed = list(csv.reader(io.StringIO(out)))
+    assert parsed[0] == ["id", "c0", "c1"]
+    assert parsed[1:] == [
+        [
+            f"#{i + 1}:{i}",
+            "" if a is None else a + _MAPPER_SUFFIX,
+            b,
+        ]
+        for i, (a, b) in enumerate(rows)
+    ]
