@@ -176,6 +176,13 @@ def main() -> None:
     io_canary = timed(_io_probe)
     print(f"[bench] io_canary: {io_canary}s", file=sys.stderr)
 
+    # Scale observable (round 9): connected-components rounds-to-
+    # converge for the dedup flagship. Diameter growth on a future
+    # corpus shows up here before it shows up in wall time. The CC
+    # loop drives its own actions, so the dict is populated during
+    # the timed run at zero extra cost.
+    cc_stats: dict = {}
+
     for name in BENCH_QUERIES:
         gc0 = _gc_ms()
         # cache_scope: repeats within an entry still reuse the cache
@@ -183,7 +190,13 @@ def main() -> None:
         # entry's materialize() caches survive into the next entry —
         # the 36-entry session no longer accumulates storage pressure.
         with cache_scope():
-            timings[name] = timed(lambda: _force(QUERIES[name].fn(spark, SF_DIR)))
+            if name == "minhash_dedup_survivors":
+                fn = lambda: _force(  # noqa: E731
+                    QUERIES[name].fn(spark, SF_DIR, stats=cc_stats)
+                )
+            else:
+                fn = lambda: _force(QUERIES[name].fn(spark, SF_DIR))  # noqa: E731
+            timings[name] = timed(fn)
             cached = _n_cached()
         print(
             f"[bench] {name}: {timings[name]}s "
@@ -251,6 +264,11 @@ def main() -> None:
                 # the canary comments above): CPU and disk-path
                 "host_canary_sec": host_canary,
                 "io_canary_sec": io_canary,
+                # scale observable: CC label-propagation rounds for
+                # the dedup flagship (constant ~3 on this corpus at
+                # 1-100x — SCALE.md; growth here flags a deeper
+                # duplicate-graph diameter before wall time moves)
+                "cc_rounds": cc_stats.get("rounds"),
             }
         )
     )

@@ -2307,16 +2307,23 @@ def _minhash_survivors_oracle() -> str:
 
 
 @_register("minhash_dedup_survivors", _minhash_survivors_oracle())
-def minhash_dedup_survivors(spark, sf_dir):
+def minhash_dedup_survivors(spark, sf_dir, stats=None):
     """The deduplicated corpus itself: per near-dup cluster keep the
     canonical (minimum-id) member, pass untouched documents through.
     Composes minhash LSH pairs → connected components → anti join on
     the non-canonical id set (ids only — AQE broadcasts it while it
     fits, falls back to a shuffled anti join when a 100 TB corpus's
-    duplicate set doesn't)."""
+    duplicate set doesn't).
+
+    ``stats``: optional dict, forwarded to ``connected_components`` —
+    after execution it carries ``rounds`` (label-propagation rounds to
+    converge). bench.py records it so component-diameter growth on a
+    future corpus shows up in BENCH history before it shows up in
+    wall time (VERDICT r08 item 7). The driver calls
+    ``fn(spark, sf_dir)``; the default is behavior-identical."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", **_MINHASH)
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs, stats=stats)
     drop = clusters.filter(F.col("id") != F.col("component")).select("id")
     return d.join(drop, d["doc_id"] == drop["id"], "left_anti").select(
         "doc_id", "lang", "source"

@@ -34,13 +34,17 @@ def test_bench_emits_one_json_line_with_all_entries():
     d = json.loads(out)
     assert set(d) == {
         "metric", "value", "unit", "queries", "sf",
-        "host_canary_sec", "io_canary_sec",
+        "host_canary_sec", "io_canary_sec", "cc_rounds",
     }
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
     # host-speed canaries: pure-CPU (round 7) and disk-path (round 8),
     # carried in the record but excluded from the engine total
     assert d["host_canary_sec"] > 0
     assert d["io_canary_sec"] > 0
+    # scale observable (round 9): CC rounds-to-converge for the dedup
+    # flagship — populated during the timed run, ≥1 on any corpus
+    # with at least one duplicate pair (sf0.001 has them)
+    assert d["cc_rounds"] >= 1
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     # EXACT entry set — a renamed or dropped entry must fail here, not
     # silently vanish from the round's BENCH record (VERDICT r05 #6)
