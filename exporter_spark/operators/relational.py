@@ -31,6 +31,7 @@ def range_join(
     hi_col: str,
     bucket: int,
     how: str = "inner",
+    max_span_buckets: int | None = 10_000,
 ) -> DataFrame:
     """Interval join: fact rows matched to every interval with
     lo <= fact < hi (half-open), on integer-valued columns (e.g.
@@ -43,6 +44,19 @@ def range_join(
     predicate only runs on the equi-joined bucket pairs. Cost is
     O(facts + intervals × span/bucket + true matches) — pick bucket
     near the typical interval length.
+
+    ``max_span_buckets`` is that cost model ENFORCED, in the family
+    of the round-8 ``max_block``/``max_bucket`` guards (loud in-plan
+    failure instead of a silent blowup) but ZERO-COST: a scalar
+    per-row assert, no shuffle. A bucket width badly below the
+    interval span — the one catastrophic misconfiguration this
+    operator has — would explode every interval into span/bucket
+    rows (a day-long interval at a 1 ms bucket is 8.6e7 rows EACH)
+    before any join runs; the guard fails the first such interval
+    and names the fix. ``None`` disables for callers who have
+    measured their spans. Per-bucket DENSITY is deliberately not
+    guarded: it is output-bound (dense buckets mean real matches),
+    and guarding it would add a shuffle to every call.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -57,16 +71,31 @@ def range_join(
     # F.sequence with start > stop counts DOWN, so one corrupt row
     # (lo=1e9, hi=0) would otherwise materialize a million-element
     # bucket array instead of zero matches.
-    i = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
-        "__b__",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket).cast("long"),
-                # hi is exclusive: the last covered bucket holds hi-1
-                F.floor((F.col(hi_col) - 1) / bucket).cast("long"),
-            )
-        ),
-    )
+    i = intervals.filter(F.col(hi_col) > F.col(lo_col))
+    lo_b = F.floor(F.col(lo_col) / bucket).cast("long")
+    # hi is exclusive: the last covered bucket holds hi-1
+    hi_b = F.floor((F.col(hi_col) - 1) / bucket).cast("long")
+    if max_span_buckets is not None:
+        i = i.filter(
+            F.assert_true(
+                hi_b - lo_b < max_span_buckets,
+                F.concat(
+                    F.lit("range_join: interval ["),
+                    F.col(lo_col).cast("string"),
+                    F.lit(", "),
+                    F.col(hi_col).cast("string"),
+                    F.lit(") spans "),
+                    (hi_b - lo_b + 1).cast("string"),
+                    F.lit(
+                        f" buckets > max_span_buckets={max_span_buckets} —"
+                        f" the explode is span/bucket rows PER interval;"
+                        f" raise `bucket` toward the typical interval"
+                        f" length, or raise/disable max_span_buckets"
+                    ),
+                ),
+            ).isNull()
+        )
+    i = i.withColumn("__b__", F.explode(F.sequence(lo_b, hi_b)))
     joined = f.join(
         i,
         (f["__b__"] == i["__b__"])

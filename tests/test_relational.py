@@ -69,6 +69,36 @@ def test_range_join_rejects_unsupported_how_and_reversed_intervals(spark):
     assert len(rows) == 1 and rows[0]["lo"] == 0
 
 
+def test_range_join_span_guard_fires_and_disables(spark):
+    """The round-9 max_span_buckets guard: an interval whose
+    span/bucket exceeds the bound fails loudly IN-PLAN (naming the
+    `bucket` lever) instead of exploding span/bucket rows; None
+    restores the old unguarded behavior; a span exactly at the bound
+    passes."""
+    import pytest
+
+    facts = spark.createDataFrame([(5,)], "v long")
+    wide = spark.createDataFrame([(0, 1_000_000)], "lo long, hi long")
+    with pytest.raises(Exception, match="max_span_buckets"):
+        range_join(
+            facts, wide, fact_col="v", lo_col="lo", hi_col="hi",
+            bucket=5, max_span_buckets=100,
+        ).collect()
+    # disabled: the same interval joins fine (one fact, one match)
+    out = range_join(
+        facts, wide, fact_col="v", lo_col="lo", hi_col="hi",
+        bucket=5, max_span_buckets=None,
+    )
+    assert out.count() == 1
+    # at the bound: interval covering exactly max_span_buckets buckets
+    edge = spark.createDataFrame([(0, 500)], "lo long, hi long")
+    out = range_join(
+        facts, edge, fact_col="v", lo_col="lo", hi_col="hi",
+        bucket=5, max_span_buckets=100,
+    )
+    assert out.count() == 1
+
+
 def test_range_join_half_open_and_multi_match(spark):
     facts = spark.createDataFrame([(1, 100), (2, 250), (3, 999)], "fid long, v long")
     ivals = spark.createDataFrame(
