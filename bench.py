@@ -162,6 +162,9 @@ def main() -> None:
     # writes-and-reads a fixed ~100 MB parquet through the same temp
     # filesystem the export entries use, so every BENCH record now
     # carries a disk-path denominator too. Excluded from the total.
+    # Band + mechanical adjudication rule: BASELINE.md "Round 9 —
+    # io_canary band" (<=0.80 quiet disk, >=0.90 night-band, between:
+    # re-probe). Standalone readings: tools/canary_probe.py.
     def _io_probe():
         d = tempfile.mkdtemp(prefix="exporter_spark_iocanary_")
         try:
