@@ -14,7 +14,6 @@ import os
 import shutil
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -129,29 +128,23 @@ def main() -> None:
     def _n_cached() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
 
+    from exporter_spark.benchlib import cpu_canary, io_canary as _io_canary
+    from exporter_spark.benchlib import timed as _timed
+
     def timed(fn, n: int = REPEAT) -> float:
-        best = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 3)
+        return _timed(fn, n)
 
     # Host-speed canary (round 7): a fixed pure-CPU JVM aggregate whose
     # cost depends only on the machine, never on this engine's code —
     # rounds 4 and 6 each burned a cycle arguing host-vs-code over
     # uniform bench drift. Every BENCH_rN now carries its own
     # denominator: if the canary drifts by the same factor as the
-    # corpus total, the drift is the host. Fixed 32 partitions so the
-    # work is identical regardless of $SPARK_GRAFT_CPUS; excluded from
-    # "queries" and the corpus total (it measures the host, not the
-    # engine).
-    host_canary = timed(
-        lambda: spark.range(0, 400_000_000, 1, 32)
-        .select(F.sum(F.col("id") % 7))
-        .collect()
-    )
+    # corpus total, the drift is the host. Workload lives in
+    # exporter_spark/benchlib.py, SHARED with tools/canary_probe.py
+    # and the A/B harnesses so every reading stays comparable with
+    # BENCH history; excluded from "queries" and the corpus total
+    # (it measures the host, not the engine).
+    host_canary = cpu_canary(spark, REPEAT)
     print(f"[bench] host_canary: {host_canary}s", file=sys.stderr)
 
     # IO canary (round 8): the CPU canary missed a night window where
@@ -164,19 +157,9 @@ def main() -> None:
     # carries a disk-path denominator too. Excluded from the total.
     # Band + mechanical adjudication rule: BASELINE.md "Round 9 —
     # io_canary band" (<=0.80 quiet disk, >=0.90 night-band, between:
-    # re-probe). Standalone readings: tools/canary_probe.py.
-    def _io_probe():
-        d = tempfile.mkdtemp(prefix="exporter_spark_iocanary_")
-        try:
-            p = f"{d}/t"
-            spark.range(0, 12_500_000, 1, 32).withColumn(
-                "pad", F.col("id") % 997
-            ).write.mode("overwrite").parquet(p)
-            spark.read.parquet(p).select(F.sum("pad")).collect()
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
-
-    io_canary = timed(_io_probe)
+    # re-probe). Workload in benchlib (shared with the probes);
+    # standalone readings: tools/canary_probe.py.
+    io_canary = _io_canary(spark, REPEAT)
     print(f"[bench] io_canary: {io_canary}s", file=sys.stderr)
 
     # Scale observable (round 9): connected-components rounds-to-

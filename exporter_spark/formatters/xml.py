@@ -61,11 +61,9 @@ _XML_INVALID_REPL = "�" * len(_XML_INVALID)
 # An unconditional regexp_replace("[\\uD800-\\uDFFF]") here was
 # measured at +60% on the escape chain (~7% of export_xml at sf0.1)
 # for a class that cannot match — rejected. The Python fidelity twin
-# handles surrogates for free via jvm_str + the table below.
-_XML_INVALID_TABLE = str.maketrans(
-    dict.fromkeys(_XML_INVALID, "�")
-    | {c: "�" for c in range(0xD800, 0xE000)}
-)
+# handles surrogates via its jvm_str projection (base.py) — they are
+# gone before this table is consulted, so the table carries none.
+_XML_INVALID_TABLE = str.maketrans(dict.fromkeys(_XML_INVALID, "�"))
 
 
 def xml_escape_expr(col: Column) -> Column:

@@ -387,10 +387,19 @@ def test_ngram_jaccard_guard_shares_the_join_exchange(spark, sf_dir):
     # and the guard's Window sits directly on that exchange (no
     # intervening exchange between Window and its block-key shuffle)
     lines = plan.splitlines()
+    guard_windows = 0
     for i, ln in enumerate(lines):
         if "Window" in ln and "__bn__" in ln:
+            guard_windows += 1
             below = "\n".join(lines[i + 1 : i + 4])
             assert "hashpartitioning(__blk__" in below, (
                 "guard Window no longer fed by the block-key "
                 f"exchange:\n{below}"
             )
+    # the loop must actually have verified something — if the guard's
+    # Window vanishes or __bn__ is renamed, fail instead of silently
+    # passing an empty check (one Window per self-join side expected)
+    assert guard_windows >= 1, (
+        "no 'Window ... __bn__' line found — the max_block guard "
+        "Window is gone or renamed; update this sentinel with it"
+    )

@@ -30,7 +30,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 ENTRIES = [
     "q3_top_orders",
@@ -51,6 +50,7 @@ def child(policy: str) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
+    from exporter_spark.benchlib import cpu_canary, timed
     from exporter_spark.operators.partitioning import cache_scope
     from exporter_spark.queries import QUERIES
     from exporter_spark.session import get_spark
@@ -61,33 +61,16 @@ def child(policy: str) -> None:
     def _force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def timed(fn, n=3):
-        best = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 3)
-
     # warmup: JVM/codegen init + one scan
     spark.range(1_000_000).select(F.sum("id")).collect()
     load_table(spark, SF_DIR, "lineitem").limit(1000).count()
 
-    canary_pre = timed(
-        lambda: spark.range(0, 400_000_000, 1, 32)
-        .select(F.sum(F.col("id") % 7))
-        .collect()
-    )
+    canary_pre = cpu_canary(spark)
     timings = {}
     for name in ENTRIES:
         with cache_scope():
             timings[name] = timed(lambda: _force(QUERIES[name].fn(spark, SF_DIR)))
-    canary_post = timed(
-        lambda: spark.range(0, 400_000_000, 1, 32)
-        .select(F.sum(F.col("id") % 7))
-        .collect()
-    )
+    canary_post = cpu_canary(spark)
     print(
         json.dumps(
             {
