@@ -37,6 +37,13 @@ def range_join(
     lo <= fact < hi (half-open), on integer-valued columns (e.g.
     epoch micros via unix_micros).
 
+    NOTE: by default the job FAILS (in-plan, before the join) if any
+    interval spans more than ``max_span_buckets`` (10_000) buckets —
+    the signature of a bucket width far below the interval length.
+    Callers with legitimately wide intervals must raise the limit or
+    pass ``max_span_buckets=None``; see the cost-model paragraph
+    below for why the guard exists.
+
     Spark's native plan for a pure range predicate is a broadcast
     nested loop — O(facts × intervals). This implementation buckets
     both sides at ``bucket`` granularity: facts land in one bucket,

@@ -3471,19 +3471,21 @@ def dup_rate_by_source(spark, sf_dir):
 #   round 8: the flagship dedup/similarity/quality block rotated
 #            back in — 50/50 green in CORRECTNESS_r08 (48
 #            oracle-paired + 2 rows-only by design).
-#   round 9 (below): the relational/formatter half rotates back in —
-#            with 98 queries and a 50-slot window the complement of
-#            the r08 window (48 queries + q1/q3 canaries) IS the only
-#            window satisfying the two-round coverage invariant.
-#            Round 9's code touches must sit in this window or be
-#            plumbing exercised window-wide / behavior-preserving
-#            edits pinned by pytest+PARITY, and the round ends with a
-#            recorded full-registry replay at sf0.01
-#            (tools/replay_driver_window.py ... all), which verifies
-#            all 98 against the final round-9 code.  q1/q3 stay in
-#            every window as cross-round continuity canaries.
-# The dedup/similarity flagship block rides the back this round; it
-# remains
+#   round 9: the relational/formatter half rotated back in — 50/50
+#            green in CORRECTNESS_r09 (49 oracle-paired + 1
+#            rows-only by design).
+#   round 10 (below): the flagship dedup/similarity/quality block
+#            rotates back in — with 98 queries and a 50-slot window
+#            the complement of the r09 window (48 queries + q1/q3
+#            canaries) IS the only window satisfying the two-round
+#            coverage invariant.  Round 10's code touches must sit in
+#            this window or be plumbing exercised window-wide /
+#            behavior-preserving edits pinned by pytest+PARITY, and
+#            the round ends with a recorded full-registry replay at
+#            sf0.01 (tools/replay_driver_window.py ... all), which
+#            verifies all 98 against the final round-10 code.  q1/q3
+#            stay in every window as cross-round continuity canaries.
+# The relational/formatter half rides the back this round; it remains
 # covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
 # automated gate — test_queries_oracle.py parametrizes over the WHOLE
 # registry, not the window) and by the round-end full replay above.
@@ -3495,118 +3497,117 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # continuity canaries (every window)
     "q1_pricing_summary",
     "q3_top_orders",
-    # formatter / tostring fidelity block
-    "tostring_events",
-    "csv_lines_events",
-    "xml_rows_events",
-    "ndjson_lines_docs",
-    # TPC-H relational block
-    "q2_min_cost_supplier",
-    "q4_priority_returns",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supply_gaps",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_low_activity",
-    # relational surface beyond TPC-H (windows, rollup/cube, set ops,
-    # sessionization, statistical aggregates)
-    "top_customers_per_nation",
-    "distinct_counts",
-    "mktsegment_stats",
-    "customers_without_orders",
-    "events_hourly",
-    "events_sessions",
-    "rollup_pricing",
-    "order_status_setops",
-    "part_brand_stats",
-    "purchase_attribution",
-    "cube_order_stats",
-    "running_customer_revenue",
-    "purchases_near_errors",
-    "lineitem_dispersion",
-    "approx_distinct_events",
-    # text/token analytics (oracle-gated; exercises spread()/
-    # materialize() plumbing shared with the sampling family)
-    "token_stats_by_lang",
-    "bpe_token_stats_by_lang",
-    "lang_id_confusion",
-    "quality_by_source",
-    "curation_pipeline",
-    "doc_fingerprints",
-    "docs_sample_deterministic",
-    "int8_ann_topk",
-    "unigram_lm_scores",
+    # document dedup family
+    "dedup_exact_docs",
+    "minhash_near_dup_pairs",
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dup_rate_by_source",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup_docs",
+    "dedup_tokens_within_docs",
+    "exact_substring_spans",
+    "exact_substring_strip",
+    "ngram_contamination_check",
+    # similarity / embedding family
+    "cosine_topk",
+    "cosine_topk_scan",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_banded",
+    "ivf_fixed_topk",
+    "ivf_ann_topk",
+    "semdedup_survivors",
+    "semdedup_survivors_greedy",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    # text quality / LM family
+    "gopher_quality_signals",
+    "gopher_filter_stats",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "winnow_fingerprints",
+    "boilerplate_spans",
+    "pii_redaction_check",
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "top_tokens",
+    "dsir_importance_weights",
+    # sampling / mixture family (materialize-backed)
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "docs_capped_per_source",
+    "docs_rebalanced_mixture",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    "lang_token_budget",
+    # multimodal + events analytics
+    "multimodal_feature_stats",
+    "value_percentiles",
+    "conversion_funnel",
+    "retention_cohorts",
 )
 
 # The previous round's window, kept for the rotation invariant: a
 # query may leave the driver's 50-slot window only if it was verified
-# there last round (CORRECTNESS_r08: 50/50 green — 48 oracle-paired
-# plus ivf_ann_topk / semdedup_survivors_greedy, rows-only by design).
-_R08_WINDOW: frozenset[str] = frozenset(
+# there last round (CORRECTNESS_r09: 50/50 green — 49 oracle-paired
+# plus approx_distinct_events, rows-only by design since round 2).
+_R09_WINDOW: frozenset[str] = frozenset(
     {
         "q1_pricing_summary",
         "q3_top_orders",
-        "dedup_exact_docs",
-        "minhash_near_dup_pairs",
-        "minhash_dedup_survivors",
-        "dedup_clusters",
-        "dedup_cluster_sizes",
-        "dup_rate_by_source",
-        "simhash_near_dup_pairs",
-        "ngram_jaccard_pairs",
-        "paragraph_dedup_docs",
-        "dedup_tokens_within_docs",
-        "exact_substring_spans",
-        "exact_substring_strip",
-        "ngram_contamination_check",
-        "cosine_topk",
-        "cosine_topk_scan",
-        "lsh_ann_topk",
-        "embedding_near_dup",
-        "embedding_near_dup_banded",
-        "ivf_fixed_topk",
-        "ivf_ann_topk",
-        "semdedup_survivors",
-        "semdedup_survivors_greedy",
-        "embedding_quantize_stats",
-        "embedding_random_projection",
-        "gopher_quality_signals",
-        "gopher_filter_stats",
-        "lm_quality_buckets",
-        "bigram_lm_scores",
-        "winnow_fingerprints",
-        "boilerplate_spans",
-        "pii_redaction_check",
-        "bm25_topk_docs",
-        "tfidf_top_terms",
-        "top_tokens",
-        "dsir_importance_weights",
-        "docs_stratified_sample",
-        "docs_train_test_split",
-        "docs_capped_per_source",
-        "docs_rebalanced_mixture",
-        "temperature_mixture_docs",
-        "training_shuffle_docs",
-        "pack_chunks_docs",
-        "pretraining_mix_stats",
-        "lang_token_budget",
-        "multimodal_feature_stats",
-        "value_percentiles",
-        "conversion_funnel",
-        "retention_cohorts",
+        "tostring_events",
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "q2_min_cost_supplier",
+        "q4_priority_returns",
+        "q5_region_revenue",
+        "q6_revenue_change",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_order_count_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_brand_supply_gaps",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        "q19_discounted_revenue",
+        "q20_promo_suppliers",
+        "q21_waiting_suppliers",
+        "q22_wealthy_low_activity",
+        "top_customers_per_nation",
+        "distinct_counts",
+        "mktsegment_stats",
+        "customers_without_orders",
+        "events_hourly",
+        "events_sessions",
+        "rollup_pricing",
+        "order_status_setops",
+        "part_brand_stats",
+        "purchase_attribution",
+        "cube_order_stats",
+        "running_customer_revenue",
+        "purchases_near_errors",
+        "lineitem_dispersion",
+        "approx_distinct_events",
+        "token_stats_by_lang",
+        "bpe_token_stats_by_lang",
+        "lang_id_confusion",
+        "quality_by_source",
+        "curation_pipeline",
+        "doc_fingerprints",
+        "docs_sample_deterministic",
+        "int8_ann_topk",
+        "unigram_lm_scores",
     }
 )
 

@@ -16,7 +16,7 @@ pre-change version it already verified.
 
 from __future__ import annotations
 
-from exporter_spark.queries import _R08_WINDOW, DRIVER_WINDOW, QUERIES
+from exporter_spark.queries import _R09_WINDOW, DRIVER_WINDOW, QUERIES
 
 
 def test_window_is_the_first_50_entries():
@@ -30,7 +30,7 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered."""
-    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R08_WINDOW
+    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R09_WINDOW
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
@@ -50,27 +50,28 @@ def test_window_keeps_canaries():
     assert {"q1_pricing_summary", "q3_top_orders"} <= first_50
 
 
-def test_round9_window_is_the_forced_complement():
+def test_round10_window_is_the_forced_complement():
     # With 98 registered queries and a 50-slot window, the only window
-    # satisfying two-round coverage after r08's dedup/similarity
-    # flagship block is its complement (the relational/formatter half)
-    # plus the q1/q3 canaries.  Any round-9 code touch must either sit
-    # in this window, be plumbing exercised window-wide, or be a
-    # behavior-preserving edit pinned by pytest+PARITY; the recorded
-    # round-end full-registry replay at sf0.01 verifies all 98 against
-    # final round-9 code (see the DRIVER_WINDOW comment in queries.py).
+    # satisfying two-round coverage after r09's relational/formatter
+    # half is its complement (the dedup/similarity/quality flagship
+    # block) plus the q1/q3 canaries.  Any round-10 code touch must
+    # either sit in this window, be plumbing exercised window-wide, or
+    # be a behavior-preserving edit pinned by pytest+PARITY; the
+    # recorded round-end full-registry replay at sf0.01 verifies all
+    # 98 against final round-10 code (see the DRIVER_WINDOW comment in
+    # queries.py).
     first_50 = set(list(QUERIES)[:50])
-    assert first_50 == (set(QUERIES) - _R08_WINDOW) | {
+    assert first_50 == (set(QUERIES) - _R09_WINDOW) | {
         "q1_pricing_summary", "q3_top_orders"
     }
-    # spot-check the relational/formatter families rotated back in
+    # spot-check the dedup/similarity families rotated back in
     assert {
-        "tostring_events",
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "q5_region_revenue",
-        "top_customers_per_nation",
+        "dedup_exact_docs",
+        "minhash_near_dup_pairs",
+        "minhash_dedup_survivors",
+        "cosine_topk",
+        "semdedup_survivors",
+        "pretraining_mix_stats",
     } <= first_50
 
 

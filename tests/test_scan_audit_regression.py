@@ -74,16 +74,19 @@ def test_snapshot_covers_the_sentinels():
 def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
     recorded = _recorded_counts()[name]
     df = QUERIES[name].fn(spark, sf_dir)
-    # NOTE (ADVICE r08): the noop write runs its own QueryExecution,
-    # so executedPlan() below is this DataFrame's PRE-execution
-    # adaptive plan (isFinalPlan=false) — FileScan counts are
-    # planning-time, before AQE stage replacement.  That is exactly
-    # how tools/scan_audit.py generated the committed snapshot, so
-    # the comparison is apples-to-apples; switching both sides to a
-    # final plan (collect() through the same DataFrame) would
-    # invalidate every committed snapshot and gate on AQE's
-    # SF-dependent runtime choices instead of the plan shape.
-    df.write.format("noop").mode("overwrite").save()
+    # NOTE (ADVICE r08/r09): executedPlan() below is this DataFrame's
+    # PRE-execution adaptive plan (isFinalPlan=false) — FileScan
+    # counts are planning-time, before AQE stage replacement.  That
+    # is exactly how tools/scan_audit.py generated the committed
+    # snapshot, so the comparison is apples-to-apples; switching both
+    # sides to a final plan (collect() through the same DataFrame)
+    # would invalidate every committed snapshot and gate on AQE's
+    # SF-dependent runtime choices instead of the plan shape.  The
+    # tool's noop write is NOT mirrored here: executing the sentinel
+    # contributes nothing to the pre-execution plan being compared,
+    # and run-to-completion coverage of every registry query already
+    # lives in test_queries_oracle.py — repeating it per sentinel
+    # only added wall time (ADVICE r09).
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     got = {
         "FileScan": plan.count("FileScan"),

@@ -42,6 +42,12 @@ def main() -> None:
             continue
         try:
             df = q.fn(spark, sf_dir)
+            # The noop write is retained purely as an executability
+            # check (a plan that cannot run should show up as ERR, not
+            # as a clean count row); it does NOT change the plan read
+            # below, which is the PRE-execution adaptive plan — the
+            # regression test reads the same pre-execution plan and
+            # deliberately skips the execution (ADVICE r09).
             df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().executedPlan().toString()
             print(
