@@ -40,6 +40,34 @@ def cpu_canary(spark, n: int = 3) -> float:
     )
 
 
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over every
+    stage this application has run, from the JVM AppStatusStore —
+    deltas taken around a SERIALLY-executed job give that job's real
+    shuffle traffic (round 10: the runtime complement of the
+    scan-audit plan pins; see tools/shuffle_audit_r10.py). Concurrent
+    jobs in the same session would fold into the delta — callers must
+    not submit anything else between the two readings."""
+    store = spark.sparkContext._jsc.sc().statusStore()  # noqa: SLF001
+    jvm = spark._jvm  # noqa: SLF001
+    # Spark 4's AppStatusStore.stageList takes (statuses, details,
+    # withSummaries, quantiles, taskStatus); empty statuses = all.
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        getattr(store, "stageList$default$4")(),
+        jvm.java.util.ArrayList(),
+    )
+    w = r = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        w += s.shuffleWriteBytes()
+        r += s.shuffleReadBytes()
+    return w, r
+
+
 def io_canary(spark, n: int = 3) -> float:
     """Fixed ~100 MB parquet write+read through the same temp
     filesystem the export entries use (round 8): the disk-path
