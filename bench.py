@@ -250,11 +250,19 @@ def main() -> None:
                 # the canary comments above): CPU and disk-path
                 "host_canary_sec": host_canary,
                 "io_canary_sec": io_canary,
-                # scale observable: CC label-propagation rounds for
-                # the dedup flagship (constant ~3 on this corpus at
-                # 1-100x — SCALE.md; growth here flags a deeper
-                # duplicate-graph diameter before wall time moves)
+                # scale observables: CC strategy + rounds for the
+                # dedup flagship. Since round 10 the mode is
+                # runtime-size-gated — "driver" (union-find on a
+                # small collected edge set, rounds 0) below 200k
+                # edges, "distributed" above; on the sf0.1 corpus the
+                # edge set is ~512 rows so records read
+                # driver/0 from r10 on (r09 and earlier recorded the
+                # distributed loop's rounds, constant 2). A future
+                # flip to distributed/N here means the duplicate
+                # graph outgrew the gate — look before wall time
+                # moves.
                 "cc_rounds": cc_stats.get("rounds"),
+                "cc_mode": cc_stats.get("mode"),
             }
         )
     )

@@ -516,6 +516,58 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- dedup clustering
 
+def _driver_union_find(edges: DataFrame) -> DataFrame | None:
+    """Exact min-label components for a SMALL materialized edge set:
+    Arrow-collect the (src, dst) rows, union-find with min-root
+    merging and path compression, return a local-relation labels
+    frame with the input's id dtype. Returns None when any id is NULL
+    — null never joins in the distributed path, and null ordering is
+    not worth replicating here, so the caller falls back.
+
+    The caller gates on edge count (connected_components'
+    ``small_edge_limit``); this function assumes the collect is safe.
+    Downstream consumers typically join labels against the corpus —
+    Catalyst sees an exactly-sized local relation and broadcasts it.
+    """
+    pdf = edges.toPandas()
+    if pdf["src"].isna().any() or pdf["dst"].isna().any():
+        return None
+    srcs = pdf["src"].tolist()  # numpy → native (exact for int64/str)
+    dsts = pdf["dst"].tolist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, t in zip(srcs, dsts):
+        rs, rt = find(s), find(t)
+        if rs == rt:
+            continue
+        # min-root merging keeps the distributed semantics exactly:
+        # component = smallest reachable id
+        lo, hi = (rs, rt) if rs < rt else (rt, rs)
+        parent[hi] = lo
+
+    # edges are bidirectional (src holds every endpoint), so the node
+    # set is exactly the distinct srcs
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    rows = [(i, find(i)) for i in set(srcs)]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -524,9 +576,35 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
+    small_edge_limit: int | None = 200_000,
 ) -> DataFrame:
     """Cluster duplicate PAIRS into components: (id, component) where
     component = min id reachable through the pair graph.
+
+    Mode selection is RUNTIME-SIZE-GATED (round 10): the edge set is
+    materialized once (that execution was always paid — the loop
+    needs it pinned), and its EXACT count picks the strategy:
+
+    * ``<= small_edge_limit`` bidirectional edge rows (default 200k,
+      ~3 MB through Arrow): collect to the driver and run union-find
+      — value-identical labels (component = min reachable id; string
+      ids compare the same code-point order as Spark's binary UTF8
+      comparison) with ZERO distributed rounds. The duplicate-pair
+      edge list is orders smaller than the corpus, so at sf0.1 this
+      path replaces ~1.2s of tiny-stage scheduling latency (6+ jobs
+      over a 512-row frame) with a ~10 ms local pass — and on a real
+      cluster it removes 2·rounds barrier stages for small dup
+      graphs. Same rationale as the broadcast policy: decide on
+      runtime-exact sizes, never estimates.
+    * above the limit (or ``small_edge_limit=None``, or any NULL id
+      in the edge set): the distributed pointer-jumping loop below —
+      the 100 TB path, state bounded by the label table, O(log
+      diameter) rounds.
+
+    ``stats`` receives ``mode`` ("driver" | "distributed"),
+    ``n_edges`` (bidirectional rows), and ``rounds`` (0 in driver
+    mode — no distributed rounds ran; the convergence observable
+    applies to the distributed loop only).
 
     Iterative min-label propagation WITH pointer jumping: each round
     every node adopts the smallest label among itself, its neighbors,
@@ -587,6 +665,19 @@ def connected_components(
         # the candidate generation O(iterations) times (measured 16.4s
         # → 5.8s on the sf0.1 survivors bench)
     )
+    n_edges = edges.count()  # cheap: reads the pinned blocks
+    if stats is not None:
+        stats["n_edges"] = n_edges
+    if small_edge_limit is not None and n_edges <= small_edge_limit:
+        result = _driver_union_find(edges)
+        if result is not None:  # None: NULL ids — needs the join path
+            if stats is not None:
+                stats["mode"] = "driver"
+                stats["rounds"] = 0
+            _release(edges)
+            return result
+    if stats is not None:
+        stats["mode"] = "distributed"
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -135,12 +135,14 @@ def test_minhash_pipeline(dup_docs):
 def test_connected_components_long_chain(spark):
     """A 30-link drift chain (diameter 29) must fully converge inside
     the default max_iter=20 — pointer jumping makes rounds O(log d);
-    plain min-label propagation would silently truncate here."""
+    plain min-label propagation would silently truncate here.
+    small_edge_limit=None forces the DISTRIBUTED loop (this test pins
+    the pointer-jumping convergence, not the driver fast path)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 30)], "a_id long, b_id long"
     )
     stats: dict = {}
-    comp = dedup.connected_components(pairs, stats=stats)
+    comp = dedup.connected_components(pairs, stats=stats, small_edge_limit=None)
     rows = comp.collect()
     assert len(rows) == 30
     assert all(r["component"] == 1 for r in rows)
@@ -148,6 +150,50 @@ def test_connected_components_long_chain(spark):
     # jumped rounds, nowhere near max_iter, and definitely not the
     # plain-propagation 29
     assert 3 <= stats["rounds"] <= 10, stats
+    assert stats["mode"] == "distributed"
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The runtime-size-gated driver union-find (round 10) must be
+    label-identical to the distributed loop on the same graph —
+    chains, a clique, a singleton pair, and out-of-order ids."""
+    raw = (
+        [(i, i + 1) for i in range(1, 30)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(7, 3)]
+        + [(500, 400)]
+    )
+    pairs = spark.createDataFrame(raw, "a_id long, b_id long")
+    stats_d: dict = {}
+    fast = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs, stats=stats_d).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            pairs, small_edge_limit=None
+        ).collect()
+    }
+    assert fast == slow
+    assert stats_d["mode"] == "driver" and stats_d["rounds"] == 0
+    assert stats_d["n_edges"] == 2 * len(set(raw))
+
+
+def test_connected_components_null_ids_fall_back(spark):
+    """A NULL id must not crash the driver path — it falls back to
+    the distributed loop, where null never joins (matching the
+    long-standing semantics)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3)], "a_id long, b_id long"
+    )
+    stats: dict = {}
+    rows = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
+    assert stats["mode"] == "distributed"
+    assert (1, 1) in rows and (2, 1) in rows
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
@@ -162,11 +208,15 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "cc_ckpt")
     default = {
         (r["id"], r["component"])
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(
+            pairs, small_edge_limit=None
+        ).collect()
     }
     reliable = {
         (r["id"], r["component"])
-        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=ckpt, small_edge_limit=None
+        ).collect()
     }
     assert reliable == default
     import pathlib
@@ -183,7 +233,9 @@ def test_connected_components_raises_on_truncation(spark):
         [(i, i + 1) for i in range(1, 200)], "a_id long, b_id long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        # small_edge_limit=None: the truncation contract belongs to
+        # the distributed loop (driver union-find cannot truncate)
+        dedup.connected_components(pairs, max_iter=2, small_edge_limit=None)
 
 
 def test_ngram_jaccard_pairs(dup_docs, spark):

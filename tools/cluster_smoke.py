@@ -91,7 +91,12 @@ def smoke_reliable_checkpoint(spark, ckpt_dir: str) -> bool:
         "a_id long, b_id long",
     )
     with cache_scope(blocking=True):
-        labels = dedup.connected_components(pairs, checkpoint_dir=ckpt_dir)
+        # small_edge_limit=None: this smoke exists to exercise the
+        # DISTRIBUTED loop's reliable cross-process checkpoint IO —
+        # the r10 driver fast path would short-circuit it
+        labels = dedup.connected_components(
+            pairs, checkpoint_dir=ckpt_dir, small_edge_limit=None
+        )
         n_nodes = labels.count()
         n_comp = labels.select("component").distinct().count()
     ok = n_nodes == 2000 and n_comp == 999
