@@ -3135,14 +3135,24 @@ def pretraining_mix_stats(spark, sf_dir):
     minimum-length quality gate → alpha-temperature source
     rebalancing → per-(source, lang) document and token budgets. What
     a data-recipe owner actually reads before a training run."""
+    from exporter_spark.operators.partitioning import materialize
+
     d = load_table(spark, sf_dir, "documents")
     clean = dedup.strip_duplicate_spans(d, k=10, min_count=2)
-    quality = (
+    # materialize the post-quality-gate frame BEFORE the mixture
+    # stage: temperature_mixture consumes its input twice (per-source
+    # counts, then the threshold filter join), and without a persist
+    # each consumer re-executes the whole ExactSubstr strip pipeline —
+    # the r10 scan audit read 18 FileScans for this query. Only the
+    # four narrow columns the rest of the plan needs are kept, so the
+    # cached footprint is ids+counts, never the cleaned text.
+    quality = materialize(
         clean.withColumn(
             "n_clean_tokens", F.size(F.split(F.col("clean_text"), " ")).cast("long")
         )
         .filter(F.col("n_clean_tokens") >= 20)
         .join(d.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "n_clean_tokens", "source", "lang")
     )
     kept = sampling.temperature_mixture(
         quality, "source", alpha=0.5, salt="mixv1"
