@@ -391,6 +391,19 @@ def minhash_dedup_pairs(
     )
     w_first = Window.partitionBy("__tk__").orderBy(F.col(id_col).asc())
     tagged = tagged.withColumn("__rn__", F.row_number().over(w_first))
+    # tagged is consumed by FOUR plan branches (members, reps → the
+    # whole LSH+verify pipeline, rep_tk, and the intra self-join's two
+    # sides); Spark shares nothing across branches (SCALE.md
+    # cross-branch audit), so un-persisted each branch re-runs
+    # scan + md5 + the __tk__ shuffle + window — measured 4.41s vs
+    # 3.02s at sf0.1 (interleaved min-of-3). The persist is
+    # corpus-sized (id, text, tk, shok) but MEMORY_AND_DISK: at
+    # 100 TB it spill-writes the corpus once to executor disks
+    # instead of re-reading it ~4x from the object store, keeps
+    # lineage for executor-loss recompute, and evicts gracefully.
+    from exporter_spark.operators.partitioning import materialize
+
+    tagged = materialize(tagged)
     members = tagged.select(
         F.col(id_col).alias("__mid__"), "__tk__", "__shok__"
     )

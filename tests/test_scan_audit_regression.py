@@ -13,10 +13,14 @@ plan's FileScan count does not EXCEED the committed snapshot — fewer
 scans is an improvement, more is the regression this exists to catch.
 
 InMemoryTableScan / ReusedExchange counts are reported but not gated:
-they vary with AQE's runtime broadcast-threshold decisions at tiny SFs
-(the documented pretraining_mix_stats FileScan=18/InMem=6 artifact),
-whereas a FileScan-count increase always means a real extra pass over
-the corpus.
+they vary with AQE's runtime broadcast-threshold decisions at tiny SFs,
+whereas an EXECUTED-FileScan-count increase always means a real extra
+pass over the corpus. "Executed" (round 10): FileScan nodes outside
+any InMemoryRelation subtree — a cached plan prints its child subtree
+under every consumer, so the raw text count rises exactly when a
+materialize() REMOVES corpus passes (the r10 tagged-frame persist
+doubled the raw count while cutting wall time 32%); the shared parser
+in tools/scan_audit.py skips those reprints on both sides of the gate.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ _AUDIT = (
     pathlib.Path(__file__).parent.parent
     / "tools"
     / "audits"
-    / "r07_scan_audit_sf0.001.txt"
+    / "r10_scan_audit_sf0.001.txt"
 )
 
 # The sentinels: the minhash pair pipeline (double-eval trap lives
@@ -49,17 +53,23 @@ SENTINELS = (
 
 
 def _recorded_counts() -> dict[str, dict[str, int]]:
+    # round-10 snapshot format: FileScan is the EXECUTED count (scans
+    # outside any InMemoryRelation subtree — tools/scan_audit.py's
+    # executed_file_scans), RawFileScan the old text count kept for
+    # cross-round diffs against the r07-r09 snapshots
     out: dict[str, dict[str, int]] = {}
     pat = re.compile(
-        r"^(\w+): FileScan=(\d+) InMem=(\d+) Reused=(\d+)\s*$"
+        r"^(\w+): FileScan=(\d+) RawFileScan=(\d+)"
+        r" InMem=(\d+) Reused=(\d+)\s*$"
     )
     for line in _AUDIT.read_text().splitlines():
         m = pat.match(line)
         if m:
             out[m.group(1)] = {
                 "FileScan": int(m.group(2)),
-                "InMem": int(m.group(3)),
-                "Reused": int(m.group(4)),
+                "RawFileScan": int(m.group(3)),
+                "InMem": int(m.group(4)),
+                "Reused": int(m.group(5)),
             }
     return out
 
@@ -88,8 +98,13 @@ def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
     # lives in test_queries_oracle.py — repeating it per sentinel
     # only added wall time (ADVICE r09).
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    import sys
+
+    sys.path.insert(0, str(_AUDIT.parent.parent))
+    from scan_audit import executed_file_scans
+
     got = {
-        "FileScan": plan.count("FileScan"),
+        "FileScan": executed_file_scans(plan),
         "InMem": plan.count("InMemoryTableScan"),
         "Reused": plan.count("ReusedExchange"),
     }
