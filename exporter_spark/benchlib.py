@@ -47,8 +47,20 @@ def shuffle_totals(spark) -> tuple[int, int]:
     shuffle traffic (round 10: the runtime complement of the
     scan-audit plan pins; see tools/shuffle_audit_r10.py). Concurrent
     jobs in the same session would fold into the delta — callers must
-    not submit anything else between the two readings."""
-    store = spark.sparkContext._jsc.sc().statusStore()  # noqa: SLF001
+    not submit anything else between the two readings.
+
+    The store is fed ASYNCHRONOUSLY by the listener bus, so a
+    previous job's stage metrics can post during a caller's
+    before/after window (seen as a one-off nonzero delta on a
+    zero-shuffle entry in the full pytest session, where hundreds of
+    jobs precede the reading). The bus is drained first so both
+    readings see a settled store."""
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    try:
+        jsc.listenerBus().waitUntilEmpty()
+    except Exception:  # noqa: BLE001 — drain is best-effort hygiene
+        pass
+    store = jsc.statusStore()
     jvm = spark._jvm  # noqa: SLF001
     # Spark 4's AppStatusStore.stageList takes (statuses, details,
     # withSummaries, quantiles, taskStatus); empty statuses = all.
