@@ -263,6 +263,10 @@ def main() -> None:
                 # moves.
                 "cc_rounds": cc_stats.get("rounds"),
                 "cc_mode": cc_stats.get("mode"),
+                # bidirectional edge rows behind the mode decision:
+                # growth here presages the driver→distributed flip
+                # (gate: 200k) before either mode or wall time moves
+                "cc_n_edges": cc_stats.get("n_edges"),
             }
         )
     )

@@ -35,6 +35,7 @@ def test_bench_emits_one_json_line_with_all_entries():
     assert set(d) == {
         "metric", "value", "unit", "queries", "sf",
         "host_canary_sec", "io_canary_sec", "cc_rounds", "cc_mode",
+        "cc_n_edges",
     }
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
     # host-speed canaries: pure-CPU (round 7) and disk-path (round 8),
@@ -48,6 +49,8 @@ def test_bench_emits_one_json_line_with_all_entries():
     assert (d["cc_mode"], d["cc_rounds"] == 0) == ("driver", True) or (
         d["cc_mode"] == "distributed" and d["cc_rounds"] >= 1
     )
+    # the edge count behind the mode gate (sf0.001 has dup pairs)
+    assert d["cc_n_edges"] >= 2
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     # EXACT entry set — a renamed or dropped entry must fail here, not
     # silently vanish from the round's BENCH record (VERDICT r05 #6)

@@ -104,7 +104,29 @@ def smoke_reliable_checkpoint(spark, ckpt_dir: str) -> bool:
         f"SMOKE reliable-checkpoint-cc: nodes={n_nodes} (want 2000)"
         f" components={n_comp} (want 999) -> {'OK' if ok else 'FAIL'}"
     )
-    return ok
+
+    # r10 driver union-find path: the Arrow edge collect crosses REAL
+    # process boundaries here (executor JVMs -> driver), and its
+    # labels must match the distributed loop's exactly
+    stats: dict = {}
+    with cache_scope(blocking=True):
+        fast = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs, stats=stats).collect()
+        }
+        slow = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(
+                pairs, small_edge_limit=None
+            ).collect()
+        }
+    ok2 = fast == slow and stats.get("mode") == "driver"
+    print(
+        f"SMOKE driver-unionfind-cc: mode={stats.get('mode')}"
+        f" n_edges={stats.get('n_edges')} labels_match={fast == slow}"
+        f" -> {'OK' if ok2 else 'FAIL'}"
+    )
+    return ok and ok2
 
 
 def smoke_fsio_sinks(spark, sf_dir: str, out_root: str) -> bool:
