@@ -60,8 +60,10 @@ SNAPSHOT = (
 
 
 def _run_and_measure(spark, name, sf_dir):
-    df = QUERIES[name].fn(spark, sf_dir)
+    # w0 BEFORE fn(): operators with eager internal jobs (CC's edge
+    # materialization) shuffle during plan construction, not the write
     w0, r0 = shuffle_totals(spark)
+    df = QUERIES[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     w1, r1 = shuffle_totals(spark)
     return w1 - w0, r1 - r0

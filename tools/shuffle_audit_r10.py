@@ -33,6 +33,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from exporter_spark.benchlib import shuffle_totals  # noqa: E402
+from exporter_spark.operators.partitioning import cache_scope  # noqa: E402
 from exporter_spark.queries import QUERIES  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
 
@@ -46,10 +47,20 @@ def main() -> None:
         if wanted and not any(w in name for w in wanted):
             continue
         try:
-            df = q.fn(spark, sf_dir)
-            w0, r0 = shuffle_totals(spark)
-            df.write.format("noop").mode("overwrite").save()
-            w1, r1 = shuffle_totals(spark)
+            # cache_scope isolates each query's materialize() caches:
+            # without it a later query rides an earlier query's
+            # persisted frames and its recorded bytes stop being the
+            # standalone number (seen on minhash_dedup_survivors,
+            # which inherited the pairs entry's tagged-frame cache)
+            with cache_scope():
+                # w0 BEFORE q.fn: operators with eager internal jobs
+                # (connected_components materializes its edge set at
+                # plan-construction time) do real shuffle work inside
+                # the builder, not the noop write
+                w0, r0 = shuffle_totals(spark)
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                w1, r1 = shuffle_totals(spark)
             out[name] = {"write": w1 - w0, "read": r1 - r0}
             print(
                 f"{name}: write={w1 - w0} read={r1 - r0}", file=sys.stderr
