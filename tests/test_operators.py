@@ -180,6 +180,33 @@ def test_connected_components_driver_path_matches_distributed(spark):
     assert stats_d["n_edges"] == 2 * len(set(raw))
 
 
+def test_connected_components_modes_agree_on_random_graphs(spark):
+    """Randomized mode-equivalence: seeded Erdős–Rényi-ish edge lists
+    (mixed components, self-loops, duplicate edges, reversed pairs)
+    must label identically through the driver union-find and the
+    distributed loop. Fixed seeds keep the suite deterministic."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+        ]
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        fast = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        slow = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(
+                pairs, small_edge_limit=None
+            ).collect()
+        }
+        assert fast == slow, f"seed {seed}: driver/distributed disagree"
+
+
 def test_connected_components_null_ids_fall_back(spark):
     """A NULL id must not crash the driver path — it falls back to
     the distributed loop, where null never joins (matching the
