@@ -237,6 +237,9 @@ def main() -> None:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
+    from exporter_spark.benchlib import spill_totals
+
+    mem_spilled, disk_spilled = spill_totals(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -267,6 +270,12 @@ def main() -> None:
                 # growth here presages the driver→distributed flip
                 # (gate: 200k) before either mode or wall time moves
                 "cc_n_edges": cc_stats.get("n_edges"),
+                # spill tripwire (round 10): app-total bytes spilled
+                # to disk across the whole bench — the corpus is
+                # sized to run spill-free at sf0.1, so any nonzero
+                # reading means a partition outgrew its task memory
+                # share (check partitioning before blaming the host)
+                "spilled_disk_bytes": disk_spilled,
             }
         )
     )

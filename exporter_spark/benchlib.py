@@ -80,6 +80,39 @@ def shuffle_totals(spark) -> tuple[int, int]:
     return w, r
 
 
+def spill_totals(spark) -> tuple[int, int]:
+    """(memory_bytes_spilled, disk_bytes_spilled) summed over every
+    stage this application has run — same AppStatusStore/deltas
+    contract as ``shuffle_totals`` (round 10). A nonzero DISK figure
+    means some task's working set outgrew its execution-memory share
+    and paid a serialize-to-disk round-trip: at sf0.1 the whole
+    corpus should run spill-free, so bench.py carries the app total
+    as a tripwire; the sweeps use deltas for attribution when a
+    scale point bends (the winnow 100x GC bend would have shown here
+    first had it spilled instead of stalling in GC)."""
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    try:
+        jsc.listenerBus().waitUntilEmpty()
+    except Exception:  # noqa: BLE001 — drain is best-effort hygiene
+        pass
+    store = jsc.statusStore()
+    jvm = spark._jvm  # noqa: SLF001
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        getattr(store, "stageList$default$4")(),
+        jvm.java.util.ArrayList(),
+    )
+    mem = disk = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        mem += s.memoryBytesSpilled()
+        disk += s.diskBytesSpilled()
+    return mem, disk
+
+
 def io_canary(spark, n: int = 3) -> float:
     """Fixed ~100 MB parquet write+read through the same temp
     filesystem the export entries use (round 8): the disk-path

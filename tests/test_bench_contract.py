@@ -35,7 +35,7 @@ def test_bench_emits_one_json_line_with_all_entries():
     assert set(d) == {
         "metric", "value", "unit", "queries", "sf",
         "host_canary_sec", "io_canary_sec", "cc_rounds", "cc_mode",
-        "cc_n_edges",
+        "cc_n_edges", "spilled_disk_bytes",
     }
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
     # host-speed canaries: pure-CPU (round 7) and disk-path (round 8),
@@ -51,6 +51,9 @@ def test_bench_emits_one_json_line_with_all_entries():
     )
     # the edge count behind the mode gate (sf0.001 has dup pairs)
     assert d["cc_n_edges"] >= 2
+    # spill tripwire (round 10): the corpus runs spill-free at test
+    # scale — a nonzero reading is a partitioning regression
+    assert d["spilled_disk_bytes"] == 0, d["spilled_disk_bytes"]
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     # EXACT entry set — a renamed or dropped entry must fail here, not
     # silently vanish from the round's BENCH record (VERDICT r05 #6)
