@@ -30,7 +30,13 @@ def get_spark(
         )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets the verification tools re-run an
+    # unmodified workload on a different topology — in-sandbox that
+    # means local-cluster[n,c,m] (real Master/Worker, separate
+    # executor JVMs), the closest available stand-in for a cluster.
+    # An explicit `master=` argument still wins: callers that NAME a
+    # topology (cluster_smoke) mean it.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
