@@ -58,6 +58,15 @@ def hash_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
     separator, and the n/v tag keeps NULL distinct from the empty
     string in EVERY position — concat_ws skips NULLs entirely, so
     ("a", NULL) and (NULL, "a") would otherwise share a digest."""
+    out = df.withColumn("__digest__", content_digest(cols))
+    return exact_dedup(out, ["__digest__"], order_col).drop("__digest__")
+
+
+def content_digest(cols: list[str]) -> Column:
+    """The sha256 column expression behind :func:`hash_dedup`, exposed
+    so the incremental path (operators/incremental.py) keys its
+    persisted digest store on the SAME encoding — a store written by
+    one and probed by the other must agree byte-for-byte."""
     parts = []
     for c in cols:
         v = F.col(c).cast("string")
@@ -66,9 +75,7 @@ def hash_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
                 F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
             )
         )
-    digest = F.sha2(F.concat(*parts), 256)
-    out = df.withColumn("__digest__", digest)
-    return exact_dedup(out, ["__digest__"], order_col).drop("__digest__")
+    return F.sha2(F.concat(*parts), 256)
 
 
 # ---------------------------------------------------------------- shingles

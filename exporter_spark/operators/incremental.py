@@ -1,0 +1,225 @@
+"""Incremental deduplication: dedup a new batch AGAINST a persisted
+store without reprocessing the corpus.
+
+The batch pipelines in :mod:`exporter_spark.operators.dedup` answer
+"dedup this corpus"; production pipelines almost always face the other
+question — "a new crawl/delta arrived; drop what we have already
+kept, keep the rest, and extend the store" — and re-running the batch
+pipeline over corpus ∪ delta re-shuffles 100 TB to admit 1 TB. The
+operators here process ONLY the delta plus a compact store:
+
+* exact: the store is one 64-char sha256 digest per surviving row
+  (:func:`exporter_spark.operators.dedup.content_digest` — same
+  encoding as ``hash_dedup``, so stores and batch runs agree).
+  Per increment: one digest shuffle over the delta, one digest-keyed
+  anti join against the store. Nothing document-sized moves.
+* near-dup (MinHash): the store is one signature row per surviving
+  doc — ``num_hashes`` bigints (~256 B/doc at 32 hashes, i.e. ~0.1%
+  of a typical web-doc corpus). Per increment: the delta runs the
+  standard in-batch pipeline (banded LSH proposes, exact Jaccard
+  disposes), then its survivors are banded against the store's
+  signatures — band keys recomputed from stored signatures by array
+  slicing, no text needed — and candidates are adjudicated by the
+  signature lane-agreement estimate (share of equal minhash lanes,
+  an unbiased Jaccard estimator with std ≈ sqrt(j(1-j)/num_hashes),
+  ~0.08 at 32 lanes). The store holds no text, so exact-Jaccard
+  verification against it is impossible BY DESIGN — shipping corpus
+  text into every increment is the cost this operator exists to
+  avoid.
+
+Semantics note (inherent to every online/greedy dedup, not a quirk of
+this one): increments compare against SURVIVORS only. A chain cluster
+A ~ B ~ C with A ≁ C where A is stored, B and C arrive later, keeps C
+(B matches A and is dropped; C is only compared to A) — while a full
+batch run over {A, B, C} would transitively cluster all three and
+keep only A. Star-shaped clusters (every member similar to the
+representative) — the overwhelming shape in duplication-heavy crawls
+— agree exactly with the batch result. Pinned by
+tests/test_incremental.py::test_chain_cluster_documented_divergence.
+
+Store discipline (documented contract, enforced only by agreement of
+results): ``num_hashes``, ``bands``, ``shingle_n`` and ``family``
+must not change across increments — band keys and lane estimates are
+only comparable within one configuration. Persist the signature store
+partitioned/bucketed by a band-key prefix if increments become
+latency-critical; the operators take plain DataFrames and do not care
+how the store is laid out.
+
+Scale posture at 100 TB: the store scan is map-side (slice + hash per
+stored row); the only shuffles are (band, bhash) triples on both
+sides of the candidate join and the digest/id anti joins. The
+delta-side quadratic risk is the same same-bucket collision risk as
+the batch pipeline and is bounded by the same banding math; the
+store side contributes at most its per-bucket survivor count, which
+near-dup dropping keeps low by construction (survivors are pairwise
+dissimilar below threshold).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from exporter_spark.operators.dedup import (
+    char_shingles,
+    content_digest,
+    dedup_keep_representatives,
+    exact_dedup,
+    hashed_shingles_sql,
+    minhash_bands,
+    minhash_dedup_pairs,
+    minhash_over,
+)
+from exporter_spark.operators.partitioning import spread as _spread
+
+SIG_COL = "__sig__"
+DIGEST_COL = "__digest__"
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    cols: list[str],
+    order_col: str,
+    seen_digests: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup ``new_df`` within itself (keep-first by
+    ``order_col``) and against a digest store.
+
+    Returns ``(survivors, digest_append)``: the surviving delta rows,
+    and their digests in the store schema (single ``__digest__``
+    string column) for the caller to append (e.g. parquet append).
+    ``seen_digests=None`` bootstraps a store from the first batch.
+    Appending only ``digest_append`` keeps the store exactly "digests
+    of every row ever kept", so increments are idempotent: re-running
+    a batch against the updated store yields zero survivors.
+    """
+    tagged = new_df.withColumn(DIGEST_COL, content_digest(cols))
+    batch = exact_dedup(tagged, [DIGEST_COL], order_col)
+    if seen_digests is not None:
+        batch = batch.join(
+            seen_digests.select(DIGEST_COL), DIGEST_COL, "left_anti"
+        )
+    return batch.drop(DIGEST_COL), batch.select(DIGEST_COL)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 8,
+    family: str = "md5",
+) -> DataFrame:
+    """(id, signature) rows for every doc long enough to shingle —
+    the store schema of :func:`incremental_minhash_dedup`. Docs
+    shorter than ``shingle_n`` have an empty shingle set, can never
+    near-dup-match anything (the batch pipeline's invariant), and are
+    therefore neither stored nor ever dropped by the store check."""
+    return (
+        _spread(df.filter(F.length(F.col(text_col)) >= shingle_n), id_col)
+        .select(
+            F.col(id_col),
+            char_shingles(text_col, shingle_n).alias("__sh__"),
+        )
+        .select(
+            id_col,
+            F.expr(hashed_shingles_sql("__sh__", family)).alias("__hs__"),
+        )
+        .select(
+            id_col,
+            minhash_over("__hs__", num_hashes, hashed=True).alias(SIG_COL),
+        )
+    )
+
+
+def _band_triples(
+    sigs: DataFrame, id_col: str, *, bands: int, rows_per_band: int, family: str
+) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
+        SIG_COL,
+        F.posexplode(
+            minhash_bands(SIG_COL, bands, rows_per_band, family)
+        ).alias("__band__", "__bhash__"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_sigs: DataFrame | None = None,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    threshold: float = 0.7,
+    family: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a delta within itself and against a
+    signature store; returns ``(survivors, sig_append)``.
+
+    Stage 1 (in-batch) is the full batch pipeline —
+    :func:`minhash_dedup_pairs` (banded LSH + exact Jaccard, exact
+    collapse guard included) + keep-min-id representatives — so
+    within the delta the semantics are identical to the batch
+    operator. Stage 2 bands the stage-1 survivors' signatures against
+    the store's (slice + hash of stored arrays; the store never
+    re-shuffles document text because it has none) and drops any
+    delta doc whose signature lane-agreement with SOME stored doc
+    reaches ``threshold``. ``sig_append`` is the store-schema rows
+    (``minhash_signatures`` of the final survivors) to append.
+
+    The store check is one-directional on purpose: stored docs are
+    already emitted and cannot be un-kept; an increment only decides
+    its own rows' fate. See the module docstring for the chain-vs-star
+    cluster semantics and the store parameter-constancy contract.
+    """
+    rows_per_band = num_hashes // bands
+    pairs = minhash_dedup_pairs(
+        new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, family=family,
+    )
+    batch = dedup_keep_representatives(new_df, pairs, id_col)
+    sigs = minhash_signatures(
+        batch, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+    )
+    if seen_sigs is None:
+        return batch, sigs
+
+    new_b = _band_triples(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band, family=family
+    ).select(
+        F.col(id_col).alias("__nid__"),
+        F.col(SIG_COL).alias("__nsig__"),
+        "__band__",
+        "__bhash__",
+    ).repartition("__band__", "__bhash__")
+    old_b = _band_triples(
+        seen_sigs, id_col, bands=bands, rows_per_band=rows_per_band,
+        family=family,
+    ).select(
+        F.col(SIG_COL).alias("__osig__"), "__band__", "__bhash__"
+    ).repartition("__band__", "__bhash__")
+
+    # lane-agreement estimate: share of equal minhash components.
+    agree = (
+        F.size(
+            F.expr(
+                "filter(zip_with(__nsig__, __osig__, (x, y) -> x = y),"
+                " t -> t)"
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    matched = (
+        new_b.join(old_b, ["__band__", "__bhash__"])
+        .filter(agree >= F.lit(threshold))
+        .select(F.col("__nid__").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(matched, id_col, "left_anti")
+    return survivors, sigs.join(matched, id_col, "left_anti")

@@ -1,0 +1,184 @@
+"""Incremental (delta-vs-store) dedup semantics.
+
+Covers the contracts in operators/incremental.py: store bootstrap,
+within-batch + against-store dropping, idempotent replay, equivalence
+with the batch operator when increments arrive in order, the
+short-doc invariant, and the DOCUMENTED chain-cluster divergence from
+a full batch run (greedy-vs-transitive — pinned so the semantics
+can't drift silently into either "bug" or "accidental batch
+equivalence").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from exporter_spark.operators.dedup import hash_dedup
+from exporter_spark.operators.incremental import (
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+    minhash_signatures,
+)
+from exporter_spark.sources.files import load_table
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+# ------------------------------------------------------------------ exact
+
+
+def test_incremental_exact_bootstrap_increment_and_idempotence(spark):
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "id long, text string"
+    )
+    surv1, dig1 = incremental_exact_dedup(b1, ["text"], "id")
+    assert _ids(surv1, "id") == [1, 2]  # in-batch dup 3 dropped
+    store = dig1
+
+    b2 = spark.createDataFrame(
+        # 10: dup of stored "alpha"; 11/12: in-batch dup pair; 13: novel
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "id long, text string",
+    )
+    surv2, dig2 = incremental_exact_dedup(b2, ["text"], "id", store)
+    assert _ids(surv2, "id") == [11, 13]
+    store = store.unionByName(dig2)
+
+    # idempotence: the same delta against the updated store is empty
+    surv3, dig3 = incremental_exact_dedup(b2, ["text"], "id", store)
+    assert surv3.count() == 0 and dig3.count() == 0
+
+
+def test_incremental_exact_matches_batch_on_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lo = docs.filter("doc_id < 250")
+    hi = docs.filter("doc_id >= 250")
+
+    s1, d1 = incremental_exact_dedup(lo, ["text"], "doc_id")
+    s2, d2 = incremental_exact_dedup(hi, ["text"], "doc_id", d1)
+    got = sorted(_ids(s1) + _ids(s2))
+
+    # increments arrive in doc_id order, so greedy keep-first equals
+    # the batch keep-first over the union
+    want = _ids(hash_dedup(docs, ["text"], "doc_id"))
+    assert got == want
+
+
+# ---------------------------------------------------------------- near-dup
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_minhash_star_cluster_and_store_growth(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6  # ~264 chars
+    near = base[:-30] + "x" * 30  # same prefix, mutated tail
+    b1 = _docs_df(spark, [(1, base), (2, "completely different corpus text " * 8)])
+    surv1, sigs1 = incremental_minhash_dedup(b1, "doc_id", "text", threshold=0.5)
+    assert _ids(surv1) == [1, 2]
+    assert _ids(sigs1) == [1, 2]
+    store = sigs1
+
+    b2 = _docs_df(
+        spark,
+        [
+            (10, base),          # exact copy of stored 1 -> lane agreement 1.0
+            (11, near),          # near-dup of stored 1
+            (12, "novel text that matches nothing at all " * 8),
+            (13, "short"),       # below shingle_n: always survives, never stored
+        ],
+    )
+    surv2, sigs2 = incremental_minhash_dedup(
+        b2, "doc_id", "text", store, threshold=0.5
+    )
+    assert _ids(surv2) == [12, 13]
+    # the store gains only the long survivor; the short doc has no
+    # signature by the module invariant
+    assert _ids(sigs2) == [12]
+
+    # replaying the delta against the grown store drops 12 as an exact
+    # copy of itself (idempotence on the signature path)
+    store = store.unionByName(sigs2)
+    surv3, sigs3 = incremental_minhash_dedup(
+        b2, "doc_id", "text", store, threshold=0.5
+    )
+    assert _ids(surv3) == [13] and sigs3.count() == 0
+
+
+def test_incremental_minhash_in_batch_stage_is_batch_pipeline(spark):
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    b = _docs_df(
+        spark,
+        [(1, base), (2, base[:-20] + "y" * 20), (3, "unrelated body of text " * 10)],
+    )
+    surv, sigs = incremental_minhash_dedup(b, "doc_id", "text", threshold=0.5)
+    # 1~2 cluster -> min id kept; novel 3 kept
+    assert _ids(surv) == [1, 3]
+    assert _ids(sigs) == [1, 3]
+
+
+def test_chain_cluster_documented_divergence(spark):
+    """A~B and B~C with A!~C, arriving as three increments, keeps
+    {A, C}; a batch run over all three keeps {A} via transitive
+    clustering. This is the documented greedy semantics — the test
+    pins the divergence so neither side drifts silently."""
+    # deterministic non-repeating text (md5 chains) so the 8-gram
+    # shingle sets are collision-free; realized similarities, checked
+    # once and stable forever under the fixed minhash seeds:
+    #   true jaccard  ab=0.812 bc=0.821 ac=0.664
+    #   lane agree    ab=0.844           ac=0.625
+    #   shared bands  ab=4    bc=3      ac=1
+    # so at t=0.7: A~B and B~C pass, A-C is PROPOSED via its one
+    # shared band but fails the lane-agreement filter — the kept-C
+    # outcome exercises the estimate, not a missed candidate.
+    def rnd(tag, n):
+        out, i = [], 0
+        while sum(len(s) for s in out) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    x = rnd("x", 180)
+    a = x + rnd("ta", 20)
+    b = x + rnd("tb", 20)
+    # C shares B's suffix but mutates the PREFIX, so C is near B (one
+    # differing region) and far from A (two differing regions)
+    c = rnd("pc", 20) + x[20:] + rnd("tb", 20)
+    t = 0.7
+
+    s1, g1 = incremental_minhash_dedup(
+        _docs_df(spark, [(1, a)]), "doc_id", "text", threshold=t
+    )
+    store = g1
+    s2, g2 = incremental_minhash_dedup(
+        _docs_df(spark, [(2, b)]), "doc_id", "text", store, threshold=t
+    )
+    assert s2.count() == 0  # B matches stored A
+    store = store.unionByName(g2)
+    s3, g3 = incremental_minhash_dedup(
+        _docs_df(spark, [(3, c)]), "doc_id", "text", store, threshold=t
+    )
+    assert _ids(s3) == [3]  # C survives: compared against A only
+
+    # the batch run over the same three docs transitively keeps A alone
+    from exporter_spark.operators.dedup import (
+        dedup_keep_representatives,
+        minhash_dedup_pairs,
+    )
+
+    all3 = _docs_df(spark, [(1, a), (2, b), (3, c)])
+    pairs = minhash_dedup_pairs(all3, "doc_id", "text", threshold=t)
+    batch = dedup_keep_representatives(all3, pairs, "doc_id")
+    assert _ids(batch) == [1]
+
+
+def test_signature_store_schema_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    s = minhash_signatures(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r["__sig__"] for r in s.collect()}
+    again = {r["doc_id"]: r["__sig__"] for r in s.collect()}
+    assert rows == again  # fixed-seed signatures are deterministic
+    assert all(len(v) == 32 for v in rows.values())
