@@ -40,21 +40,11 @@ def cpu_canary(spark, n: int = 3) -> float:
     )
 
 
-def shuffle_totals(spark) -> tuple[int, int]:
-    """(shuffle_write_bytes, shuffle_read_bytes) summed over every
-    stage this application has run, from the JVM AppStatusStore —
-    deltas taken around a SERIALLY-executed job give that job's real
-    shuffle traffic (round 10: the runtime complement of the
-    scan-audit plan pins; see tools/shuffle_audit_r10.py). Concurrent
-    jobs in the same session would fold into the delta — callers must
-    not submit anything else between the two readings.
-
-    The store is fed ASYNCHRONOUSLY by the listener bus, so a
-    previous job's stage metrics can post during a caller's
-    before/after window (seen as a one-off nonzero delta on a
-    zero-shuffle entry in the full pytest session, where hundreds of
-    jobs precede the reading). The bus is drained first so both
-    readings see a settled store."""
+def _stage_list(spark):
+    """Settled AppStatusStore stage list (listener bus drained first —
+    the store is fed asynchronously, so an undrained read can miss a
+    just-finished stage or catch a previous job's metrics posting
+    mid-window)."""
     jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
     try:
         jsc.listenerBus().waitUntilEmpty()
@@ -64,15 +54,61 @@ def shuffle_totals(spark) -> tuple[int, int]:
     jvm = spark._jvm  # noqa: SLF001
     # Spark 4's AppStatusStore.stageList takes (statuses, details,
     # withSummaries, quantiles, taskStatus); empty statuses = all.
-    stages = store.stageList(
+    return store.stageList(
         jvm.java.util.ArrayList(),
         False,
         False,
         getattr(store, "stageList$default$4")(),
         jvm.java.util.ArrayList(),
     )
+
+
+def stage_marker(spark) -> int:
+    """Largest stage id the status store currently holds (-1 on a
+    fresh session). Take one BEFORE a serially-executed job and pass
+    it to :func:`shuffle_since` after: only stages NEWER than the
+    marker are summed, so the measurement is immune to the store
+    evicting old stages mid-window (``spark.ui.retainedStages``
+    defaults to 1000; in a long session a cumulative-total delta goes
+    NEGATIVE when eviction outruns the measured job's own traffic —
+    seen as a -2.3 MB "delta" on a zero-shuffle entry in the round-10
+    full-suite run)."""
+    marker = -1
+    it = _stage_list(spark).iterator()
+    while it.hasNext():
+        marker = max(marker, it.next().stageId())
+    return marker
+
+
+def shuffle_since(spark, marker: int) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) over stages with id
+    greater than ``marker`` (from :func:`stage_marker`). The caller
+    must not submit anything else between marker and reading —
+    concurrent jobs would fold in. Eviction-safe: old-stage eviction
+    cannot touch stages created inside the window (the store evicts
+    oldest-first, and a single measured query stays far under the
+    retained-stage cap)."""
     w = r = 0
-    it = stages.iterator()
+    it = _stage_list(spark).iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() > marker:
+            w += s.shuffleWriteBytes()
+            r += s.shuffleReadBytes()
+    return w, r
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over every
+    RETAINED stage of this application (round 10: the runtime
+    complement of the scan-audit plan pins; see
+    tools/shuffle_audit_r10.py). Fine as an app-level observable in a
+    short-lived session; for before/after deltas use
+    :func:`stage_marker` + :func:`shuffle_since` instead — past
+    ``spark.ui.retainedStages`` (1000) stages the store evicts
+    oldest-first and cumulative deltas can go negative."""
+    w = r = 0
+    it = _stage_list(spark).iterator()
     while it.hasNext():
         s = it.next()
         w += s.shuffleWriteBytes()
@@ -89,23 +125,13 @@ def spill_totals(spark) -> tuple[int, int]:
     corpus should run spill-free, so bench.py carries the app total
     as a tripwire; the sweeps use deltas for attribution when a
     scale point bends (the winnow 100x GC bend would have shown here
-    first had it spilled instead of stalling in GC)."""
-    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
-    try:
-        jsc.listenerBus().waitUntilEmpty()
-    except Exception:  # noqa: BLE001 — drain is best-effort hygiene
-        pass
-    store = jsc.statusStore()
-    jvm = spark._jvm  # noqa: SLF001
-    stages = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        getattr(store, "stageList$default$4")(),
-        jvm.java.util.ArrayList(),
-    )
+    first had it spilled instead of stalling in GC). Same retained-
+    stage eviction caveat as ``shuffle_totals``: as an app tripwire
+    this can only under-report once a session exceeds
+    ``spark.ui.retainedStages`` stages — bench.py raises that cap in
+    its session so the corpus run stays fully covered."""
     mem = disk = 0
-    it = stages.iterator()
+    it = _stage_list(spark).iterator()
     while it.hasNext():
         s = it.next()
         mem += s.memoryBytesSpilled()

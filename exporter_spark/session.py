@@ -70,6 +70,13 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # The status store feeds the repo's runtime observables
+        # (benchlib shuffle/spill totals). The default retention
+        # (1000 stages, evicted oldest-first) silently truncates the
+        # app-total spill tripwire on a full corpus run and made
+        # cumulative shuffle deltas go NEGATIVE in long sessions
+        # (round 10). ~10-20k stage rows is tens of MB on the driver.
+        .config("spark.ui.retainedStages", "20000")
         .config("spark.sql.session.timeZone", "UTC")
         # The driver's events.parquet stores TIMESTAMP(NANOS), which the
         # parquet reader rejects by default; read as long and let

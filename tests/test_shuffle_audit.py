@@ -28,11 +28,14 @@ Two classes of pin:
 from __future__ import annotations
 
 import json
+import os
 import pathlib
+import subprocess
+import sys
 
 import pytest
 
-from exporter_spark.benchlib import shuffle_totals
+from exporter_spark.benchlib import shuffle_since, stage_marker
 from exporter_spark.queries import QUERIES
 
 # operators documented as zero-shuffle / expression-only, confirmed
@@ -60,13 +63,14 @@ SNAPSHOT = (
 
 
 def _run_and_measure(spark, name, sf_dir):
-    # w0 BEFORE fn(): operators with eager internal jobs (CC's edge
-    # materialization) shuffle during plan construction, not the write
-    w0, r0 = shuffle_totals(spark)
+    # marker BEFORE fn(): operators with eager internal jobs (CC's
+    # edge materialization) shuffle during plan construction, not the
+    # write. Marker-based (not cumulative-delta) so the full pytest
+    # session's stage-store eviction can't bleed into the reading.
+    marker = stage_marker(spark)
     df = QUERIES[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    w1, r1 = shuffle_totals(spark)
-    return w1 - w0, r1 - r0
+    return shuffle_since(spark, marker)
 
 
 @pytest.mark.parametrize("name", EXPRESSION_ONLY)
@@ -92,3 +96,47 @@ def test_flagship_shuffle_bytes_within_band(spark, sf_dir, name):
     assert r <= 2 * recorded["read"], (
         f"{name}: shuffle read {r} > 2x the recorded {recorded['read']}"
     )
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Deterministic replay of the round-10 full-suite false positive: with
+# a tiny retained-stage cap, 40 shuffle jobs overflow the status store,
+# and the 5 zero-shuffle jobs inside the measurement window trigger
+# cleanups that evict byte-carrying OLD stages — the cumulative-total
+# delta reads negative while the marker-based reading must be exactly
+# zero. Subprocess because the tiny cap is session-level conf.
+_EVICT_PROBE = "import sys; sys.path.insert(0, " + repr(_REPO) + ")\n" + """
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("evictprobe").master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.retainedStages", "20")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+from exporter_spark.benchlib import shuffle_totals, shuffle_since, stage_marker
+for _ in range(40):
+    spark.range(0, 20000, 1, 2).repartition(3)\\
+        .write.mode("overwrite").format("noop").save()
+w0, r0 = shuffle_totals(spark)
+marker = stage_marker(spark)
+for _ in range(5):
+    spark.range(0, 100, 1, 1).write.mode("overwrite").format("noop").save()
+w1, r1 = shuffle_totals(spark)
+dw, dr = shuffle_since(spark, marker)
+print("EVICT", w1 - w0, r1 - r0, dw, dr)
+"""
+
+
+def test_marker_measurement_is_eviction_immune():
+    proc = subprocess.run(
+        [sys.executable, "-c", _EVICT_PROBE],
+        capture_output=True, text=True, cwd=_REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("EVICT ")]
+    assert line, proc.stdout[-500:]
+    _, cw, cr, dw, dr = line[0].split()
+    # the hazard must actually fire, or the immunity claim is vacuous
+    assert int(cw) < 0 and int(cr) < 0, line[0]
+    # and the marker-based reading must not see it
+    assert (int(dw), int(dr)) == (0, 0), line[0]

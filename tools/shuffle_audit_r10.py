@@ -32,7 +32,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from exporter_spark.benchlib import shuffle_totals  # noqa: E402
+from exporter_spark.benchlib import shuffle_since, stage_marker  # noqa: E402
 from exporter_spark.operators.partitioning import cache_scope  # noqa: E402
 from exporter_spark.queries import QUERIES  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
@@ -53,18 +53,18 @@ def main() -> None:
             # standalone number (seen on minhash_dedup_survivors,
             # which inherited the pairs entry's tagged-frame cache)
             with cache_scope():
-                # w0 BEFORE q.fn: operators with eager internal jobs
-                # (connected_components materializes its edge set at
-                # plan-construction time) do real shuffle work inside
-                # the builder, not the noop write
-                w0, r0 = shuffle_totals(spark)
+                # marker BEFORE q.fn: operators with eager internal
+                # jobs (connected_components materializes its edge set
+                # at plan-construction time) do real shuffle work
+                # inside the builder, not the noop write. Marker-based
+                # so stage-store eviction over a 98-entry run cannot
+                # shrink a later entry's reading (benchlib round 10).
+                marker = stage_marker(spark)
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                w1, r1 = shuffle_totals(spark)
-            out[name] = {"write": w1 - w0, "read": r1 - r0}
-            print(
-                f"{name}: write={w1 - w0} read={r1 - r0}", file=sys.stderr
-            )
+                dw, dr = shuffle_since(spark, marker)
+            out[name] = {"write": dw, "read": dr}
+            print(f"{name}: write={dw} read={dr}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — audit every query regardless
             out[name] = {"err": f"{type(e).__name__}: {str(e)[:120]}"}
             print(f"{name}: ERR {out[name]['err']}", file=sys.stderr)

@@ -57,7 +57,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from exporter_spark.benchlib import cpu_canary, shuffle_totals  # noqa: E402
+from exporter_spark.benchlib import cpu_canary, shuffle_since, stage_marker  # noqa: E402
 from exporter_spark.operators.skew import salted_join  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
 from exporter_spark.sources.files import load_table  # noqa: E402
@@ -207,13 +207,13 @@ def run_once(spark, df) -> tuple[float, int, str, dict, list]:
     rows) for a 1-row-result collect. Serial execution —
     shuffle_totals contract."""
     ids0 = _stage_ids(spark)
-    w0, _ = shuffle_totals(spark)
+    marker = stage_marker(spark)
     t0 = time.perf_counter()
     rows = df.collect()
     dt = time.perf_counter() - t0
-    w1, _ = shuffle_totals(spark)
+    dw, _ = shuffle_since(spark, marker)
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    return round(dt, 3), w1 - w0, plan, straggler_stats(spark, ids0), rows
+    return round(dt, 3), dw, plan, straggler_stats(spark, ids0), rows
 
 
 def agg_workload(fact):
