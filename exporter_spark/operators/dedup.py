@@ -685,7 +685,14 @@ def connected_components(
         # the candidate generation O(iterations) times (measured 16.4s
         # → 5.8s on the sf0.1 survivors bench)
     )
-    n_edges = edges.count()  # cheap: reads the pinned blocks
+    # count only when something consumes it (ADVICE r10): the gate or
+    # stats. With small_edge_limit=None and no stats dict the caller
+    # explicitly opted out of both, and the count — cheap against the
+    # pinned blocks here, but a real scheduled job on a 100 TB run's
+    # cluster — would be pure overhead.
+    n_edges: int | None = None
+    if small_edge_limit is not None or stats is not None:
+        n_edges = edges.count()  # cheap: reads the pinned blocks
     if stats is not None:
         stats["n_edges"] = n_edges
     if small_edge_limit is not None and n_edges <= small_edge_limit:

@@ -37,10 +37,16 @@ representative) — the overwhelming shape in duplication-heavy crawls
 — agree exactly with the batch result. Pinned by
 tests/test_incremental.py::test_chain_cluster_documented_divergence.
 
-Store discipline (documented contract, enforced only by agreement of
-results): ``num_hashes``, ``bands``, ``shingle_n`` and ``family``
-must not change across increments — band keys and lane estimates are
-only comparable within one configuration. Persist the signature store
+Store discipline: ``num_hashes``, ``bands``, ``shingle_n`` and
+``family`` must not change across increments — band keys and lane
+estimates are only comparable within one configuration. The
+``num_hashes`` half of that contract is ENFORCED in-plan (round 11,
+ADVICE r10): every store and delta signature row passes an
+``assert_true(size(sig) = num_hashes)`` filter, so a store written
+under a different lane count fails loudly instead of silently
+depressing the agreement estimate. ``bands``/``shingle_n``/``family``
+drift cannot be detected from the stored arrays alone (same length,
+different meaning) and remains a documented caller contract. Persist the signature store
 partitioned/bucketed by a band-key prefix if increments become
 latency-critical; the operators take plain DataFrames and do not care
 how the store is laid out.
@@ -70,10 +76,40 @@ from exporter_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_over,
 )
+from exporter_spark.operators.partitioning import materialize
 from exporter_spark.operators.partitioning import spread as _spread
 
 SIG_COL = "__sig__"
 DIGEST_COL = "__digest__"
+
+
+def _assert_lane_count(sigs: DataFrame, num_hashes: int, side: str) -> DataFrame:
+    """In-plan guard for the store parameter-constancy contract
+    (ADVICE r10): a store written with a different ``num_hashes``
+    would otherwise zip_with-pad the shorter signature with nulls,
+    the null lanes would be silently filtered out of the agreement
+    count, and the estimate would be quietly depressed — missed
+    duplicates instead of an error. Same loud-failure idiom as
+    ``ngram_jaccard_pairs``' max_block guard: assert_true inside the
+    plan, distributed, zero driver pre-pass. Evaluated per signature
+    ROW (before band explosion), so the cost is one array-length
+    compare per doc and a mismatched store fails on its first row
+    even when no band ever collides."""
+    return sigs.filter(
+        F.assert_true(
+            F.size(F.col(SIG_COL)) == num_hashes,
+            F.concat(
+                F.lit(f"incremental_minhash_dedup: {side} signature has "),
+                F.size(F.col(SIG_COL)).cast("string"),
+                F.lit(
+                    f" lanes, expected num_hashes={num_hashes} — the store"
+                    " parameter-constancy contract (num_hashes/bands/"
+                    "shingle_n/family fixed across increments) is violated;"
+                    " rebuild the store or match its parameters"
+                ),
+            ),
+        ).isNull()
+    )
 
 
 def incremental_exact_dedup(
@@ -190,6 +226,15 @@ def incremental_minhash_dedup(
     if seen_sigs is None:
         return batch, sigs
 
+    # sigs feeds TWO plan branches below (the band triples behind
+    # `matched`, and the sig_append anti join) and Spark shares
+    # nothing across branches (the round-4/10 cross-branch audits) —
+    # un-persisted, the delta re-spreads/re-shingles/re-hashes once
+    # per branch. Delta-sized (id + num_hashes bigints/doc, no text),
+    # MEMORY_AND_DISK, released by the caller's cache_scope.
+    sigs = materialize(sigs)
+    sigs = _assert_lane_count(sigs, num_hashes, "delta")
+
     new_b = _band_triples(
         sigs, id_col, bands=bands, rows_per_band=rows_per_band, family=family
     ).select(
@@ -199,7 +244,8 @@ def incremental_minhash_dedup(
         "__bhash__",
     ).repartition("__band__", "__bhash__")
     old_b = _band_triples(
-        seen_sigs, id_col, bands=bands, rows_per_band=rows_per_band,
+        _assert_lane_count(seen_sigs, num_hashes, "store"),
+        id_col, bands=bands, rows_per_band=rows_per_band,
         family=family,
     ).select(
         F.col(SIG_COL).alias("__osig__"), "__band__", "__bhash__"

@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from exporter_spark.formatters.csv import GO_SPACE_CHARS
 from exporter_spark.functions.tostring import display_columns, display_expr
-from exporter_spark.operators import dedup, retrieval, sampling, similarity, text
+from exporter_spark.operators import (
+    dedup,
+    incremental,
+    retrieval,
+    sampling,
+    similarity,
+    text,
+)
 from exporter_spark.operators import multimodal
 from exporter_spark.operators.multimodal import extract_features
 from exporter_spark.sources.files import load_table
@@ -2173,10 +2180,16 @@ def dedup_exact_docs(spark, sf_dir):
 _MINHASH = dict(num_hashes=32, bands=8, shingle_n=8, threshold=0.7)
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes(src: str = "documents", p: str = "") -> str:
+    """The sh → hs → sigs → banded → cands → verified CTE chain over
+    ``src``, every CTE name prefixed with ``p`` so two instantiations
+    can coexist in one WITH (the incremental oracle runs the chain
+    over both the store half and the delta half). ONE copy — the
+    plain batch oracle below is this chain with default arguments, so
+    an edit here cannot decouple the two."""
     n = _MINHASH["shingle_n"]
     rows = _MINHASH["num_hashes"] // _MINHASH["bands"]
-    p = dedup._MERSENNE
+    prime = dedup._MERSENNE
     shingle = (
         f"CASE WHEN length(text) < {n} THEN [] "
         f"ELSE list_distinct(list_transform(generate_series(1, length(text) - {n - 1}),"
@@ -2185,29 +2198,33 @@ def _minhash_oracle() -> str:
     # DuckDB twin of dedup.hashed_shingles_sql + minhash_over: one
     # md5-derived base hash per shingle, then the (a*h + b) mod 2^31-1
     # affine family with the SAME seeded coefficients as the Spark side.
-    base = f"list_transform(sh, s -> ('0x' || substr(md5(s),1,15))::BIGINT % {p})"
+    base = f"list_transform(sh, s -> ('0x' || substr(md5(s),1,15))::BIGINT % {prime})"
     sig = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p}))"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {prime}))"
         for a, b in dedup._minhash_coeffs(_MINHASH["num_hashes"])
     )
     bands = list(range(_MINHASH["bands"]))
-    return f"""
-    WITH sh AS (SELECT doc_id, {shingle} AS sh FROM documents),
-    hs AS (SELECT doc_id, {base} AS hs FROM sh),
-    sigs AS (SELECT doc_id, [{sig}] AS sig FROM hs),
-    banded AS (
-      SELECT doc_id, b.band,
+    return f"""{p}sh AS (SELECT doc_id, {shingle} AS sh FROM {src}),
+    {p}hs AS (SELECT doc_id, {base} AS hs FROM {p}sh),
+    {p}sigs AS (SELECT doc_id, [{sig}] AS sig FROM {p}hs),
+    {p}banded AS (
+      SELECT doc_id, sig, b.band,
              md5(array_to_string(list_transform(sig[(b.band * {rows} + 1):(b.band * {rows} + {rows})], x -> x::VARCHAR), '|')) AS bhash
-      FROM sigs, UNNEST({bands}) AS b(band)),
-    cands AS (
+      FROM {p}sigs, UNNEST({bands}) AS b(band)),
+    {p}cands AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM banded a JOIN banded b
+      FROM {p}banded a JOIN {p}banded b
         ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-    verified AS (
+    {p}verified AS (
       SELECT a_id, b_id,
              ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-      FROM cands JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+      FROM {p}cands JOIN {p}sh sa ON sa.doc_id = a_id JOIN {p}sh sb ON sb.doc_id = b_id)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
     SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_MINHASH["threshold"]}
     """
 
@@ -2269,14 +2286,21 @@ def ngram_jaccard_pairs(spark, sf_dir):
 # operators.dedup.connected_components. ONE copy, composed (after a
 # `WITH RECURSIVE pairs AS (...)` head) by every oracle that builds
 # on components, so an edit here cannot silently decouple them.
-_CC_SQL = """edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-              UNION SELECT b_id, a_id FROM pairs),
-    reach(id, r) AS (
-      SELECT s, s FROM edges
+# Parameterized (round 11) the same way as _minhash_ctes: the
+# incremental oracle needs TWO component closures (store half, delta
+# half) in one WITH RECURSIVE.
+def _cc_sql(pairs: str = "pairs", p: str = "") -> str:
+    return f"""{p}edges AS (SELECT a_id AS s, b_id AS d FROM {pairs}
+              UNION SELECT b_id, a_id FROM {pairs}),
+    {p}reach(id, r) AS (
+      SELECT s, s FROM {p}edges
       UNION
-      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+      SELECT e.s, r.r FROM {p}edges e JOIN {p}reach r ON e.d = r.id
     ),
-    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)"""
+    {p}comp AS (SELECT id, MIN(r) AS component FROM {p}reach GROUP BY id)"""
+
+
+_CC_SQL = _cc_sql()
 
 
 def _dedup_clusters_oracle() -> str:
@@ -2328,6 +2352,115 @@ def minhash_dedup_survivors(spark, sf_dir, stats=None):
     return d.join(drop, d["doc_id"] == drop["id"], "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---- incremental (delta-vs-store) dedup — operators/incremental.py.
+# The registry split is an md5-hash split of doc_id (engine-portable:
+# md5 of the decimal id string), NOT a modulo/range split, so
+# generator-planted near-dup clusters land members on BOTH sides and
+# the against-store path is genuinely exercised. The store half
+# bootstraps the store; the delta half runs against it.
+
+_INC_SPLIT_SPARK = "substring(md5(cast(doc_id as string)), 1, 1) < '8'"
+_INC_SPLIT_DUCK = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
+
+
+def _inc_exact_oracle() -> str:
+    return f"""
+    WITH store_kept AS (
+      SELECT DISTINCT text FROM documents WHERE {_INC_SPLIT_DUCK}),
+    delta_kept AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE NOT ({_INC_SPLIT_DUCK})
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+    SELECT k.doc_id, k.lang, k.source FROM delta_kept k
+    WHERE NOT EXISTS (
+      SELECT 1 FROM store_kept s WHERE s.text IS NOT DISTINCT FROM k.text)
+    """
+
+
+@_register("incremental_exact_survivors", _inc_exact_oracle())
+def incremental_exact_survivors(spark, sf_dir):
+    """Delta-vs-store exact dedup (operators/incremental.py:79): the
+    store half bootstraps a sha256 digest store; the delta half is
+    deduped within itself (keep-first by doc_id) and anti-joined
+    against the store on the digest. The oracle replays both stages
+    on text directly — content_digest is injective on (NULL-tagged)
+    text, so digest-set membership ≡ text-set membership under
+    IS NOT DISTINCT FROM. At 100 TB only 64-char digests shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.expr(_INC_SPLIT_SPARK)
+    _, store = incremental.incremental_exact_dedup(
+        d.filter(split), ["text"], "doc_id"
+    )
+    surv, _ = incremental.incremental_exact_dedup(
+        d.filter(~split), ["text"], "doc_id", seen_digests=store
+    )
+    return surv.select("doc_id", "lang", "source")
+
+
+def _inc_minhash_oracle() -> str:
+    nh = _MINHASH["num_hashes"]
+    thr = _MINHASH["threshold"]
+    return f"""
+    WITH RECURSIVE
+    store_docs AS (
+      SELECT doc_id, text FROM documents WHERE {_INC_SPLIT_DUCK}),
+    delta_docs AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE NOT ({_INC_SPLIT_DUCK})),
+    {_minhash_ctes("store_docs", "s_")},
+    s_pairs AS (SELECT a_id, b_id FROM s_verified WHERE jaccard >= {thr}),
+    {_cc_sql("s_pairs", "s_")},
+    store_banded AS (
+      SELECT b.doc_id, b.sig, b.band, b.bhash
+      FROM s_banded b JOIN s_sh ss ON ss.doc_id = b.doc_id
+      WHERE len(ss.sh) > 0
+        AND NOT EXISTS (SELECT 1 FROM s_comp c
+                        WHERE c.id = b.doc_id AND c.component <> c.id)),
+    {_minhash_ctes("delta_docs", "d_")},
+    d_pairs AS (SELECT a_id, b_id FROM d_verified WHERE jaccard >= {thr}),
+    {_cc_sql("d_pairs", "d_")},
+    delta_surv AS (
+      SELECT d.doc_id, d.lang, d.source FROM delta_docs d
+      WHERE NOT EXISTS (SELECT 1 FROM d_comp c
+                        WHERE c.id = d.doc_id AND c.component <> c.id)),
+    matched AS (
+      SELECT DISTINCT nb.doc_id
+      FROM d_banded nb
+      JOIN d_sh ns ON ns.doc_id = nb.doc_id
+      JOIN delta_surv ds ON nb.doc_id = ds.doc_id
+      JOIN store_banded ob ON nb.band = ob.band AND nb.bhash = ob.bhash
+      WHERE len(ns.sh) > 0
+        AND len(list_filter(generate_series(1, {nh}),
+                            i -> nb.sig[i] = ob.sig[i]))::DOUBLE / {nh} >= {thr})
+    SELECT ds.doc_id, ds.lang, ds.source FROM delta_surv ds
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = ds.doc_id)
+    """
+
+
+@_register("incremental_minhash_survivors", _inc_minhash_oracle())
+def incremental_minhash_survivors(spark, sf_dir):
+    """Delta-vs-store near-dup dedup (operators/incremental.py:179):
+    the store half bootstraps a signature store (its own batch-run
+    survivors' minhash signatures — no text); the delta half runs the
+    full in-batch pipeline, then its survivors are banded against the
+    stored signatures and dropped on lane agreement ≥ threshold. The
+    oracle replays the whole thing in DuckDB — both halves' LSH +
+    exact-Jaccard + recursive-CTE components, band keys recomputed by
+    array slicing from the stored signatures, and the lane-agreement
+    estimate as a generate_series filter over paired sig lanes — so
+    the driver value-gates the one surface round 10 left pytest-only
+    (VERDICT r10 item 1)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.expr(_INC_SPLIT_SPARK)
+    _, store = incremental.incremental_minhash_dedup(
+        d.filter(split), "doc_id", "text", **_MINHASH
+    )
+    surv, _ = incremental.incremental_minhash_dedup(
+        d.filter(~split), "doc_id", "text", store, **_MINHASH
+    )
+    return surv.select("doc_id", "lang", "source")
 
 
 def _simhash_oracle(max_hamming: int = 3, num_tables: int = 4) -> str:
@@ -3484,140 +3617,144 @@ def dup_rate_by_source(spark, sf_dir):
 #   round 9: the relational/formatter half rotated back in — 50/50
 #            green in CORRECTNESS_r09 (49 oracle-paired + 1
 #            rows-only by design).
-#   round 10 (below): the flagship dedup/similarity/quality block
-#            rotates back in — with 98 queries and a 50-slot window
-#            the complement of the r09 window (48 queries + q1/q3
-#            canaries) IS the only window satisfying the two-round
-#            coverage invariant.  Round 10's code touches must sit in
-#            this window or be plumbing exercised window-wide /
-#            behavior-preserving edits pinned by pytest+PARITY, and
-#            the round ends with a recorded full-registry replay at
-#            sf0.01 (tools/replay_driver_window.py ... all), which
-#            verifies all 98 against the final round-10 code.  q1/q3
-#            stay in every window as cross-round continuity canaries.
-# The relational/formatter half rides the back this round; it remains
-# covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
-# automated gate — test_queries_oracle.py parametrizes over the WHOLE
-# registry, not the window) and by the round-end full replay above.
+#   round 10: the flagship dedup/similarity/quality block rotated
+#            back in (48 queries + q1/q3 canaries) — 50/50 green in
+#            CORRECTNESS_r10 (48 oracle-paired + 2 rows-only by
+#            design).
+#   round 11 (below): the relational/formatter half rotates back in,
+#            PLUS the two NEW incremental dedup entries (new code
+#            sits in-window, per the standing rule — they are the
+#            round's headline: the only operator surface round 10
+#            left pytest-only).  Registry arithmetic changed this
+#            round: with 100 queries and a 50-slot window the two
+#            consecutive windows EXACTLY PARTITION the registry, so
+#            the q1/q3 continuity canaries can no longer ride every
+#            window — they ride the flagship window (odd/even
+#            alternation from here on), were driver-green in r10, and
+#            remain exercised every round by bench.py and the full
+#            pytest oracle sweep.
+# The flagship half rides the back this round; it remains covered by
+# the full pytest oracle sweep vs DuckDB at sf0.001 (an automated
+# gate — test_queries_oracle.py parametrizes over the WHOLE registry,
+# not the window) and by the round-end full-registry replay at sf0.01
+# (tools/replay_driver_window.py ... all) on the final tree.
 # tests/test_registry_window.py asserts the rotation invariant: every
 # registered query is in THIS window or was in the previous round's.
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # continuity canaries (every window)
-    "q1_pricing_summary",
-    "q3_top_orders",
-    # document dedup family
-    "dedup_exact_docs",
-    "minhash_near_dup_pairs",
-    "minhash_dedup_survivors",
-    "dedup_clusters",
-    "dedup_cluster_sizes",
-    "dup_rate_by_source",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "paragraph_dedup_docs",
-    "dedup_tokens_within_docs",
-    "exact_substring_spans",
-    "exact_substring_strip",
-    "ngram_contamination_check",
-    # similarity / embedding family
-    "cosine_topk",
-    "cosine_topk_scan",
-    "lsh_ann_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_banded",
-    "ivf_fixed_topk",
-    "ivf_ann_topk",
-    "semdedup_survivors",
-    "semdedup_survivors_greedy",
-    "embedding_quantize_stats",
-    "embedding_random_projection",
-    # text quality / LM family
-    "gopher_quality_signals",
-    "gopher_filter_stats",
-    "lm_quality_buckets",
-    "bigram_lm_scores",
-    "winnow_fingerprints",
-    "boilerplate_spans",
-    "pii_redaction_check",
-    "bm25_topk_docs",
-    "tfidf_top_terms",
-    "top_tokens",
-    "dsir_importance_weights",
-    # sampling / mixture family (materialize-backed)
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "docs_capped_per_source",
-    "docs_rebalanced_mixture",
-    "temperature_mixture_docs",
-    "training_shuffle_docs",
-    "pack_chunks_docs",
-    "pretraining_mix_stats",
-    "lang_token_budget",
-    # multimodal + events analytics
-    "multimodal_feature_stats",
-    "value_percentiles",
-    "conversion_funnel",
-    "retention_cohorts",
+    # round-11 headline: the incremental (delta-vs-store) dedup pair,
+    # oracle-gated for the first time this round
+    "incremental_exact_survivors",
+    "incremental_minhash_survivors",
+    # formatter / tostring family
+    "tostring_events",
+    "csv_lines_events",
+    "xml_rows_events",
+    "ndjson_lines_docs",
+    "q2_min_cost_supplier",
+    "q4_priority_returns",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supply_gaps",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_wealthy_low_activity",
+    "top_customers_per_nation",
+    "distinct_counts",
+    "mktsegment_stats",
+    "customers_without_orders",
+    "events_hourly",
+    "events_sessions",
+    "rollup_pricing",
+    "order_status_setops",
+    "part_brand_stats",
+    "purchase_attribution",
+    "cube_order_stats",
+    "running_customer_revenue",
+    "purchases_near_errors",
+    "lineitem_dispersion",
+    "approx_distinct_events",
+    "token_stats_by_lang",
+    "bpe_token_stats_by_lang",
+    "lang_id_confusion",
+    "quality_by_source",
+    "curation_pipeline",
+    "doc_fingerprints",
+    "docs_sample_deterministic",
+    "int8_ann_topk",
+    "unigram_lm_scores",
 )
 
-# The previous round's window, kept for the rotation invariant: a
-# query may leave the driver's 50-slot window only if it was verified
-# there last round (CORRECTNESS_r09: 50/50 green — 49 oracle-paired
-# plus approx_distinct_events, rows-only by design since round 2).
-_R09_WINDOW: frozenset[str] = frozenset(
+# The previous round's window (the flagship dedup/similarity/quality
+# block + the q1/q3 canaries), kept for the rotation invariant: a
+# query may ride the back half only if the previous round's driver
+# window verified it (CORRECTNESS_r10: 50/50 green — 48 oracle-paired
+# plus semdedup_survivors_greedy / ivf_ann_topk, rows-only by design).
+_R10_WINDOW: frozenset[str] = frozenset(
     {
         "q1_pricing_summary",
         "q3_top_orders",
-        "tostring_events",
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "q2_min_cost_supplier",
-        "q4_priority_returns",
-        "q5_region_revenue",
-        "q6_revenue_change",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_late_shipments",
-        "q13_order_count_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_brand_supply_gaps",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        "q19_discounted_revenue",
-        "q20_promo_suppliers",
-        "q21_waiting_suppliers",
-        "q22_wealthy_low_activity",
-        "top_customers_per_nation",
-        "distinct_counts",
-        "mktsegment_stats",
-        "customers_without_orders",
-        "events_hourly",
-        "events_sessions",
-        "rollup_pricing",
-        "order_status_setops",
-        "part_brand_stats",
-        "purchase_attribution",
-        "cube_order_stats",
-        "running_customer_revenue",
-        "purchases_near_errors",
-        "lineitem_dispersion",
-        "approx_distinct_events",
-        "token_stats_by_lang",
-        "bpe_token_stats_by_lang",
-        "lang_id_confusion",
-        "quality_by_source",
-        "curation_pipeline",
-        "doc_fingerprints",
-        "docs_sample_deterministic",
-        "int8_ann_topk",
-        "unigram_lm_scores",
+        "dedup_exact_docs",
+        "minhash_near_dup_pairs",
+        "minhash_dedup_survivors",
+        "dedup_clusters",
+        "dedup_cluster_sizes",
+        "dup_rate_by_source",
+        "simhash_near_dup_pairs",
+        "ngram_jaccard_pairs",
+        "paragraph_dedup_docs",
+        "dedup_tokens_within_docs",
+        "exact_substring_spans",
+        "exact_substring_strip",
+        "ngram_contamination_check",
+        "cosine_topk",
+        "cosine_topk_scan",
+        "lsh_ann_topk",
+        "embedding_near_dup",
+        "embedding_near_dup_banded",
+        "ivf_fixed_topk",
+        "ivf_ann_topk",
+        "semdedup_survivors",
+        "semdedup_survivors_greedy",
+        "embedding_quantize_stats",
+        "embedding_random_projection",
+        "gopher_quality_signals",
+        "gopher_filter_stats",
+        "lm_quality_buckets",
+        "bigram_lm_scores",
+        "winnow_fingerprints",
+        "boilerplate_spans",
+        "pii_redaction_check",
+        "bm25_topk_docs",
+        "tfidf_top_terms",
+        "top_tokens",
+        "dsir_importance_weights",
+        "docs_stratified_sample",
+        "docs_train_test_split",
+        "docs_capped_per_source",
+        "docs_rebalanced_mixture",
+        "temperature_mixture_docs",
+        "training_shuffle_docs",
+        "pack_chunks_docs",
+        "pretraining_mix_stats",
+        "lang_token_budget",
+        "multimodal_feature_stats",
+        "value_percentiles",
+        "conversion_funnel",
+        "retention_cohorts",
     }
 )
 

@@ -12,11 +12,18 @@ two consecutive rounds.  Round-6 refinement (ADVICE r05): queries
 whose implementations the PREVIOUS round touched must ride the next
 window, so the driver gate always checks the current code, never the
 pre-change version it already verified.
+
+Round-11 arithmetic change: the registry reached 100 entries, so two
+consecutive 50-slot windows EXACTLY PARTITION it — there is no slack
+left for q1/q3 to ride every window.  The canaries now alternate with
+the flagship half (they stay continuously exercised by bench.py and
+the full pytest oracle sweep); the partition itself becomes the
+stronger invariant: window ∪ previous-window = registry, disjointly.
 """
 
 from __future__ import annotations
 
-from exporter_spark.queries import _R09_WINDOW, DRIVER_WINDOW, QUERIES
+from exporter_spark.queries import _R10_WINDOW, DRIVER_WINDOW, QUERIES
 
 
 def test_window_is_the_first_50_entries():
@@ -30,7 +37,7 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered."""
-    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R09_WINDOW
+    uncovered = set(QUERIES) - set(DRIVER_WINDOW) - _R10_WINDOW
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
@@ -43,35 +50,38 @@ def test_window_has_no_duplicates_or_unknowns():
     assert not unknown
 
 
-def test_window_keeps_canaries():
-    # two long-stable relational queries ride in EVERY window as
-    # cross-round continuity canaries
-    first_50 = set(list(QUERIES)[:50])
-    assert {"q1_pricing_summary", "q3_top_orders"} <= first_50
+def test_windows_exactly_partition_the_100_entry_registry():
+    """At 100 registered queries the two-round coverage invariant
+    forces the window pair to be an exact disjoint partition — any
+    overlap would leave some query out of both windows.  This also
+    pins where the q1/q3 canaries live: the flagship half, verified
+    driver-green in CORRECTNESS_r10."""
+    assert len(QUERIES) == 100
+    assert set(DRIVER_WINDOW) | _R10_WINDOW == set(QUERIES)
+    assert not (set(DRIVER_WINDOW) & _R10_WINDOW)
+    assert {"q1_pricing_summary", "q3_top_orders"} <= _R10_WINDOW
 
 
-def test_round10_window_is_the_forced_complement():
-    # With 98 registered queries and a 50-slot window, the only window
-    # satisfying two-round coverage after r09's relational/formatter
-    # half is its complement (the dedup/similarity/quality flagship
-    # block) plus the q1/q3 canaries.  Any round-10 code touch must
-    # either sit in this window, be plumbing exercised window-wide, or
-    # be a behavior-preserving edit pinned by pytest+PARITY; the
-    # recorded round-end full-registry replay at sf0.01 verifies all
-    # 98 against final round-10 code (see the DRIVER_WINDOW comment in
-    # queries.py).
+def test_round11_window_holds_the_new_code():
+    """The standing rule: new code sits in-window the round it lands.
+    Round 11 registered the incremental (delta-vs-store) dedup pair —
+    the one surface VERDICT r10 flagged as pytest-only — so both must
+    be in the r11 driver window, and first (they are the headline)."""
     first_50 = set(list(QUERIES)[:50])
-    assert first_50 == (set(QUERIES) - _R09_WINDOW) | {
-        "q1_pricing_summary", "q3_top_orders"
-    }
-    # spot-check the dedup/similarity families rotated back in
     assert {
-        "dedup_exact_docs",
-        "minhash_near_dup_pairs",
-        "minhash_dedup_survivors",
-        "cosine_topk",
-        "semdedup_survivors",
-        "pretraining_mix_stats",
+        "incremental_exact_survivors",
+        "incremental_minhash_survivors",
+    } <= first_50
+    assert DRIVER_WINDOW[0] == "incremental_exact_survivors"
+    assert DRIVER_WINDOW[1] == "incremental_minhash_survivors"
+    # spot-check the relational/formatter families rotated back in
+    assert {
+        "tostring_events",
+        "csv_lines_events",
+        "q2_min_cost_supplier",
+        "q22_wealthy_low_activity",
+        "events_sessions",
+        "token_stats_by_lang",
     } <= first_50
 
 
