@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_fixed_topk",
     "semdedup_survivors",
+    # round 11: the incremental (delta-vs-store) dedup pair — newly
+    # oracle-gated this round; the minhash one runs two full banded
+    # pipelines (store bootstrap + delta) plus the against-store band
+    # join, so its number is the per-increment cost observable
+    "incremental_exact_survivors",
+    "incremental_minhash_survivors",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The
@@ -237,6 +243,32 @@ def main() -> None:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
+    # Distributed-CC convergence observable (VERDICT r10 wrong #2):
+    # since the round-10 size gate, the flagship's cc_rounds reads
+    # driver/0 and the rounds-to-converge signal — the observable that
+    # presages component-diameter growth — would silently disappear.
+    # Run the SAME duplicate graph through the distributed loop once
+    # (small_edge_limit=None), untimed and outside the corpus total,
+    # so every BENCH record keeps a live distributed-mode reading.
+    from exporter_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from exporter_spark.queries import _MINHASH
+
+    cc_dist_stats: dict = {}
+    with cache_scope():
+        docs = load_table(spark, SF_DIR, "documents")
+        pairs = minhash_dedup_pairs(docs, "doc_id", "text", **_MINHASH)
+        connected_components(
+            pairs, small_edge_limit=None, stats=cc_dist_stats
+        ).write.format("noop").mode("overwrite").save()
+    print(
+        f"[bench] cc_distributed: mode={cc_dist_stats.get('mode')}"
+        f" rounds={cc_dist_stats.get('rounds')}",
+        file=sys.stderr,
+    )
+
     from exporter_spark.benchlib import spill_totals
 
     mem_spilled, disk_spilled = spill_totals(spark)
@@ -266,6 +298,11 @@ def main() -> None:
                 # moves.
                 "cc_rounds": cc_stats.get("rounds"),
                 "cc_mode": cc_stats.get("mode"),
+                # the distributed loop's rounds-to-converge on the
+                # SAME graph (small_edge_limit=None, untimed, outside
+                # the total): keeps the convergence signal alive while
+                # the flagship rides the driver path (VERDICT r10)
+                "cc_dist_rounds": cc_dist_stats.get("rounds"),
                 # bidirectional edge rows behind the mode decision:
                 # growth here presages the driver→distributed flip
                 # (gate: 200k) before either mode or wall time moves
@@ -274,8 +311,12 @@ def main() -> None:
                 # to disk across the whole bench — the corpus is
                 # sized to run spill-free at sf0.1, so any nonzero
                 # reading means a partition outgrew its task memory
-                # share (check partitioning before blaming the host)
+                # share (check partitioning before blaming the host).
+                # Memory spill fires BEFORE disk spill does (ADVICE
+                # r10): a nonzero memory figure with zero disk is the
+                # early warning, not noise — both are recorded.
                 "spilled_disk_bytes": disk_spilled,
+                "spilled_memory_bytes": mem_spilled,
             }
         )
     )

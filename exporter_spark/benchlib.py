@@ -54,13 +54,27 @@ def _stage_list(spark):
     jvm = spark._jvm  # noqa: SLF001
     # Spark 4's AppStatusStore.stageList takes (statuses, details,
     # withSummaries, quantiles, taskStatus); empty statuses = all.
-    return store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        getattr(store, "stageList$default$4")(),
-        jvm.java.util.ArrayList(),
-    )
+    # This is Spark-PRIVATE JVM API reached via py4j (including the
+    # Scala default-arg accessor below): a minor upgrade that adds or
+    # reorders a parameter would break every observable built on it
+    # (bench tripwire, shuffle pins) with an opaque py4j error —
+    # translate that into an actionable message (ADVICE r10).
+    try:
+        return store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            getattr(store, "stageList$default$4")(),
+            jvm.java.util.ArrayList(),
+        )
+    except Exception as ex:  # noqa: BLE001 — re-raise with a version hint
+        ver = spark.version
+        raise RuntimeError(
+            "AppStatusStore.stageList signature changed (private Spark"
+            f" API; this session runs Spark {ver}, the call matches"
+            " 4.x's 5-arg form) — update benchlib._stage_list to the"
+            " new signature"
+        ) from ex
 
 
 def stage_marker(spark) -> int:

@@ -42,7 +42,12 @@ from exporter_spark.operators.partitioning import cache_scope  # noqa: E402
 from exporter_spark.queries import QUERIES  # noqa: E402
 from exporter_spark.session import get_spark  # noqa: E402
 
-_NODE_MARK = re.compile(r"(\+-|:-)\s")
+# Anchored to the tree-prefix alphabet (ADVICE r10): only indent made
+# of spaces and ':' (branch continuation) may precede the node marker,
+# so a '+- ' occurring inside a node's ARGUMENT text (a pushed-filter
+# or schema string) can no longer be mistaken for a deeper node and
+# prematurely end an InMemoryRelation skip.
+_NODE_MARK = re.compile(r"^([ :]*)(\+-|:-)\s")
 
 
 def executed_file_scans(plan: str) -> int:
@@ -53,8 +58,8 @@ def executed_file_scans(plan: str) -> int:
     n = 0
     skip_deeper_than: int | None = None
     for i, line in enumerate(plan.splitlines()):
-        m = _NODE_MARK.search(line)
-        depth = m.start() if m else (0 if i == 0 else None)
+        m = _NODE_MARK.match(line)
+        depth = len(m.group(1)) if m else (0 if i == 0 else None)
         if depth is None:  # argument/continuation line — not a node
             continue
         if skip_deeper_than is not None:
