@@ -182,3 +182,73 @@ def test_signature_store_schema_and_determinism(spark, sf_dir):
     again = {r["doc_id"]: r["__sig__"] for r in s.collect()}
     assert rows == again  # fixed-seed signatures are deterministic
     assert all(len(v) == 32 for v in rows.values())
+
+
+def test_near_dup_replay_idempotence_on_documents(spark, sf_dir):
+    """VERDICT r10 item 5, near-dup analog of the exact-path
+    idempotence: re-running a batch against the store it just
+    appended drops EVERYTHING long enough to have been stored — each
+    stage-1 survivor finds its own signature in the store (lane
+    agreement 1.0 >= any threshold), and in-batch losers are dropped
+    by stage 1 exactly as before. Only short docs (below shingle_n,
+    never stored by the module invariant) can survive a replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv1, sigs1 = incremental_minhash_dedup(docs, "doc_id", "text")
+    store = sigs1
+    surv2, sigs2 = incremental_minhash_dedup(docs, "doc_id", "text", store)
+    short = {
+        r[0]
+        for r in docs.filter("length(text) < 8").select("doc_id").collect()
+    }
+    assert set(_ids(surv2)) == short
+    assert sigs2.count() == 0  # the store gains nothing on a replay
+
+
+def test_two_increment_commutativity_on_disjoint_deltas(spark):
+    """Two deltas with NO cross-delta near-duplicates commute: each
+    doc's fate depends only on the store bootstrap and its own delta,
+    so survivor ids and the final signature store agree as SETS
+    regardless of arrival order. (Deltas with cross-delta dups do NOT
+    commute — that is the documented chain/greedy semantics pinned
+    above — hence the disjointness precondition.)"""
+
+    def rnd(tag, n):
+        out, i = [], 0
+        while sum(len(s) for s in out) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    base_a = rnd("base-a", 200)
+    base_b = rnd("base-b", 200)
+    boot = _docs_df(spark, [(1, base_a), (2, base_b)])
+    _, store0 = incremental_minhash_dedup(boot, "doc_id", "text", threshold=0.5)
+
+    # d1: a near-dup of stored A + a novel doc; d2: a near-dup of
+    # stored B + a different novel doc. No d1<->d2 similarity.
+    d1 = _docs_df(
+        spark,
+        [(10, base_a[:-24] + rnd("m1", 24)), (11, rnd("novel-1", 200))],
+    )
+    d2 = _docs_df(
+        spark,
+        [(20, base_b[:-24] + rnd("m2", 24)), (21, rnd("novel-2", 200))],
+    )
+
+    def run(first, second):
+        s1, g1 = incremental_minhash_dedup(
+            first, "doc_id", "text", store0, threshold=0.5
+        )
+        s2, g2 = incremental_minhash_dedup(
+            second, "doc_id", "text", store0.unionByName(g1), threshold=0.5
+        )
+        survivors = sorted(_ids(s1) + _ids(s2))
+        final_store = sorted(
+            _ids(store0.unionByName(g1).unionByName(g2))
+        )
+        return survivors, final_store
+
+    surv_12, store_12 = run(d1, d2)
+    surv_21, store_21 = run(d2, d1)
+    assert surv_12 == surv_21 == [11, 21]  # near-dups of the store drop
+    assert store_12 == store_21 == [1, 2, 11, 21]
