@@ -51,9 +51,15 @@ partitioned/bucketed by a band-key prefix if increments become
 latency-critical; the operators take plain DataFrames and do not care
 how the store is laid out.
 
-Scale posture at 100 TB: the store scan is map-side (slice + hash per
-stored row); the only shuffles are (band, bhash) triples on both
-sides of the candidate join and the digest/id anti joins. The
+Scale posture at 100 TB: the store is STRICTLY MAP-SIDE — scanned
+once per increment, band keys sliced+hashed in place, candidate join
+and lane-agreement filter executed against the broadcast delta inside
+that scan, reduced to a matched-id set before anything shuffles
+(``broadcast_delta``, default on; round 11 — the incremental sweep
+caught the previous shape hash-shuffling the whole store's band
+triples per increment, linear-in-store bytes). Per-increment shuffle
+volume is therefore delta-sized at any store size: the delta's own
+in-batch pipeline plus matched-id distincts/anti-joins. The
 delta-side quadratic risk is the same same-bucket collision risk as
 the batch pipeline and is bounded by the same banding math; the
 store side contributes at most its per-bucket survivor count, which
@@ -117,6 +123,8 @@ def incremental_exact_dedup(
     cols: list[str],
     order_col: str,
     seen_digests: DataFrame | None = None,
+    *,
+    broadcast_delta: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-dedup ``new_df`` within itself (keep-first by
     ``order_col``) and against a digest store.
@@ -128,13 +136,33 @@ def incremental_exact_dedup(
     Appending only ``digest_append`` keeps the store exactly "digests
     of every row ever kept", so increments are idempotent: re-running
     a batch against the updated store yields zero survivors.
+
+    The store NEVER shuffles (round 11): a direct
+    ``delta LEFT ANTI JOIN store`` would hash-partition the whole
+    digest store per increment — linear-in-store bytes that the r11
+    incremental sweep caught growing 3.3x from 1x to 10x store scale.
+    Instead the delta's digests are broadcast INTO the store scan
+    (``broadcast_delta=True``, the operator's contract: delta ≪
+    store), the inner join reduces map-side to the tiny ``matched``
+    digest set, and the delta anti-joins that. Per-increment shuffle
+    is delta-sized at ANY store size. ``broadcast_delta=False`` opts
+    a huge-delta caller back into the shuffled joins.
     """
     tagged = new_df.withColumn(DIGEST_COL, content_digest(cols))
     batch = exact_dedup(tagged, [DIGEST_COL], order_col)
     if seen_digests is not None:
-        batch = batch.join(
-            seen_digests.select(DIGEST_COL), DIGEST_COL, "left_anti"
+        # batch feeds THREE branches (probe, anti join, both returns);
+        # delta-sized cache so each executes against pinned blocks
+        batch = materialize(batch)
+        probe = batch.select(DIGEST_COL)
+        if broadcast_delta:
+            probe = F.broadcast(probe)
+        # matched is consumed by both returns — materialized so the
+        # store scan behind it runs ONCE per increment
+        matched = materialize(
+            seen_digests.select(DIGEST_COL).join(probe, DIGEST_COL).distinct()
         )
+        batch = batch.join(matched, DIGEST_COL, "left_anti")
     return batch.drop(DIGEST_COL), batch.select(DIGEST_COL)
 
 
@@ -192,6 +220,7 @@ def incremental_minhash_dedup(
     shingle_n: int = 8,
     threshold: float = 0.7,
     family: str = "md5",
+    broadcast_delta: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a delta within itself and against a
     signature store; returns ``(survivors, sig_append)``.
@@ -211,6 +240,13 @@ def incremental_minhash_dedup(
     already emitted and cannot be un-kept; an increment only decides
     its own rows' fate. See the module docstring for the chain-vs-star
     cluster semantics and the store parameter-constancy contract.
+
+    ``broadcast_delta`` (default True — the operator's contract is
+    delta ≪ store): ship the delta's band triples to the store scan
+    as a broadcast build side so the store never shuffles. Set False
+    for a delta too large to broadcast (then both band-triple sides
+    hash-shuffle on (band, bhash) — still signatures only, never
+    text).
     """
     rows_per_band = num_hashes // bands
     pairs = minhash_dedup_pairs(
@@ -242,14 +278,16 @@ def incremental_minhash_dedup(
         F.col(SIG_COL).alias("__nsig__"),
         "__band__",
         "__bhash__",
-    ).repartition("__band__", "__bhash__")
+    )
+    if broadcast_delta:
+        new_b = F.broadcast(new_b)
     old_b = _band_triples(
         _assert_lane_count(seen_sigs, num_hashes, "store"),
         id_col, bands=bands, rows_per_band=rows_per_band,
         family=family,
     ).select(
         F.col(SIG_COL).alias("__osig__"), "__band__", "__bhash__"
-    ).repartition("__band__", "__bhash__")
+    )
 
     # lane-agreement estimate: share of equal minhash components.
     agree = (
@@ -261,8 +299,17 @@ def incremental_minhash_dedup(
         )
         / F.lit(num_hashes)
     )
-    matched = (
-        new_b.join(old_b, ["__band__", "__bhash__"])
+    # The candidate join runs INSIDE the store scan: band keys are
+    # recomputed map-side from the stored signatures, the delta's
+    # band triples ride in as the broadcast build side, and the
+    # lane-agreement filter reduces the output to matched delta ids
+    # before anything shuffles — per-increment shuffle volume is
+    # delta-sized at ANY store size (the r11 sweep caught the
+    # previous repartition-both-sides shape shuffling the whole
+    # store's triples every increment). Materialized because both
+    # returned frames consume it: the store scan runs ONCE.
+    matched = materialize(
+        old_b.join(new_b, ["__band__", "__bhash__"])
         .filter(agree >= F.lit(threshold))
         .select(F.col("__nid__").alias(id_col))
         .distinct()
