@@ -425,3 +425,71 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_incremental_dedup(
+    df: DataFrame,
+    cols: list[str],
+    order_col: str,
+    *,
+    store_path: str,
+    output_path: str,
+    run_id: str = "r0",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous exact dedup against a PERSISTENT digest store —
+    the streaming face of operators/incremental.py (round 11): each
+    micro-batch is deduped within itself (keep-first by ``order_col``)
+    and against every digest ever kept, then survivors land in
+    ``output_path`` and their digests extend the store. The corpus
+    never reprocesses: per micro-batch the work is the batch's own
+    digest shuffle plus one map-side store probe
+    (incremental_exact_dedup broadcasts the batch's digests into the
+    store scan — store-size-independent shuffle, see the r11 sweep).
+
+    Exactly-once by construction, without foreachBatch transactions:
+    survivors and digest appends are written to per-batch directories
+    (``batch=<id>`` / ``__increment__=<run_id>-<id>``) with OVERWRITE,
+    so a replayed batch rewrites the same directories with the same
+    content. The store read EXCLUDES the current batch's own
+    increment partition — a replay that already appended its digests
+    would otherwise anti-join its own rows away and overwrite its
+    survivor directory with nothing (silent data loss on recovery).
+
+    ``run_id`` namespaces increment partitions per logical query run:
+    batch ids restart at 0 under a fresh checkpoint, and two runs'
+    increment directories must not collide (the self-exclusion rule
+    would exclude the WRONG history). Re-feeding the same content
+    under a new run_id against the grown store yields zero survivors
+    — the streaming analog of the exact-path idempotence pin.
+
+    The minhash analog is the same recipe with
+    ``incremental_minhash_dedup`` and a signature-store directory; it
+    is intentionally not duplicated here until a consumer needs it.
+    """
+    from pyspark.errors import AnalysisException
+
+    from exporter_spark.operators.incremental import incremental_exact_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = f"{run_id}-{batch_id}"
+        try:
+            seen = spark.read.parquet(store_path).filter(
+                F.col("__increment__") != inc
+            )
+        except AnalysisException:
+            seen = None  # first increment bootstraps the store
+        surv, app = incremental_exact_dedup(batch_df, cols, order_col, seen)
+        surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        app.write.mode("overwrite").parquet(
+            f"{store_path}/__increment__={inc}"
+        )
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -822,3 +822,61 @@ def test_sessionize_v3_without_migration_still_fails_loud(spark, tmp_path):
         q.stop()
     assert "state-schema version mismatch" in err, err[:2000]
     assert "no registered migration path" in err, err[:2000]
+
+
+def test_streaming_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Batch≡stream pin for the round-11 streaming incremental dedup:
+    files fed oldest-first one per micro-batch, duplicates planted
+    both within and across batches — the union of per-batch survivors
+    must equal the batch hash_dedup over the whole input, and the
+    digest store must hold exactly one digest per kept row. Then the
+    idempotence pin: re-feeding the same content under a new run_id
+    (fresh checkpoint, same store) yields ZERO survivors."""
+    from exporter_spark.operators.dedup import hash_dedup
+
+    src = str(tmp_path / "docs_src")
+    waves = [
+        [(0, "alpha"), (1, "beta")],
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],  # cross + in-batch dup
+        [(20, "beta"), (21, "delta")],
+    ]
+    for rows in waves:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.6)  # distinct mtimes → deterministic batch order
+
+    def run(out, ck, run_id):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string",
+            maxFilesPerTrigger=1,
+        )
+        q = ss.streaming_incremental_dedup(
+            stream, ["text"], "doc_id",
+            store_path=str(tmp_path / "store"), output_path=out,
+            run_id=run_id, checkpoint=ck,
+        )
+        _wait(q)
+        return sorted(
+            r[0]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+
+    got = run(str(tmp_path / "out1"), str(tmp_path / "ck1"), "r0")
+    all_rows = spark.createDataFrame(
+        [r for w in waves for r in w], "doc_id long, text string"
+    )
+    want = sorted(
+        r[0]
+        for r in hash_dedup(all_rows, ["text"], "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want == [0, 1, 11, 21]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.select("__digest__").distinct().count() == 4
+    # idempotence through the store: same content, new run, fresh
+    # checkpoint — everything is already kept, nothing survives
+    again = run(str(tmp_path / "out2"), str(tmp_path / "ck2"), "r1")
+    assert again == []
+    assert store.select("__digest__").distinct().count() == 4
