@@ -75,6 +75,13 @@ DELTA_STRIDE = 900_000_000  # far above any replica's id range
 _LOWER = string.ascii_lowercase
 REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
 _INC = dict(_MINHASH)  # registry parameters
+# The batch-rerun comparison caps at 30x: its growth is already
+# super-linear there (65s / 2.8 GB shuffled vs the increment's flat
+# 5s / 1.6 MB), and a min-of-1 100x batch run adds ~20 min of wall
+# for no new information about the INCREMENT — which is what this
+# sweep measures to 100x. Same rationale as the r10 curation sweep's
+# pretraining_mix_stats cap.
+BATCH_MINHASH_MAX_SCALE = 30
 
 
 def _block(i: int) -> str:
@@ -203,12 +210,15 @@ def main() -> None:
                 pairs = minhash_dedup_pairs(alld, "doc_id", "text", **_INC)
                 _force(dedup_keep_representatives(alld, pairs, "doc_id"))
 
-            row["batch_minhash"] = _timed_with_bytes(
-                spark, batch_minhash, 1 if scale >= 30 else REPEAT
-            )
+            if scale <= BATCH_MINHASH_MAX_SCALE:
+                row["batch_minhash"] = _timed_with_bytes(
+                    spark, batch_minhash, 1 if scale >= 30 else REPEAT
+                )
 
             results["scales"][scale] = row
-            print(f"[incsweep] x{scale}: {row}", file=sys.stderr)
+            # incremental emission: a killed run still leaves every
+            # completed scale's numbers parseable from stderr
+            print(f"[incsweep] x{scale}: {json.dumps(row)}", file=sys.stderr)
             for p in (corpus_path, sig_path, dig_path):
                 shutil.rmtree(p, ignore_errors=True)
     finally:
