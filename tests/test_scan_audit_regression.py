@@ -36,7 +36,7 @@ _AUDIT = (
     pathlib.Path(__file__).parent.parent
     / "tools"
     / "audits"
-    / "r10_scan_audit_sf0.001.txt"
+    / "r11_scan_audit_sf0.001.txt"
 )
 
 # The sentinels: the minhash pair pipeline (double-eval trap lives
@@ -49,6 +49,12 @@ SENTINELS = (
     "conversion_funnel",
     "dup_rate_by_source",
     "bigram_lm_scores",
+    # round 11: the incremental pair — the newest multi-materialize
+    # composition (delta cache + matched-set cache + map-side store
+    # probe); a FileScan-count rise here means a branch stopped
+    # riding its cache
+    "incremental_exact_survivors",
+    "incremental_minhash_survivors",
 )
 
 
