@@ -46,7 +46,15 @@ ADVICE r10): every store and delta signature row passes an
 under a different lane count fails loudly instead of silently
 depressing the agreement estimate. ``bands``/``shingle_n``/``family``
 drift cannot be detected from the stored arrays alone (same length,
-different meaning) and remains a documented caller contract. Persist the signature store
+different meaning) and remains a documented caller contract.
+
+Store handling: pass the store as PINNED data — a parquet read, or a
+``materialize()``d frame. Chaining a live signature lineage straight
+into the next increment invites Catalyst's project collapse to inline
+the 32-lane minhash expression into every one of the 8 band slices
+(the round-4 double-eval trap, 8-fold: measured 51s vs 6s at sf0.1 on
+the registry entry). A real pipeline persists the store anyway; the
+warning exists for tests and compositions. Persist the signature store
 partitioned/bucketed by a band-key prefix if increments become
 latency-critical; the operators take plain DataFrames and do not care
 how the store is laid out.

@@ -2452,11 +2452,21 @@ def incremental_minhash_survivors(spark, sf_dir):
     estimate as a generate_series filter over paired sig lanes — so
     the driver value-gates the one surface round 10 left pytest-only
     (VERDICT r10 item 1)."""
+    from exporter_spark.operators.partitioning import materialize
+
     d = load_table(spark, sf_dir, "documents")
     split = F.expr(_INC_SPLIT_SPARK)
     _, store = incremental.incremental_minhash_dedup(
         d.filter(split), "doc_id", "text", **_MINHASH
     )
+    # A REAL store is persisted parquet; this entry chains the
+    # bootstrap's live lineage instead, and the banding stage slices
+    # the signature column 8 times — Catalyst's project collapse
+    # would inline the whole 32-lane minhash expression into every
+    # slice (the round-4 double-eval trap, here 8-fold: measured 51s
+    # vs 6s at sf0.1). materialize() pins the store as a COLUMN, the
+    # same thing reading it from parquet gives every real consumer.
+    store = materialize(store)
     surv, _ = incremental.incremental_minhash_dedup(
         d.filter(~split), "doc_id", "text", store, **_MINHASH
     )
