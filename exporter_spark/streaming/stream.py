@@ -464,9 +464,7 @@ def streaming_incremental_dedup(
     under a new run_id against the grown store yields zero survivors
     — the streaming analog of the exact-path idempotence pin.
 
-    The minhash analog is the same recipe with
-    ``incremental_minhash_dedup`` and a signature-store directory; it
-    is intentionally not duplicated here until a consumer needs it.
+    The near-dup analog is :func:`streaming_incremental_minhash_dedup`.
     """
     from pyspark.errors import AnalysisException
 
@@ -482,6 +480,84 @@ def streaming_incremental_dedup(
         except AnalysisException:
             seen = None  # first increment bootstraps the store
         surv, app = incremental_exact_dedup(batch_df, cols, order_col, seen)
+        surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        app.write.mode("overwrite").parquet(
+            f"{store_path}/__increment__={inc}"
+        )
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def streaming_incremental_minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    store_path: str,
+    output_path: str,
+    run_id: str = "r0",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    threshold: float = 0.7,
+    family: str = "md5",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous NEAR-DUP dedup against a persistent signature store —
+    the streaming face of ``incremental_minhash_dedup`` (round 11):
+    each micro-batch runs the full in-batch pipeline (banded LSH
+    proposes, exact Jaccard disposes), then its survivors are checked
+    against every signature ever kept (map-side store scan, the
+    batch's band triples broadcast in) and the final survivors' own
+    signatures extend the store. The corpus/stream history never
+    reprocesses: per micro-batch the work is the batch's pipeline
+    plus one store scan, and the store holds ~256 B/doc (num_hashes
+    bigint lanes), never text.
+
+    Same exactly-once construction as
+    :func:`streaming_incremental_dedup`: per-batch overwrite
+    directories, self-increment exclusion on replay, ``run_id``
+    namespacing across logical runs. The store is read from parquet
+    each batch — pinned data, as the operator's store contract
+    requires (a live lineage would re-inline the minhash expression
+    into every band slice).
+
+    Store parameters (``num_hashes``/``bands``/``shingle_n``/
+    ``family``) must stay constant for the life of ``store_path``;
+    the in-plan lane-count guard fails a mismatched ``num_hashes``
+    loudly. Semantics note: increments compare against survivors
+    only — chain-shaped clusters spanning many batches can keep more
+    docs than a one-shot batch run (the documented greedy divergence
+    in operators/incremental.py); the batch≡stream pin therefore
+    compares against the SEQUENTIAL incremental run, which it equals
+    exactly.
+    """
+    from pyspark.errors import AnalysisException
+
+    from exporter_spark.operators.incremental import (
+        incremental_minhash_dedup,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = f"{run_id}-{batch_id}"
+        try:
+            seen = spark.read.parquet(store_path).filter(
+                F.col("__increment__") != inc
+            )
+        except AnalysisException:
+            seen = None  # first increment bootstraps the store
+        surv, app = incremental_minhash_dedup(
+            batch_df, id_col, text_col, seen,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold, family=family,
+        )
         surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         app.write.mode("overwrite").parquet(
             f"{store_path}/__increment__={inc}"

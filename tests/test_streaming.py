@@ -880,3 +880,80 @@ def test_streaming_incremental_dedup_stream_equals_batch(spark, tmp_path):
     again = run(str(tmp_path / "out2"), str(tmp_path / "ck2"), "r1")
     assert again == []
     assert store.select("__digest__").distinct().count() == 4
+
+
+def test_streaming_incremental_minhash_equals_sequential(spark, tmp_path):
+    """Stream≡sequential pin for the round-11 streaming NEAR-DUP
+    face: waves fed oldest-first one file per micro-batch must produce
+    exactly the survivors of running incremental_minhash_dedup
+    sequentially over the same waves (the operator's own greedy
+    semantics), with near-dups planted within a batch, across
+    batches, and against the store. Then the replay pin: re-feeding
+    the same content under a new run_id drops everything long enough
+    to be stored."""
+    import hashlib as _h
+
+    from exporter_spark.operators.incremental import (
+        incremental_minhash_dedup,
+    )
+
+    def rnd(tag, n):
+        out, i = [], 0
+        while sum(len(x) for x in out) < n:
+            out.append(_h.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    base_a = rnd("sa", 200)
+    base_b = rnd("sb", 200)
+    waves = [
+        [(1, base_a), (2, base_b)],
+        # 10 near-dups stored 1; 11/12 are an in-batch near-dup pair
+        [
+            (10, base_a[:-24] + rnd("m1", 24)),
+            (11, rnd("w2", 200)),
+            (12, rnd("w2", 200)[:-24] + rnd("m2", 24)),
+        ],
+        # 20 near-dups stored 2; 21 novel
+        [(20, base_b[:-24] + rnd("m3", 24)), (21, rnd("w3", 200))],
+    ]
+    src = str(tmp_path / "docs_src")
+    for rows in waves:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.6)
+
+    def run(out, ck, run_id):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string",
+            maxFilesPerTrigger=1,
+        )
+        q = ss.streaming_incremental_minhash_dedup(
+            stream, "doc_id", "text",
+            store_path=str(tmp_path / "store"), output_path=out,
+            run_id=run_id, checkpoint=ck, threshold=0.5,
+        )
+        _wait(q)
+        return sorted(
+            r[0]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+
+    got = run(str(tmp_path / "out1"), str(tmp_path / "ck1"), "r0")
+
+    # the sequential incremental run over the same waves
+    store = None
+    want = []
+    for rows in waves:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        surv, app = incremental_minhash_dedup(
+            b, "doc_id", "text", store, threshold=0.5
+        )
+        want += [r[0] for r in surv.select("doc_id").collect()]
+        store = app if store is None else store.unionByName(app)
+    assert got == sorted(want) == [1, 2, 11, 21]
+
+    # replay under a new run_id: every doc near-dups its stored self
+    again = run(str(tmp_path / "out2"), str(tmp_path / "ck2"), "r1")
+    assert again == []
