@@ -477,7 +477,15 @@ def streaming_incremental_dedup(
             seen = spark.read.parquet(store_path).filter(
                 F.col("__increment__") != inc
             )
-        except AnalysisException:
+        except AnalysisException as ex:
+            # ONLY a missing store directory means bootstrap. Any
+            # other analysis failure (corrupt store, schema loss)
+            # must fail the batch — silently treating an unreadable
+            # store as empty would wave every duplicate through.
+            if "PATH_NOT_FOUND" not in str(
+                getattr(ex, "getErrorClass", lambda: "")() or str(ex)
+            ):
+                raise
             seen = None  # first increment bootstraps the store
         surv, app = incremental_exact_dedup(batch_df, cols, order_col, seen)
         surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
@@ -551,7 +559,15 @@ def streaming_incremental_minhash_dedup(
             seen = spark.read.parquet(store_path).filter(
                 F.col("__increment__") != inc
             )
-        except AnalysisException:
+        except AnalysisException as ex:
+            # ONLY a missing store directory means bootstrap. Any
+            # other analysis failure (corrupt store, schema loss)
+            # must fail the batch — silently treating an unreadable
+            # store as empty would wave every duplicate through.
+            if "PATH_NOT_FOUND" not in str(
+                getattr(ex, "getErrorClass", lambda: "")() or str(ex)
+            ):
+                raise
             seen = None  # first increment bootstraps the store
         surv, app = incremental_minhash_dedup(
             batch_df, id_col, text_col, seen,

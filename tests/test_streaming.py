@@ -957,3 +957,29 @@ def test_streaming_incremental_minhash_equals_sequential(spark, tmp_path):
     # replay under a new run_id: every doc near-dups its stored self
     again = run(str(tmp_path / "out2"), str(tmp_path / "ck2"), "r1")
     assert again == []
+
+
+def test_streaming_incremental_dedup_corrupt_store_fails_loud(spark, tmp_path):
+    """Only a MISSING store directory means bootstrap; an unreadable
+    store must fail the batch — silently treating it as empty would
+    wave every duplicate through (round-11 review)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "part-junk.parquet").write_text("this is not parquet")
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema="doc_id long, text string"
+    )
+    q = ss.streaming_incremental_dedup(
+        stream, ["text"], "doc_id",
+        store_path=str(store), output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
