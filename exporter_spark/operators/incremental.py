@@ -48,12 +48,13 @@ depressing the agreement estimate. ``bands``/``shingle_n``/``family``
 drift cannot be detected from the stored arrays alone (same length,
 different meaning) and remains a documented caller contract.
 
-Store handling: pass the store as PINNED data — a parquet read, or a
-``materialize()``d frame. Chaining a live signature lineage straight
-into the next increment invites Catalyst's project collapse to inline
-the 32-lane minhash expression into every one of the 8 band slices
-(the round-4 double-eval trap, 8-fold: measured 51s vs 6s at sf0.1 on
-the registry entry). A real pipeline persists the store anyway; the
+Store handling: pass the store as PINNED data — a parquet read, a
+``materialize()``d frame, or the bootstrap call's own returns (pinned
+since round 11). Chaining an UN-pinned signature lineage into the
+next increment invites Catalyst's project collapse to inline the
+32-lane minhash expression into every one of the 8 band slices (the
+round-4 double-eval trap, 8-fold: measured 51s vs 6s at sf0.1 on the
+registry entry). A real pipeline persists the store anyway; the
 warning exists for tests and compositions. Persist the signature store
 partitioned/bucketed by a band-key prefix if increments become
 latency-critical; the operators take plain DataFrames and do not care
@@ -109,12 +110,18 @@ def _assert_lane_count(sigs: DataFrame, num_hashes: int, side: str) -> DataFrame
     ROW (before band explosion), so the cost is one array-length
     compare per doc and a mismatched store fails on its first row
     even when no band ever collides."""
+    # coalesce: a NULL signature must still fire WITH the crafted
+    # message — size(NULL) is NULL under ANSI, which would both raise
+    # (condition NULL) and evaluate the concat'd errMsg to NULL,
+    # replacing the contract diagnostic with an opaque null error
+    # (round-11 review).
+    lanes = F.coalesce(F.size(F.col(SIG_COL)), F.lit(-1))
     return sigs.filter(
         F.assert_true(
-            F.size(F.col(SIG_COL)) == num_hashes,
+            lanes == num_hashes,
             F.concat(
                 F.lit(f"incremental_minhash_dedup: {side} signature has "),
-                F.size(F.col(SIG_COL)).cast("string"),
+                lanes.cast("string"),
                 F.lit(
                     f" lanes, expected num_hashes={num_hashes} — the store"
                     " parameter-constancy contract (num_hashes/bands/"
@@ -157,11 +164,13 @@ def incremental_exact_dedup(
     a huge-delta caller back into the shuffled joins.
     """
     tagged = new_df.withColumn(DIGEST_COL, content_digest(cols))
-    batch = exact_dedup(tagged, [DIGEST_COL], order_col)
+    # batch feeds multiple branches in BOTH modes — the two returned
+    # frames alone re-run the keep-first window per forced output, and
+    # the non-bootstrap path adds the probe and anti join (round-11
+    # review: the bootstrap path had been left re-executing).
+    # Delta-sized cache; released by the caller's cache_scope.
+    batch = materialize(exact_dedup(tagged, [DIGEST_COL], order_col))
     if seen_digests is not None:
-        # batch feeds THREE branches (probe, anti join, both returns);
-        # delta-sized cache so each executes against pinned blocks
-        batch = materialize(batch)
         probe = batch.select(DIGEST_COL)
         if broadcast_delta:
             probe = F.broadcast(probe)
@@ -262,21 +271,24 @@ def incremental_minhash_dedup(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         threshold=threshold, family=family,
     )
-    batch = dedup_keep_representatives(new_df, pairs, id_col)
-    sigs = minhash_signatures(
-        batch, id_col, text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+    # Both returned frames consume `batch` (survivors directly, and
+    # sig_append through the signature pipeline), and the store path
+    # adds the band-probe branch — Spark shares nothing across
+    # branches (the round-4/10 cross-branch audits), so both frames
+    # are pinned in BOTH modes (round-11 review extended this to the
+    # bootstrap path). Delta-sized caches (batch: survivor rows;
+    # sigs: id + num_hashes bigints/doc, no text), MEMORY_AND_DISK,
+    # released by the caller's cache_scope.
+    batch = materialize(dedup_keep_representatives(new_df, pairs, id_col))
+    sigs = materialize(
+        minhash_signatures(
+            batch, id_col, text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+        )
     )
     if seen_sigs is None:
         return batch, sigs
 
-    # sigs feeds TWO plan branches below (the band triples behind
-    # `matched`, and the sig_append anti join) and Spark shares
-    # nothing across branches (the round-4/10 cross-branch audits) —
-    # un-persisted, the delta re-spreads/re-shingles/re-hashes once
-    # per branch. Delta-sized (id + num_hashes bigints/doc, no text),
-    # MEMORY_AND_DISK, released by the caller's cache_scope.
-    sigs = materialize(sigs)
     sigs = _assert_lane_count(sigs, num_hashes, "delta")
 
     new_b = _band_triples(

@@ -2459,13 +2459,15 @@ def incremental_minhash_survivors(spark, sf_dir):
     _, store = incremental.incremental_minhash_dedup(
         d.filter(split), "doc_id", "text", **_MINHASH
     )
-    # A REAL store is persisted parquet; this entry chains the
-    # bootstrap's live lineage instead, and the banding stage slices
-    # the signature column 8 times — Catalyst's project collapse
-    # would inline the whole 32-lane minhash expression into every
-    # slice (the round-4 double-eval trap, here 8-fold: measured 51s
-    # vs 6s at sf0.1). materialize() pins the store as a COLUMN, the
-    # same thing reading it from parquet gives every real consumer.
+    # The store must be PINNED data: chaining a live signature
+    # lineage would let Catalyst's project collapse inline the whole
+    # 32-lane minhash expression into every one of the 8 band slices
+    # (the round-4 double-eval trap, 8-fold: measured 51s vs 6s at
+    # sf0.1). The bootstrap return is materialize()d by the operator
+    # since the round-11 review; this explicit pin is kept as the
+    # entry's own guard so an operator-side change cannot silently
+    # reintroduce the inlining (persist on an already-persisted frame
+    # is a no-op).
     store = materialize(store)
     surv, _ = incremental.incremental_minhash_dedup(
         d.filter(~split), "doc_id", "text", store, **_MINHASH

@@ -427,6 +427,93 @@ def sessionize(
     )
 
 
+
+def _run_id_for(checkpoint: str, run_id: str | None) -> str:
+    """Default run_id: derived from the checkpoint location, so it is
+    STABLE across restarts of the same checkpoint (a replayed batch
+    must exclude its OWN earlier store append — a changed run_id
+    there would un-exclude it and anti-join the batch's rows away)
+    but differs for a fresh checkpoint location — the common ops
+    reset — so a restarted-from-scratch query cannot overwrite an
+    older run's increment partitions (round-11 review: the fixed
+    default "r0" made that silent store corruption the path of least
+    resistance). Resetting a checkpoint by deleting and recreating
+    the SAME path still collides: pass an explicit run_id there."""
+    if run_id is not None:
+        return run_id
+    import hashlib
+
+    return "r" + hashlib.md5(checkpoint.encode()).hexdigest()[:10]
+
+
+def _read_increment_store(spark, store_path: str, inc: str):
+    """The persisted store, minus the current batch's own increment
+    partition (a post-append replay would otherwise anti-join its own
+    rows away and overwrite its survivor directory with nothing) —
+    or None when the store does not exist yet (bootstrap).
+
+    Bootstrap is detected by FILESYSTEM EXISTENCE, not by parsing
+    read errors: a store directory that exists but holds no committed
+    data (a crash between directory creation and parquet commit) also
+    bootstraps, while a store with committed-but-unreadable data
+    fails the batch loudly — silently treating an unreadable store as
+    empty would wave every duplicate through. Uses the Hadoop FS API
+    so the same logic covers local paths and object stores."""
+    jvm = spark._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return None
+
+    def _has_committed(p) -> bool:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            # Spark's own listing rule (HadoopFsUtils): names starting
+            # with "_" or "." are staging/metadata (_temporary,
+            # ._SUCCESS.crc) UNLESS they contain "=" — partition
+            # directories like __increment__=r0-0 are data.
+            if name.startswith(("_", ".")) and "=" not in name:
+                continue
+            if st.isDirectory():
+                if _has_committed(st.getPath()):
+                    return True
+            else:
+                return True
+        return False
+
+    if not _has_committed(path):
+        return None
+    return spark.read.parquet(store_path).filter(
+        F.col("__increment__") != inc
+    )
+
+
+def _start_increment_sink(
+    df: DataFrame,
+    output_path: str,
+    checkpoint: str | None,
+    trigger: dict | None,
+    batch_fn,
+) -> StreamingQuery:
+    """Shared exactly-once scaffolding for the incremental dedup
+    sinks: per-batch cache_scope (the operators materialize() their
+    multi-consumer frames — without a scope every micro-batch would
+    leak MEMORY_AND_DISK entries for the life of the stream), and the
+    checkpointed foreachBatch writer."""
+    from exporter_spark.operators.partitioning import cache_scope
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        with cache_scope():
+            batch_fn(batch_df, batch_id)
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_incremental_dedup(
     df: DataFrame,
     cols: list[str],
@@ -434,7 +521,8 @@ def streaming_incremental_dedup(
     *,
     store_path: str,
     output_path: str,
-    run_id: str = "r0",
+    run_id: str | None = None,
+    broadcast_delta: bool = True,
     checkpoint: str | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
@@ -447,6 +535,9 @@ def streaming_incremental_dedup(
     digest shuffle plus one map-side store probe
     (incremental_exact_dedup broadcasts the batch's digests into the
     store scan — store-size-independent shuffle, see the r11 sweep).
+    ``broadcast_delta=False`` opts out for oversized micro-batches
+    (e.g. a whole-backlog batch 0 with no trigger limit) — the hard
+    broadcast hint bypasses size thresholds and would OOM the driver.
 
     Exactly-once by construction, without foreachBatch transactions:
     survivors and digest appends are written to per-batch directories
@@ -460,45 +551,33 @@ def streaming_incremental_dedup(
     ``run_id`` namespaces increment partitions per logical query run:
     batch ids restart at 0 under a fresh checkpoint, and two runs'
     increment directories must not collide (the self-exclusion rule
-    would exclude the WRONG history). Re-feeding the same content
-    under a new run_id against the grown store yields zero survivors
-    — the streaming analog of the exact-path idempotence pin.
+    would exclude the WRONG history). The default is derived from the
+    checkpoint location (see ``_run_id_for``). Re-feeding the same
+    content under a new run_id against the grown store yields zero
+    survivors — the streaming analog of the exact-path idempotence
+    pin.
 
     The near-dup analog is :func:`streaming_incremental_minhash_dedup`.
     """
-    from pyspark.errors import AnalysisException
-
     from exporter_spark.operators.incremental import incremental_exact_dedup
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
+    ck = checkpoint or f"{output_path}/_checkpoint"
+    rid = _run_id_for(ck, run_id)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        inc = f"{run_id}-{batch_id}"
-        try:
-            seen = spark.read.parquet(store_path).filter(
-                F.col("__increment__") != inc
-            )
-        except AnalysisException as ex:
-            # ONLY a missing store directory means bootstrap. Any
-            # other analysis failure (corrupt store, schema loss)
-            # must fail the batch — silently treating an unreadable
-            # store as empty would wave every duplicate through.
-            if "PATH_NOT_FOUND" not in str(
-                getattr(ex, "getErrorClass", lambda: "")() or str(ex)
-            ):
-                raise
-            seen = None  # first increment bootstraps the store
-        surv, app = incremental_exact_dedup(batch_df, cols, order_col, seen)
+        inc = f"{rid}-{batch_id}"
+        seen = _read_increment_store(spark, store_path, inc)
+        surv, app = incremental_exact_dedup(
+            batch_df, cols, order_col, seen,
+            broadcast_delta=broadcast_delta,
+        )
         surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         app.write.mode("overwrite").parquet(
             f"{store_path}/__increment__={inc}"
         )
 
-    writer = df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
-    )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return _start_increment_sink(df, output_path, ck, trigger, batch_fn)
 
 
 def streaming_incremental_minhash_dedup(
@@ -508,12 +587,13 @@ def streaming_incremental_minhash_dedup(
     *,
     store_path: str,
     output_path: str,
-    run_id: str = "r0",
+    run_id: str | None = None,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 8,
     threshold: float = 0.7,
     family: str = "md5",
+    broadcast_delta: bool = True,
     checkpoint: str | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
@@ -528,13 +608,11 @@ def streaming_incremental_minhash_dedup(
     plus one store scan, and the store holds ~256 B/doc (num_hashes
     bigint lanes), never text.
 
-    Same exactly-once construction as
-    :func:`streaming_incremental_dedup`: per-batch overwrite
-    directories, self-increment exclusion on replay, ``run_id``
-    namespacing across logical runs. The store is read from parquet
-    each batch — pinned data, as the operator's store contract
-    requires (a live lineage would re-inline the minhash expression
-    into every band slice).
+    Same exactly-once construction, run_id defaulting, bootstrap
+    detection and ``broadcast_delta`` escape hatch as
+    :func:`streaming_incremental_dedup`. The store is read from
+    parquet each batch — pinned data, as the operator's store
+    contract requires.
 
     Store parameters (``num_hashes``/``bands``/``shingle_n``/
     ``family``) must stay constant for the life of ``store_path``;
@@ -546,42 +624,26 @@ def streaming_incremental_minhash_dedup(
     compares against the SEQUENTIAL incremental run, which it equals
     exactly.
     """
-    from pyspark.errors import AnalysisException
-
     from exporter_spark.operators.incremental import (
         incremental_minhash_dedup,
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
+    ck = checkpoint or f"{output_path}/_checkpoint"
+    rid = _run_id_for(ck, run_id)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        inc = f"{run_id}-{batch_id}"
-        try:
-            seen = spark.read.parquet(store_path).filter(
-                F.col("__increment__") != inc
-            )
-        except AnalysisException as ex:
-            # ONLY a missing store directory means bootstrap. Any
-            # other analysis failure (corrupt store, schema loss)
-            # must fail the batch — silently treating an unreadable
-            # store as empty would wave every duplicate through.
-            if "PATH_NOT_FOUND" not in str(
-                getattr(ex, "getErrorClass", lambda: "")() or str(ex)
-            ):
-                raise
-            seen = None  # first increment bootstraps the store
+        inc = f"{rid}-{batch_id}"
+        seen = _read_increment_store(spark, store_path, inc)
         surv, app = incremental_minhash_dedup(
             batch_df, id_col, text_col, seen,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             threshold=threshold, family=family,
+            broadcast_delta=broadcast_delta,
         )
         surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         app.write.mode("overwrite").parquet(
             f"{store_path}/__increment__={inc}"
         )
 
-    writer = df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
-    )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return _start_increment_sink(df, output_path, ck, trigger, batch_fn)

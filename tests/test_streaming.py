@@ -879,6 +879,10 @@ def test_streaming_incremental_dedup_stream_equals_batch(spark, tmp_path):
     # checkpoint — everything is already kept, nothing survives
     again = run(str(tmp_path / "out2"), str(tmp_path / "ck2"), "r1")
     assert again == []
+    # FRESH read: the earlier frame's file index was snapshotted
+    # before the replay ran, so re-counting it could never see
+    # digests wrongly appended during the replay (round-11 review)
+    store = spark.read.parquet(str(tmp_path / "store"))
     assert store.select("__digest__").distinct().count() == 4
 
 
@@ -983,3 +987,42 @@ def test_streaming_incremental_dedup_corrupt_store_fails_loud(spark, tmp_path):
     with pytest.raises(StreamingQueryException):
         q.processAllAvailable()
     q.stop()
+
+
+def test_streaming_incremental_dedup_recovers_from_uncommitted_store(
+    spark, tmp_path
+):
+    """A crash between store-directory creation and parquet commit
+    leaves staging files but no committed data; the replay must treat
+    that as bootstrap, not crash-loop on an unreadable store
+    (round-11 review)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    store = tmp_path / "store" / "__increment__=dead-0" / "_temporary" / "0"
+    store.mkdir(parents=True)
+    (store / "task_junk").write_text("half-written staging data")
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema="doc_id long, text string"
+    )
+    out = str(tmp_path / "out")
+    q = ss.streaming_incremental_dedup(
+        stream, ["text"], "doc_id",
+        store_path=str(tmp_path / "store"), output_path=out,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    _wait(q)
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_run_id_default_tracks_checkpoint_location():
+    from exporter_spark.streaming.stream import _run_id_for
+
+    assert _run_id_for("/ck/a", None) == _run_id_for("/ck/a", None)
+    assert _run_id_for("/ck/a", None) != _run_id_for("/ck/b", None)
+    assert _run_id_for("/ck/a", "explicit") == "explicit"
