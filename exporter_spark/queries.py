@@ -2381,7 +2381,7 @@ def _inc_exact_oracle() -> str:
 
 @_register("incremental_exact_survivors", _inc_exact_oracle())
 def incremental_exact_survivors(spark, sf_dir):
-    """Delta-vs-store exact dedup (operators/incremental.py:79): the
+    """Delta-vs-store exact dedup (operators/incremental.py:136): the
     store half bootstraps a sha256 digest store; the delta half is
     deduped within itself (keep-first by doc_id) and anti-joined
     against the store on the digest. The oracle replays both stages
@@ -2441,7 +2441,7 @@ def _inc_minhash_oracle() -> str:
 
 @_register("incremental_minhash_survivors", _inc_minhash_oracle())
 def incremental_minhash_survivors(spark, sf_dir):
-    """Delta-vs-store near-dup dedup (operators/incremental.py:179):
+    """Delta-vs-store near-dup dedup (operators/incremental.py:229):
     the store half bootstraps a signature store (its own batch-run
     survivors' minhash signatures — no text); the delta half runs the
     full in-batch pipeline, then its survivors are banded against the

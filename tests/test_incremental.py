@@ -252,3 +252,28 @@ def test_two_increment_commutativity_on_disjoint_deltas(spark):
     surv_21, store_21 = run(d2, d1)
     assert surv_12 == surv_21 == [11, 21]  # near-dups of the store drop
     assert store_12 == store_21 == [1, 2, 11, 21]
+
+
+def test_broadcast_modes_value_identical_on_documents(spark, sf_dir):
+    """broadcast_delta=True (map-side store scan, the default) and
+    False (shuffled band/digest joins, the huge-delta escape hatch)
+    must be pure physical strategies — value-identical survivors on
+    real documents for BOTH operators."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr("doc_id % 2 = 0")
+    _, dig_store = incremental_exact_dedup(docs.filter(split), ["text"], "doc_id")
+    _, sig_store = incremental_minhash_dedup(docs.filter(split), "doc_id", "text")
+    delta = docs.filter(~split)
+    for fn, store, kw in (
+        (incremental_exact_dedup, dig_store, dict(cols=["text"], order_col="doc_id")),
+        (incremental_minhash_dedup, sig_store, dict(text_col="text")),
+    ):
+        if fn is incremental_exact_dedup:
+            a, _ = fn(delta, kw["cols"], kw["order_col"], store, broadcast_delta=True)
+            b, _ = fn(delta, kw["cols"], kw["order_col"], store, broadcast_delta=False)
+        else:
+            a, _ = fn(delta, "doc_id", kw["text_col"], store, broadcast_delta=True)
+            b, _ = fn(delta, "doc_id", kw["text_col"], store, broadcast_delta=False)
+        assert _ids(a) == _ids(b)
