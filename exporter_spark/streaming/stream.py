@@ -647,3 +647,42 @@ def streaming_incremental_minhash_dedup(
         )
 
     return _start_increment_sink(df, output_path, ck, trigger, batch_fn)
+
+
+def compact_increment_store(
+    spark,
+    store_path: str,
+    out_path: str,
+    *,
+    increment_id: str = "compacted-0",
+    partitions: int | None = None,
+) -> None:
+    """Rewrite an increment store as ONE increment partition.
+
+    The streaming sinks append one ``__increment__=<run>-<batch>``
+    directory per micro-batch; at a 1-minute trigger that is ~525k
+    directories a year — a file-listing bottleneck long before it is
+    a data-size problem. This offline helper reads the whole store
+    and rewrites it to ``out_path`` under a single increment id,
+    coalesced to ``partitions`` files (default: the session's
+    parallelism).
+
+    It writes to a NEW path on purpose: an in-place rewrite cannot be
+    atomic on object stores, and a crash mid-compaction must never be
+    able to eat the store. Run it between increments (no query
+    writing the old store), then point the next run's ``store_path``
+    at ``out_path`` — the store is just "every digest/signature ever
+    kept"; increment boundaries carry no meaning beyond replay
+    self-exclusion, and a compacted id can never collide with a
+    live run's ``<run_id>-<batch>`` ids.
+
+    Works for both store schemas (digest and signature) — the helper
+    never looks at the data columns.
+    """
+    df = spark.read.parquet(store_path).drop("__increment__")
+    n = partitions or spark.sparkContext.defaultParallelism
+    # mode("error"): refuse to clobber an existing target — the swap
+    # discipline above depends on out_path being fresh
+    df.repartition(n).write.mode("error").parquet(
+        f"{out_path}/__increment__={increment_id}"
+    )

@@ -1026,3 +1026,49 @@ def test_run_id_default_tracks_checkpoint_location():
     assert _run_id_for("/ck/a", None) == _run_id_for("/ck/a", None)
     assert _run_id_for("/ck/a", None) != _run_id_for("/ck/b", None)
     assert _run_id_for("/ck/a", "explicit") == "explicit"
+
+
+def test_compact_increment_store_preserves_dedup_behavior(spark, tmp_path):
+    """Compaction folds N increment partitions into one without
+    changing what the store MEANS: the next increment drops exactly
+    the same rows against the compacted store, and compaction refuses
+    to overwrite an existing target."""
+    from exporter_spark.operators.incremental import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+    for i, text in enumerate(["alpha", "beta", "gamma"]):
+        spark.createDataFrame([(f"v{len(text)}:{text}",)], "__digest__ string") \
+            .write.parquet(f"{store}/__increment__=r0-{i}")
+    # real digests, not hand-built: bootstrap from the texts
+    import shutil
+
+    shutil.rmtree(store)
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    _, digs = incremental_exact_dedup(b, ["text"], "doc_id")
+    for i in range(3):  # three single-digest increments
+        digs.filter(f"__digest__ = '{digs.collect()[i][0]}'").write.parquet(
+            f"{store}/__increment__=r0-{i}"
+        )
+
+    compacted = str(tmp_path / "store_v2")
+    ss.compact_increment_store(spark, store, compacted, partitions=1)
+
+    delta = spark.createDataFrame(
+        [(10, "alpha"), (11, "novel")], "doc_id long, text string"
+    )
+    for path in (store, compacted):
+        seen = spark.read.parquet(path)
+        surv, _ = incremental_exact_dedup(delta, ["text"], "doc_id", seen)
+        assert sorted(r[0] for r in surv.select("doc_id").collect()) == [11]
+    # single increment partition, single data file
+    import os
+
+    subdirs = [
+        d for d in os.listdir(compacted) if d.startswith("__increment__=")
+    ]
+    assert subdirs == ["__increment__=compacted-0"]
+    # refuses to clobber
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        ss.compact_increment_store(spark, store, compacted)
