@@ -669,12 +669,23 @@ def compact_increment_store(
 
     It writes to a NEW path on purpose: an in-place rewrite cannot be
     atomic on object stores, and a crash mid-compaction must never be
-    able to eat the store. Run it between increments (no query
-    writing the old store), then point the next run's ``store_path``
-    at ``out_path`` — the store is just "every digest/signature ever
-    kept"; increment boundaries carry no meaning beyond replay
-    self-exclusion, and a compacted id can never collide with a
-    live run's ``<run_id>-<batch>`` ids.
+    able to eat the store. The store is just "every digest/signature
+    ever kept" — increment boundaries carry no meaning beyond replay
+    self-exclusion, and a compacted id can never collide with a live
+    run's ``<run_id>-<batch>`` ids.
+
+    SAFE PROCEDURE: compact only while no query writes the old store,
+    and resume against ``out_path`` under a FRESH checkpoint (which
+    also gives a fresh default run_id). Resuming the OLD checkpoint
+    against a compacted store is unsafe in one precise case: if the
+    old query's final batch appended its digests but crashed before
+    the checkpoint commit, that batch replays on restart — its own
+    digests are now folded inside the compacted partition, the
+    self-exclusion rule cannot see them, and the replay would
+    anti-join its own rows away (silent survivor loss). A fresh
+    checkpoint reprocesses the source from scratch instead; against
+    the compacted store everything already kept drops (the
+    idempotence pin), so the restart wastes only compute, never data.
 
     Works for both store schemas (digest and signature) — the helper
     never looks at the data columns.
