@@ -42,6 +42,23 @@ tr:hover td { background: #fafafa; }
 """
 
 
+def html_row_expr(cols: list[str], null_s: str = NULL_SPAN) -> Column:
+    """One ``<tr>`` per row as a single Catalyst concat over display
+    strings (codec/html/html.go:126-168 parity): each cell is
+    ``<td>value</td>`` with NULL rendered as ``null_s`` (the gray
+    span by default — html.go:36,176-180) and values NOT HTML-escaped
+    (html.go:160, the documented parity quirk). Module-level twin of
+    csv.csv_line_expr / xml.xml_row_expr so the record semantics are
+    oracle-checkable independent of the document framing."""
+    parts: list[Column] = [F.lit("<tr>")]
+    for c in cols:
+        parts.append(F.lit("<td>"))
+        parts.append(F.coalesce(qcol(c), F.lit(null_s)))
+        parts.append(F.lit("</td>"))
+    parts.append(F.lit("</tr>"))
+    return F.concat(*parts)
+
+
 class HTMLFormatter(BaseFormatter):
     def _head(self, names: list[str], types: list[str]) -> str:
         """Document skeleton; the <thead> block only when the spec asks
@@ -69,16 +86,7 @@ class HTMLFormatter(BaseFormatter):
         return self.spec.resolved_null(NULL_SPAN)
 
     def _row_expr(self, cols: list[str]) -> Column:
-        null_s = self._null_rendering()
-        parts: list[Column] = [F.lit("<tr>")]
-        for c in cols:
-            parts.append(F.lit("<td>"))
-            # NULL ⇒ configurable rendering (html.go:36,176-180);
-            # values unescaped (html.go:160)
-            parts.append(F.coalesce(qcol(c), F.lit(null_s)))
-            parts.append(F.lit("</td>"))
-        parts.append(F.lit("</tr>"))
-        return F.concat(*parts).alias("__tr__")
+        return html_row_expr(cols, self._null_rendering()).alias("__tr__")
 
     def _header_parts(self, df: DataFrame) -> tuple[list[str], list[str]]:
         names = self.spec.header_names(df)
