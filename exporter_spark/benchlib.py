@@ -59,6 +59,8 @@ def _stage_list(spark):
     # reorders a parameter would break every observable built on it
     # (bench tripwire, shuffle pins) with an opaque py4j error —
     # translate that into an actionable message (ADVICE r10).
+    from py4j.protocol import Py4JError, Py4JJavaError, Py4JNetworkError
+
     try:
         return store.stageList(
             jvm.java.util.ArrayList(),
@@ -67,7 +69,17 @@ def _stage_list(spark):
             getattr(store, "stageList$default$4")(),
             jvm.java.util.ArrayList(),
         )
-    except Exception as ex:  # noqa: BLE001 — re-raise with a version hint
+    except (Py4JJavaError, Py4JNetworkError):
+        # the call RESOLVED and threw in the JVM (OOM, listener-store
+        # fault), or the gateway connection dropped — neither is a
+        # signature problem; rewrapping them as one would misdirect
+        # debugging (ADVICE r11)
+        raise
+    except Py4JError as ex:
+        # non-Java, non-network Py4JError = the member/arity failed to
+        # resolve ("Method stageList([...]) does not exist", missing
+        # default-arg accessor) — the signature-drift case the message
+        # below exists for
         ver = spark.version
         raise RuntimeError(
             "AppStatusStore.stageList signature changed (private Spark"

@@ -243,16 +243,41 @@ def minhash_candidate_pairs(
     bucket with ~m²/2 doomed candidates per band. The filter is
     output-invariant and removes that skew hotspot.
     """
-    rows_per_band = num_hashes // bands
-    # The short-doc guard as a RAW-TEXT length predicate, applied
-    # before the spread so dropped docs never shuffle. Equivalent to
-    # filtering size(shingles) > 0 — shingle_sql yields an empty array
-    # iff length(text) < n, and NULL text fails both forms — but a
-    # size() predicate on the computed column made Catalyst evaluate
-    # the transform+array_distinct expression twice (filter + the
-    # downstream projection): measured +35% on the whole pair pipeline
-    # at sf0.1 (4.1s -> 5.5s).
-    sigs = (
+    sigs = minhash_sig_frame(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+    )
+    return banded_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_hashes // bands, family=family
+    )
+
+
+def minhash_sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    shingle_n: int,
+    family: str = "md5",
+) -> DataFrame:
+    """``(__id__, __sig__)`` for every doc long enough to shingle —
+    the tokenize + num_hashes-lane minhash map stage, factored out
+    (round 12) so pipelines that need BOTH candidate banding and a
+    signature store append compute it ONCE (it dominates near-dup
+    cost; incremental_minhash_dedup previously ran it twice over the
+    surviving delta text).
+
+    The short-doc guard is a RAW-TEXT length predicate, applied
+    before the spread so dropped docs never shuffle. Equivalent to
+    filtering size(shingles) > 0 — shingle_sql yields an empty array
+    iff length(text) < n, and NULL text fails both forms — but a
+    size() predicate on the computed column made Catalyst evaluate
+    the transform+array_distinct expression twice (filter + the
+    downstream projection): measured +35% on the whole pair pipeline
+    at sf0.1 (4.1s -> 5.5s).
+    """
+    return (
         _spread(df.filter(F.length(F.col(text_col)) >= shingle_n), id_col)
         .select(
             F.col(id_col).alias("__id__"),
@@ -266,6 +291,14 @@ def minhash_candidate_pairs(
             "__id__", minhash_over("__hs__", num_hashes, hashed=True).alias("__sig__")
         )
     )
+
+
+def banded_candidate_pairs(
+    sigs: DataFrame, *, bands: int, rows_per_band: int, family: str = "md5"
+) -> DataFrame:
+    """LSH candidate pairs from a precomputed ``(__id__, __sig__)``
+    frame — the banding + bucket-self-join half of
+    :func:`minhash_candidate_pairs`."""
     banded = sigs.select(
         "__id__",
         F.posexplode(
@@ -376,7 +409,69 @@ def minhash_dedup_pairs(
         return jaccard_verify_pairs(
             cands, df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
         )
+    pairs, _ = _collapsed_pairs(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, family=family, keep_sigs=False,
+    )
+    return pairs
 
+
+def minhash_dedup_pairs_and_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    threshold: float = 0.7,
+    family: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`minhash_dedup_pairs` (collapse_exact path) that ALSO
+    returns the exact-text representatives' signature frame
+    ``(id_col, __sig__)`` — MATERIALIZED and computed ONCE, feeding
+    both the banded candidate stage here and the caller's store /
+    sig-append stages. Round 12: ``incremental_minhash_dedup``
+    previously re-shingled + re-minhashed its surviving delta text
+    from scratch after this pipeline had already done so for the LSH
+    stage — the dominant map stage ran twice per increment.
+
+    Requires ``threshold <= 1.0``: at any satisfiable threshold every
+    non-representative exact-group member pairs with its rep (intra
+    pairs carry jaccard 1.0) and is dropped by keep-representatives,
+    so ``survivors ⊆ reps`` and the rep signature frame semi-joined
+    down to survivors is exactly ``minhash_signatures(survivors)``.
+    A degenerate ``threshold > 1.0`` breaks that containment (exact
+    dups all survive but only the rep has a signature row here), so
+    it is rejected — callers keep the two-pass shape for it.
+    """
+    if threshold > 1.0:
+        raise ValueError(
+            "minhash_dedup_pairs_and_sigs requires threshold <= 1.0:"
+            " above it exact-duplicate non-representatives survive"
+            " without a signature row (see docstring) — use"
+            " minhash_dedup_pairs + minhash_signatures instead"
+        )
+    return _collapsed_pairs(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, family=family, keep_sigs=True,
+    )
+
+
+def _collapsed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    family: str,
+    keep_sigs: bool,
+) -> tuple[DataFrame, DataFrame | None]:
     # ONE shuffle on the text hash feeds everything below: the
     # keep-first window (reps = min-id member of each exact-text
     # group), the members table, and the intra-group self-join all
@@ -415,11 +510,28 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("__mid__"), "__tk__", "__shok__"
     )
     reps = tagged.filter(F.col("__rn__") == 1).select(F.col(id_col), text_col)
-    cands = minhash_candidate_pairs(
-        reps, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        family=family,
-    )
+    rep_sigs = None
+    if keep_sigs:
+        # the one tokenize+minhash pass, pinned for reuse by the
+        # caller's sig-append stage — delta-sized cache (id +
+        # num_hashes bigints per rep, no text), MEMORY_AND_DISK,
+        # released by the caller's cache_scope
+        rep_sigs = materialize(
+            minhash_sig_frame(
+                reps, id_col, text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+            )
+        )
+        cands = banded_candidate_pairs(
+            rep_sigs,
+            bands=bands, rows_per_band=num_hashes // bands, family=family,
+        )
+    else:
+        cands = minhash_candidate_pairs(
+            reps, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            family=family,
+        )
     rep_pairs = jaccard_verify_pairs(
         cands, reps, id_col, text_col, shingle_n=shingle_n, threshold=threshold
     )
@@ -459,7 +571,10 @@ def minhash_dedup_pairs(
             "jaccard",
         )
     )
-    return intra.unionByName(cross)
+    pairs = intra.unionByName(cross)
+    if not keep_sigs:
+        return pairs, None
+    return pairs, rep_sigs.select(F.col("__id__").alias(id_col), "__sig__")
 
 
 # ---------------------------------------------------------------- n-gram jaccard

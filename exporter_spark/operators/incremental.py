@@ -39,14 +39,20 @@ tests/test_incremental.py::test_chain_cluster_documented_divergence.
 
 Store discipline: ``num_hashes``, ``bands``, ``shingle_n`` and
 ``family`` must not change across increments — band keys and lane
-estimates are only comparable within one configuration. The
-``num_hashes`` half of that contract is ENFORCED in-plan (round 11,
-ADVICE r10): every store and delta signature row passes an
-``assert_true(size(sig) = num_hashes)`` filter, so a store written
-under a different lane count fails loudly instead of silently
-depressing the agreement estimate. ``bands``/``shingle_n``/``family``
-drift cannot be detected from the stored arrays alone (same length,
-different meaning) and remains a documented caller contract.
+estimates are only comparable within one configuration. Since round
+12 the WHOLE contract is mechanized: a ``_store_params.json``
+manifest is written beside the store (streaming faces and
+:func:`append_signature_increment` do it automatically;
+:func:`ensure_store_params` for custom callers), every increment
+validates its parameters against it (loud ValueError on drift —
+including the ``bands``/``shingle_n``/``family`` drift the stored
+arrays cannot reveal: same length, different meaning), and a
+manifest-verified store skips the per-row in-plan lane assert. For a
+pre-manifest store only the ``num_hashes`` half is enforceable
+(round 11, ADVICE r10): every store and delta signature row passes
+an ``assert_true(size(sig) = num_hashes)`` filter, so a store
+written under a different lane count still fails loudly instead of
+silently depressing the agreement estimate.
 
 Store handling: pass the store as PINNED data — a parquet read, a
 ``materialize()``d frame, or the bootstrap call's own returns (pinned
@@ -78,24 +84,155 @@ dissimilar below threshold).
 
 from __future__ import annotations
 
+import json
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from exporter_spark.operators.dedup import (
-    char_shingles,
     content_digest,
     dedup_keep_representatives,
     exact_dedup,
-    hashed_shingles_sql,
     minhash_bands,
     minhash_dedup_pairs,
-    minhash_over,
+    minhash_dedup_pairs_and_sigs,
+    minhash_sig_frame,
 )
 from exporter_spark.operators.partitioning import materialize
-from exporter_spark.operators.partitioning import spread as _spread
 
 SIG_COL = "__sig__"
 DIGEST_COL = "__digest__"
+
+# ------------------------------------------------------ store manifest
+
+STORE_PARAMS_FILENAME = "_store_params.json"
+_STORE_PARAM_KEYS = ("num_hashes", "bands", "shingle_n", "family")
+
+# Partition-directory tokens (run ids, batch-qualified increment ids,
+# compaction ids). The LEADING LETTER is load-bearing, not style:
+# Spark infers partition-column types from the directory values, and
+# a numeric/date-shaped token (e.g. a run_id of "2024-01") would make
+# __increment__ read back as a non-string type — the != self-exclusion
+# then compares across a cast and can mis-exclude, which is the exact
+# silent replay-loss mode the increment ids exist to prevent (ADVICE
+# r11). A letter-led token can never parse as int/long/decimal/date/
+# timestamp, so inference always lands on string. '/' and '=' are
+# excluded because the token is spliced into a partition path.
+_TOKEN_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_-]*$")
+
+
+def validate_increment_token(token: str, what: str) -> str:
+    """Charset gate for run/increment/compaction ids (module
+    docstring of ``_TOKEN_RE`` has the why)."""
+    if not isinstance(token, str) or not _TOKEN_RE.match(token):
+        raise ValueError(
+            f"{what} {token!r} must match {_TOKEN_RE.pattern}: it is"
+            " spliced into an __increment__ partition directory, and a"
+            " token without a leading letter can be type-inferred as a"
+            " non-string partition value on read-back, breaking the"
+            " replay self-exclusion comparison (silent survivor loss)"
+        )
+    return token
+
+
+def store_params_dict(
+    *, num_hashes: int, bands: int, shingle_n: int, family: str
+) -> dict:
+    return {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "family": str(family),
+    }
+
+
+def write_store_params(store_path: str, params: dict, spark=None) -> None:
+    """Persist the signature-store parameter manifest as a sidecar
+    (``_store_params.json`` — leading underscore with no '=' keeps it
+    invisible to Spark's file listing, like ``_SUCCESS``). Round 12
+    (VERDICT r11): ``bands``/``shingle_n``/``family`` drift across
+    increments is undetectable from the stored arrays alone (same
+    length, different meaning); the manifest turns that documented
+    caller contract into a validated one."""
+    from exporter_spark import fsio
+
+    payload = json.dumps(
+        {k: params[k] for k in _STORE_PARAM_KEYS}, sort_keys=True
+    )
+    fsio.write_text(f"{store_path}/{STORE_PARAMS_FILENAME}", payload, spark)
+
+
+def read_store_params(store_path: str, spark=None) -> dict | None:
+    """The store's parameter manifest, or None when the store has
+    none (pre-manifest stores). A PRESENT-but-unreadable manifest
+    raises — silently downgrading to the manifest-less path would
+    drop the bands/shingle_n/family drift detection the manifest
+    exists for."""
+    from exporter_spark import fsio
+
+    path = f"{store_path}/{STORE_PARAMS_FILENAME}"
+    if not fsio.exists(path, spark):
+        return None
+    raw = fsio.read_text(path, spark)
+    try:
+        got = json.loads(raw)
+        missing = [k for k in _STORE_PARAM_KEYS if k not in got]
+    except ValueError as ex:
+        raise ValueError(
+            f"unreadable store parameter manifest at {path}: {ex}"
+        ) from ex
+    if missing:
+        raise ValueError(
+            f"store parameter manifest at {path} is missing keys"
+            f" {missing} (found: {sorted(got)})"
+        )
+    return {k: got[k] for k in _STORE_PARAM_KEYS}
+
+
+def check_store_params(manifest: dict, params: dict, store_path: str = "") -> None:
+    """Loud failure when an increment's parameters drift from the
+    store's manifest — the parameter-constancy contract, mechanized."""
+    drift = {
+        k: {"store": manifest.get(k), "increment": params[k]}
+        for k in _STORE_PARAM_KEYS
+        if manifest.get(k) != params[k]
+    }
+    if drift:
+        where = f" at {store_path}" if store_path else ""
+        raise ValueError(
+            "incremental minhash store parameter drift"
+            f"{where}: {drift} — band keys and lane-agreement"
+            " estimates are only comparable within one configuration"
+            " (num_hashes/bands/shingle_n/family fixed for the life of"
+            " the store); rebuild the store or match its manifest"
+        )
+
+
+def ensure_store_params(
+    store_path: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    family: str,
+    spark=None,
+) -> dict:
+    """Read-validate-or-create: returns the store's manifest when it
+    matches this call's parameters, raises on drift, and WRITES the
+    manifest when the store has none yet (bootstrap, or first contact
+    with a pre-manifest store — for the latter this blesses the
+    current call's parameters, which is the status-quo trust
+    assumption, but makes every FUTURE drift detectable)."""
+    params = store_params_dict(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, family=family
+    )
+    manifest = read_store_params(store_path, spark)
+    if manifest is None:
+        write_store_params(store_path, params, spark)
+        return params
+    check_store_params(manifest, params, store_path)
+    return manifest
 
 
 def _assert_lane_count(sigs: DataFrame, num_hashes: int, side: str) -> DataFrame:
@@ -196,22 +333,13 @@ def minhash_signatures(
     the store schema of :func:`incremental_minhash_dedup`. Docs
     shorter than ``shingle_n`` have an empty shingle set, can never
     near-dup-match anything (the batch pipeline's invariant), and are
-    therefore neither stored nor ever dropped by the store check."""
-    return (
-        _spread(df.filter(F.length(F.col(text_col)) >= shingle_n), id_col)
-        .select(
-            F.col(id_col),
-            char_shingles(text_col, shingle_n).alias("__sh__"),
-        )
-        .select(
-            id_col,
-            F.expr(hashed_shingles_sql("__sh__", family)).alias("__hs__"),
-        )
-        .select(
-            id_col,
-            minhash_over("__hs__", num_hashes, hashed=True).alias(SIG_COL),
-        )
-    )
+    therefore neither stored nor ever dropped by the store check.
+    Thin alias-projection over :func:`dedup.minhash_sig_frame` (the
+    shared tokenize+minhash map stage) since round 12."""
+    return minhash_sig_frame(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+    ).select(F.col("__id__").alias(id_col), F.col("__sig__").alias(SIG_COL))
 
 
 def _band_triples(
@@ -238,20 +366,31 @@ def incremental_minhash_dedup(
     threshold: float = 0.7,
     family: str = "md5",
     broadcast_delta: bool = True,
+    store_params: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a delta within itself and against a
     signature store; returns ``(survivors, sig_append)``.
 
     Stage 1 (in-batch) is the full batch pipeline —
-    :func:`minhash_dedup_pairs` (banded LSH + exact Jaccard, exact
-    collapse guard included) + keep-min-id representatives — so
+    :func:`minhash_dedup_pairs_and_sigs` (banded LSH + exact Jaccard,
+    exact collapse guard included) + keep-min-id representatives — so
     within the delta the semantics are identical to the batch
     operator. Stage 2 bands the stage-1 survivors' signatures against
     the store's (slice + hash of stored arrays; the store never
     re-shuffles document text because it has none) and drops any
     delta doc whose signature lane-agreement with SOME stored doc
     reaches ``threshold``. ``sig_append`` is the store-schema rows
-    (``minhash_signatures`` of the final survivors) to append.
+    of the final survivors, to append.
+
+    One tokenization pass (round 12, VERDICT r11): the delta's text is
+    shingled + minhashed ONCE — the rep signature frame from stage 1
+    is pinned and semi-joined down to survivors for both the store
+    probe and ``sig_append`` (every survivor is its exact-text group's
+    representative at any satisfiable threshold, so the containment
+    is exact — the previous shape re-ran the dominant tokenize +
+    32-lane map stage over all surviving delta text). The degenerate
+    ``threshold > 1.0`` breaks that containment and keeps the two-pass
+    shape (nothing can match there anyway).
 
     The store check is one-directional on purpose: stored docs are
     already emitted and cannot be un-kept; an increment only decides
@@ -264,28 +403,64 @@ def incremental_minhash_dedup(
     for a delta too large to broadcast (then both band-triple sides
     hash-shuffle on (band, bhash) — still signatures only, never
     text).
+
+    ``store_params``: the store's parameter manifest
+    (:func:`read_store_params` / :func:`ensure_store_params`). When
+    given it is checked against this call's parameters (loud
+    ValueError on drift — including the ``bands``/``shingle_n``/
+    ``family`` drift the stored arrays cannot reveal), and the
+    per-row store-side lane assert is SKIPPED: the manifest already
+    proves the store's lane count, so the 100 TB-side scan drops one
+    predicate (round 12, VERDICT r11 #3). Without it only
+    ``num_hashes`` is enforceable, via the in-plan assert.
     """
     rows_per_band = num_hashes // bands
-    pairs = minhash_dedup_pairs(
-        new_df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, family=family,
-    )
-    # Both returned frames consume `batch` (survivors directly, and
-    # sig_append through the signature pipeline), and the store path
-    # adds the band-probe branch — Spark shares nothing across
-    # branches (the round-4/10 cross-branch audits), so both frames
-    # are pinned in BOTH modes (round-11 review extended this to the
-    # bootstrap path). Delta-sized caches (batch: survivor rows;
-    # sigs: id + num_hashes bigints/doc, no text), MEMORY_AND_DISK,
-    # released by the caller's cache_scope.
-    batch = materialize(dedup_keep_representatives(new_df, pairs, id_col))
-    sigs = materialize(
-        minhash_signatures(
-            batch, id_col, text_col,
-            num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+    if store_params is not None:
+        check_store_params(
+            store_params,
+            store_params_dict(
+                num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, family=family,
+            ),
         )
-    )
+    # Both returned frames consume `batch` (survivors directly, and
+    # sig_append through the signature semi-join), and the store path
+    # adds the band-probe branch — Spark shares nothing across
+    # branches (the round-4/10 cross-branch audits), so the
+    # multi-consumer frames are pinned in BOTH modes (round-11 review
+    # extended this to the bootstrap path). Delta-sized caches
+    # (batch: survivor rows; rep sigs / sigs: id + num_hashes
+    # bigints/doc, no text), MEMORY_AND_DISK, released by the
+    # caller's cache_scope.
+    if threshold > 1.0:
+        # degenerate: no pair can satisfy the threshold, exact dups
+        # all survive, and survivors ⊄ reps — keep the two-pass shape
+        pairs = minhash_dedup_pairs(
+            new_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold, family=family,
+        )
+        batch = materialize(dedup_keep_representatives(new_df, pairs, id_col))
+        sigs = materialize(
+            minhash_signatures(
+                batch, id_col, text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+            )
+        )
+    else:
+        pairs, rep_sigs = minhash_dedup_pairs_and_sigs(
+            new_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold, family=family,
+        )
+        batch = materialize(dedup_keep_representatives(new_df, pairs, id_col))
+        # rep_sigs (already pinned by the pairs pipeline) semi-joined
+        # to survivors IS minhash_signatures(batch) — no second
+        # tokenization; materialized because the store path consumes
+        # it twice (band probe + sig_append)
+        sigs = materialize(
+            rep_sigs.join(batch.select(id_col), id_col, "semi")
+        )
     if seen_sigs is None:
         return batch, sigs
 
@@ -301,8 +476,15 @@ def incremental_minhash_dedup(
     )
     if broadcast_delta:
         new_b = F.broadcast(new_b)
+    # manifest-verified store ⇒ the lane count is already proven and
+    # the per-row assert drops out of the 100 TB-side scan
+    store_side = (
+        seen_sigs
+        if store_params is not None
+        else _assert_lane_count(seen_sigs, num_hashes, "store")
+    )
     old_b = _band_triples(
-        _assert_lane_count(seen_sigs, num_hashes, "store"),
+        store_side,
         id_col, bands=bands, rows_per_band=rows_per_band,
         family=family,
     ).select(
@@ -336,3 +518,34 @@ def incremental_minhash_dedup(
     )
     survivors = batch.join(matched, id_col, "left_anti")
     return survivors, sigs.join(matched, id_col, "left_anti")
+
+
+def append_signature_increment(
+    sig_append: DataFrame,
+    store_path: str,
+    increment_id: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 8,
+    family: str = "md5",
+) -> None:
+    """Batch-pipeline helper: persist one ``sig_append`` frame as an
+    ``__increment__=<id>`` partition of a signature store, with the
+    full store discipline applied — increment-id charset validation
+    (:func:`validate_increment_token`), parameter-manifest
+    write/validate (:func:`ensure_store_params`), and
+    ``mode("error")`` so two increments can never silently clobber
+    each other (the streaming sinks use overwrite on purpose — replay
+    idempotence — and derive their ids from the checkpointed batch id;
+    a batch caller has no such replay contract, so colliding ids are
+    a bug to surface, not a recovery to absorb)."""
+    validate_increment_token(increment_id, "increment_id")
+    ensure_store_params(
+        store_path,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        family=family, spark=sig_append.sparkSession,
+    )
+    sig_append.write.mode("error").parquet(
+        f"{store_path}/__increment__={increment_id}"
+    )

