@@ -1072,3 +1072,215 @@ def test_compact_increment_store_preserves_dedup_behavior(spark, tmp_path):
     # refuses to clobber
     with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
         ss.compact_increment_store(spark, store, compacted)
+
+
+# ------------------------------------------- compaction resume guard (r12)
+
+
+def _feed_wave(spark, src, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    time.sleep(0.6)
+
+
+def _run_inc_dedup(spark, src, store, out, ck, **kw):
+    stream = ss.stream_from_files(
+        spark, src, "parquet", schema="doc_id long, text string",
+        maxFilesPerTrigger=1,
+    )
+    q = ss.streaming_incremental_dedup(
+        stream, ["text"], "doc_id",
+        store_path=store, output_path=out, checkpoint=ck, **kw,
+    )
+    _wait(q)
+
+
+def test_compaction_resume_guard_refuses_unsafe_resume(spark, tmp_path):
+    """VERDICT r11 #2 'Done' criterion: the exact unsafe resume — an
+    old checkpoint whose final batch appended its digests but missed
+    the checkpoint commit, pointed at a compacted store — fails LOUDLY
+    before the query starts, instead of silently anti-joining the
+    replayed batch's own rows away."""
+    import os
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha"), (2, "beta")])
+    _feed_wave(spark, src, [(10, "alpha"), (11, "gamma")])
+    _run_inc_dedup(spark, src, store, out, ck)
+    assert sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 2, 11]
+
+    # simulate the crash: the final batch's store append landed but
+    # the checkpoint commit did not -> that batch will replay
+    commits = sorted(
+        f for f in os.listdir(f"{ck}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ck}/commits/{commits[-1]}")
+
+    compacted = str(tmp_path / "store_v2")
+    ss.compact_increment_store(spark, store, compacted)
+
+    # old checkpoint + compacted store = the silent-loss case -> loud
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        _run_inc_dedup(spark, src, compacted, out, ck)
+
+    # a FRESH checkpoint against the compacted store is the documented
+    # safe procedure: reprocess from scratch, everything already kept
+    # drops (idempotence), prior survivors stay (run_id-namespaced)
+    out2 = str(tmp_path / "out2")
+    _run_inc_dedup(spark, src, compacted, out2, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out2).count() == 0
+
+
+def test_compaction_resume_guard_legacy_checkpoint(spark, tmp_path):
+    """A pre-guard checkpoint (no store-state marker) must refuse a
+    compacted store (safety unprovable) but keep working against its
+    original, never-compacted store — adopting it on first contact."""
+    import os
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha")])
+    _run_inc_dedup(spark, src, store, out, ck)
+    marker = f"{ck}/_increment_store_state.json"
+    os.remove(marker)
+
+    compacted = str(tmp_path / "store_v2")
+    ss.compact_increment_store(spark, store, compacted)
+    with pytest.raises(RuntimeError, match="no record of adopting"):
+        _run_inc_dedup(spark, src, compacted, out, ck)
+
+    # against the ORIGINAL store the legacy checkpoint resumes fine
+    # (and re-adopts — the refusal above wrote no marker, so the
+    # checkpoint is still marker-less here), processing a new wave
+    _feed_wave(spark, src, [(20, "alpha"), (21, "delta")])
+    _run_inc_dedup(spark, src, store, out, ck)
+    assert os.path.exists(marker)
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [1, 21]
+
+
+def test_store_swap_under_live_checkpoint_refused(spark, tmp_path):
+    """Pointing a checkpoint that has begun batches at a DIFFERENT
+    store breaks replay self-exclusion — refused outright."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha")])
+    _run_inc_dedup(
+        spark, src, str(tmp_path / "store"), str(tmp_path / "out"), ck
+    )
+    with pytest.raises(RuntimeError, match="created against store"):
+        _run_inc_dedup(
+            spark, src, str(tmp_path / "other_store"),
+            str(tmp_path / "out"), ck,
+        )
+
+
+def test_fresh_checkpoint_rerun_preserves_prior_survivors(spark, tmp_path):
+    """ADVICE r11 (medium): survivor directories are run_id-namespaced,
+    so re-feeding the same source under a FRESH checkpoint into the
+    SAME output_path — batch ids restart at 0, every batch near-empty
+    against the grown store — must not overwrite prior batches'
+    survivors with nothing."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    _feed_wave(spark, src, [(1, "alpha"), (2, "beta")])
+    _feed_wave(spark, src, [(10, "alpha"), (11, "gamma")])
+    _run_inc_dedup(spark, src, store, out, str(tmp_path / "ck1"))
+    want = [1, 2, 11]
+    assert sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == want
+
+    # fresh checkpoint (fresh derived run_id), same output_path
+    _run_inc_dedup(spark, src, store, out, str(tmp_path / "ck2"))
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == want  # rerun added nothing AND destroyed nothing
+
+
+def test_streaming_minhash_store_params_manifest(spark, tmp_path):
+    """The near-dup face writes the parameter manifest at bootstrap
+    and a drifted restart fails loudly instead of silently mis-banding
+    (bands drift is undetectable from the stored arrays)."""
+    import hashlib as _h
+
+    from exporter_spark.operators.incremental import read_store_params
+
+    def rnd(tag, n):
+        out, i = [], 0
+        while sum(len(x) for x in out) < n:
+            out.append(_h.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    _feed_wave(spark, src, [(1, rnd("a", 200)), (2, rnd("b", 200))])
+
+    def run(ck, out, **kw):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string",
+            maxFilesPerTrigger=1,
+        )
+        q = ss.streaming_incremental_minhash_dedup(
+            stream, "doc_id", "text",
+            store_path=store, output_path=out, checkpoint=ck,
+            threshold=0.5, **kw,
+        )
+        _wait(q)
+        return q
+
+    run(str(tmp_path / "ck1"), str(tmp_path / "out1"))
+    m = read_store_params(store, spark)
+    assert m == {
+        "num_hashes": 32, "bands": 8, "shingle_n": 8, "family": "md5"
+    }
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="parameter drift"):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string",
+        )
+        q = ss.streaming_incremental_minhash_dedup(
+            stream, "doc_id", "text",
+            store_path=store, output_path=str(tmp_path / "out2"),
+            checkpoint=str(tmp_path / "ck2"), threshold=0.5, bands=16,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_run_id_validation_and_normalization():
+    import os
+
+    from exporter_spark.streaming.stream import _run_id_for
+
+    # spelling-invariant derived run_id (ADVICE r11): trailing slash,
+    # relative-vs-absolute
+    assert _run_id_for("/ck/a/", None) == _run_id_for("/ck/a", None)
+    rel = os.path.relpath("/tmp/some_ck", os.getcwd())
+    assert _run_id_for(rel, None) == _run_id_for("/tmp/some_ck", None)
+    # URIs: trailing slash only (no driver-side resolution)
+    assert _run_id_for("s3a://b/ck/", None) == _run_id_for("s3a://b/ck", None)
+    # explicit run_ids are charset-gated: partition-value type
+    # inference must stay string
+    with pytest.raises(ValueError, match="run_id"):
+        _run_id_for("/ck/a", "2024-01")
+    with pytest.raises(ValueError, match="run_id"):
+        _run_id_for("/ck/a", "r0/../evil")
+    assert _run_id_for("/ck/a", "run_7-x") == "run_7-x"
