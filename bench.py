@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     # join, so its number is the per-increment cost observable
     "incremental_exact_survivors",
     "incremental_minhash_survivors",
+    # round 12: the HTML record expression (the last codec to gain a
+    # driver oracle) — one concat projection over display strings, so
+    # its number tracks the tostring/display pipeline
+    "html_rows_events",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

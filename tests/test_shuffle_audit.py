@@ -48,6 +48,7 @@ EXPRESSION_ONLY = (
     "tostring_events",
     "csv_lines_events",
     "xml_rows_events",
+    "html_rows_events",
     "ndjson_lines_docs",
     "doc_fingerprints",
     "docs_sample_deterministic",
