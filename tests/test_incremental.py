@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from exporter_spark.operators.dedup import hash_dedup
 from exporter_spark.operators.incremental import (
     incremental_exact_dedup,
@@ -20,6 +22,23 @@ from exporter_spark.operators.incremental import (
     minhash_signatures,
 )
 from exporter_spark.sources.files import load_table
+
+
+@pytest.fixture(autouse=True)
+def _scoped_caches():
+    """Release every frame the operators materialize() inside each
+    test. These tests run the incremental operators over the SAME
+    documents table (often with default parameters) as the registry
+    entries; a leaked cached fragment is picked up by Spark's
+    automatic cache substitution in LATER tests' plans — the round-12
+    full suite saw the scan-audit sentinels read extra executed
+    FileScans because a leaked signature-frame cache replaced one side
+    of minhash_near_dup_pairs' self-join and broke its exchange
+    reuse."""
+    from exporter_spark.operators.partitioning import cache_scope
+
+    with cache_scope(blocking=True):
+        yield
 
 
 def _ids(df, col="doc_id"):
@@ -417,12 +436,20 @@ def test_sig_append_equals_fresh_signatures(spark):
     re-running minhash_signatures over the survivors — across exact
     dups, near dups, short docs, and the degenerate threshold>1.0
     fallback path."""
+    def rnd(tag, n):
+        out, i = [], 0
+        while sum(len(x) for x in out) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    base = rnd("sig", 200)
     rows = [
-        (1, "m" * 60),             # rep of exact group {1,2}
-        (2, "m" * 60),             # exact dup -> dropped
-        (3, "m" * 55 + "q" * 5),   # near-dup of 1 -> dropped at 0.5
-        (4, "zzz"),                # short (< shingle_n): kept, never stored
-        (5, "w" * 60),             # novel
+        (1, base),                        # rep of exact group {1,2}
+        (2, base),                        # exact dup -> dropped
+        (3, base[:-24] + rnd("m", 24)),   # near-dup of 1 -> dropped at 0.5
+        (4, "zzz"),                       # short (< shingle_n): kept, never stored
+        (5, rnd("w", 200)),               # novel
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for thr in (0.5, 1.5):
