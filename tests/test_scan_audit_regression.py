@@ -36,7 +36,7 @@ _AUDIT = (
     pathlib.Path(__file__).parent.parent
     / "tools"
     / "audits"
-    / "r11_scan_audit_sf0.001.txt"
+    / "r12_scan_audit_sf0.001.txt"
 )
 
 # The sentinels: the minhash pair pipeline (double-eval trap lives

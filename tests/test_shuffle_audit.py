@@ -4,7 +4,7 @@ The scan-audit snapshot pins PLAN shape; these tests pin the runtime
 complement — bytes actually moved — via AppStatusStore deltas
 (benchlib.shuffle_totals, same mechanism as
 tools/shuffle_audit_r10.py, whose committed full-registry snapshot
-lives in tools/audits/r11_shuffle_audit_sf0.001.json — re-recorded in
+lives in tools/audits/r12_shuffle_audit_sf0.001.json — re-recorded in
 round 11 because the r10 file predated benchlib's eviction-immune
 stage_marker method: three entries' r10 values carried the old
 cumulative-delta method's stage-eviction bias, confirmed by exact
@@ -63,7 +63,7 @@ SNAPSHOT = (
     pathlib.Path(__file__).parent.parent
     / "tools"
     / "audits"
-    / "r11_shuffle_audit_sf0.001.json"
+    / "r12_shuffle_audit_sf0.001.json"
 )
 
 
@@ -84,7 +84,7 @@ def test_expression_only_entries_move_zero_shuffle_bytes(spark, sf_dir, name):
     assert (w, r) == (0, 0), (
         f"{name} moved shuffle bytes (write={w}, read={r}) — an Exchange "
         "crept into an expression-only path; compare the plan against "
-        "tools/audits/r11_shuffle_audit_sf0.001.json"
+        "tools/audits/r12_shuffle_audit_sf0.001.json"
     )
 
 
