@@ -549,3 +549,18 @@ def append_signature_increment(
     sig_append.write.mode("error").parquet(
         f"{store_path}/__increment__={increment_id}"
     )
+
+
+def append_digest_increment(
+    digest_append: DataFrame, store_path: str, increment_id: str
+) -> None:
+    """Digest-store twin of :func:`append_signature_increment`:
+    persist one ``digest_append`` frame (single ``__digest__`` column,
+    the ``incremental_exact_dedup`` store schema) as an
+    ``__increment__=<id>`` partition, with increment-id charset
+    validation and ``mode("error")`` collision refusal. Digest stores
+    carry no tunable parameters, so there is no manifest to write."""
+    validate_increment_token(increment_id, "increment_id")
+    digest_append.write.mode("error").parquet(
+        f"{store_path}/__increment__={increment_id}"
+    )

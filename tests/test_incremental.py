@@ -507,3 +507,28 @@ def test_pairs_and_sigs_matches_pairs(spark, sf_dir):
         (r["doc_id"], tuple(r["__sig__"])) for r in rep_sigs.collect()
     )
     assert got == want
+
+
+def test_append_digest_increment_helper(spark, tmp_path):
+    """Digest-store batch persistence: validated ids, collision
+    refusal, and the persisted store drives the next increment exactly
+    like the in-memory one."""
+    store = str(tmp_path / "digstore")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    from exporter_spark.operators.incremental import append_digest_increment
+
+    _, dig1 = incremental_exact_dedup(b1, ["text"], "doc_id")
+    append_digest_increment(dig1, store, "inc-0")
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        append_digest_increment(dig1, store, "inc-0")
+    with pytest.raises(ValueError, match="increment_id"):
+        append_digest_increment(dig1, store, "0-starts-with-digit")
+
+    delta = spark.createDataFrame(
+        [(10, "alpha"), (11, "novel")], "doc_id long, text string"
+    )
+    seen = spark.read.parquet(store).drop("__increment__")
+    surv, _ = incremental_exact_dedup(delta, ["text"], "doc_id", seen)
+    assert _ids(surv) == [11]

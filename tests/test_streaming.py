@@ -1284,3 +1284,65 @@ def test_run_id_validation_and_normalization():
     with pytest.raises(ValueError, match="run_id"):
         _run_id_for("/ck/a", "r0/../evil")
     assert _run_id_for("/ck/a", "run_7-x") == "run_7-x"
+
+
+def test_chained_compaction_lineage(spark, tmp_path):
+    """Compacting a compacted store carries the WHOLE lineage forward:
+    a fresh checkpoint adopts every compaction id at once, while a
+    checkpoint that adopted only the first compaction refuses the
+    second — and the params manifest survives both hops."""
+    import json
+
+    from exporter_spark.operators.incremental import (
+        append_signature_increment,
+        incremental_minhash_dedup,
+        read_store_params,
+    )
+
+    v1 = str(tmp_path / "v1")
+    b = spark.createDataFrame([(1, "alpha" * 10)], "doc_id long, text string")
+    _, sig = incremental_minhash_dedup(b, "doc_id", "text")
+    append_signature_increment(sig, v1, "inc-0")
+
+    v2 = str(tmp_path / "v2")
+    v3 = str(tmp_path / "v3")
+    ss.compact_increment_store(spark, v1, v2, increment_id="c1")
+    ss.compact_increment_store(spark, v2, v3, increment_id="c2")
+    lineage = json.loads((tmp_path / "v3" / "_compactions.json").read_text())
+    assert [r["id"] for r in lineage["compactions"]] == ["c1", "c2"]
+    assert read_store_params(v3, spark) is not None  # manifest carried
+
+    # a checkpoint that ran against v2 (adopting c1) refuses v3 (c2
+    # unseen); a fresh checkpoint adopts the full lineage and runs
+    src = str(tmp_path / "src")
+    _feed_wave(spark, src, [(5, "beta" * 10)])
+
+    def run_mh(store, out, ck):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string",
+        )
+        q = ss.streaming_incremental_minhash_dedup(
+            stream, "doc_id", "text",
+            store_path=store, output_path=out, checkpoint=ck,
+        )
+        _wait(q)
+
+    ck = str(tmp_path / "ck")
+    run_mh(v2, str(tmp_path / "out1"), ck)
+    # pointing the live checkpoint at v3 is refused as a store SWAP
+    # (the path-identity check fires before the lineage diff)
+    with pytest.raises(RuntimeError, match="created against store"):
+        run_mh(v3, str(tmp_path / "out1"), ck)
+    # same path, new compaction id (a manual lineage merge — the only
+    # way a path gains an id, since compact refuses existing targets):
+    # the unseen-id branch refuses
+    from exporter_spark import fsio
+
+    v2_lineage = json.loads((tmp_path / "v2" / "_compactions.json").read_text())
+    v2_lineage["compactions"].append({"id": "c9", "source_store": v2})
+    # via fsio: a raw rewrite would leave the Hadoop .crc sidecar stale
+    fsio.write_text(f"{v2}/_compactions.json", json.dumps(v2_lineage), spark)
+    with pytest.raises(RuntimeError, match="compacted \\(\\['c9'\\]\\)"):
+        run_mh(v2, str(tmp_path / "out1"), ck)
+    # fresh checkpoint adopts v3's full two-hop lineage and runs
+    run_mh(v3, str(tmp_path / "out2"), str(tmp_path / "ck2"))
