@@ -155,6 +155,61 @@ def smoke_fsio_sinks(spark, sf_dir: str, out_root: str) -> bool:
     return ok
 
 
+def smoke_streaming_incremental(spark, work: str) -> bool:
+    """Round-12 check: the streaming incremental near-dup face across
+    separate executor JVMs — foreachBatch store appends, the parameter
+    manifest, the broadcast-delta store probe, compaction, the
+    fresh-checkpoint idempotent replay, and the compaction resume
+    guard's refusal (all driver/executor-boundary mechanisms)."""
+    import time as _t
+
+    from exporter_spark.operators.incremental import read_store_params
+    from exporter_spark.streaming import stream as ss
+
+    root = os.path.join(work, "streaminc")
+    src = f"{root}/src"
+    for rows in ([(1, "alpha" * 8), (2, "beta" * 8)],
+                 [(10, "alpha" * 8), (11, "gamma" * 8)]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+        _t.sleep(0.6)
+
+    def feed(store, out, ck, **kw):
+        stream = ss.stream_from_files(
+            spark, src, "parquet", schema="doc_id long, text string", **kw,
+        )
+        q = ss.streaming_incremental_minhash_dedup(
+            stream, "doc_id", "text",
+            store_path=store, output_path=out, checkpoint=ck, threshold=0.5,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed(f"{root}/store", f"{root}/out", f"{root}/ck", maxFilesPerTrigger=1)
+    got = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{root}/out").select("doc_id").collect()
+    )
+    manifest_ok = read_store_params(f"{root}/store", spark) is not None
+    ss.compact_increment_store(spark, f"{root}/store", f"{root}/store2")
+    feed(f"{root}/store2", f"{root}/out2", f"{root}/ck2")
+    n_replay = spark.read.parquet(f"{root}/out2").count()
+    refused = False
+    try:
+        feed(f"{root}/store2", f"{root}/out", f"{root}/ck")
+    except RuntimeError as ex:
+        refused = "refusing to resume" in str(ex)
+    ok = got == [1, 2, 11] and manifest_ok and n_replay == 0 and refused
+    print(
+        f"SMOKE streaming-incremental: survivors={got} (want [1, 2, 11]),"
+        f" manifest={'present' if manifest_ok else 'MISSING'},"
+        f" compacted-replay={n_replay} (want 0),"
+        f" unsafe-resume={'refused' if refused else 'NOT REFUSED'}"
+        f" -> {'OK' if ok else 'FAIL'}"
+    )
+    return ok
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     work = tempfile.mkdtemp(prefix="exporter_spark_cluster_smoke_")
@@ -182,6 +237,7 @@ def main() -> int:
             smoke_jar_distribution(spark, sf_dir),
             smoke_reliable_checkpoint(spark, f"{work}/ckpt"),
             smoke_fsio_sinks(spark, sf_dir, f"{work}/out"),
+            smoke_streaming_incremental(spark, work),
         ]
         return 0 if all(results) else 1
     finally:
