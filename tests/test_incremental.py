@@ -532,3 +532,48 @@ def test_append_digest_increment_helper(spark, tmp_path):
     seen = spark.read.parquet(store).drop("__increment__")
     surv, _ = incremental_exact_dedup(delta, ["text"], "doc_id", seen)
     assert _ids(surv) == [11]
+
+
+def test_token_charset_guarantees_string_partition_inference(spark, tmp_path):
+    """The validator's real contract, machine-checked: every token it
+    ACCEPTS produces an __increment__ partition column that Spark
+    type-infers as STRING (so the replay self-exclusion `!=` compares
+    string-to-string), and the shapes it REJECTS genuinely carry the
+    risk — written by hand they infer as non-string types."""
+    import pyspark.sql.functions as F
+
+    from exporter_spark.operators.incremental import (
+        validate_increment_token,
+    )
+
+    accepted = ["r0-0", "run_7-x", "compacted-0", "A", "z9", "inc-2024-01"]
+    for tok in accepted:
+        validate_increment_token(tok, "token")
+    store = str(tmp_path / "ok_store")
+    df = spark.createDataFrame([("d",)], "__digest__ string")
+    for tok in accepted:
+        df.write.parquet(f"{store}/__increment__={tok}")
+    back = spark.read.parquet(store)
+    assert back.schema["__increment__"].dataType.simpleString() == "string"
+    got = sorted(
+        r[0] for r in back.select("__increment__").distinct().collect()
+    )
+    assert got == sorted(accepted)  # byte-exact round trip, no casts
+
+    # the rejected shapes are rejected FOR CAUSE: hand-written
+    # partition dirs with these values infer as non-string
+    risky = {"2024-01-01": "date", "123": "int", "12.5": None}
+    for tok, want in risky.items():
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            validate_increment_token(tok, "token")
+        p = str(tmp_path / f"risky_{abs(hash(tok))}")
+        df.write.parquet(f"{p}/__increment__={tok}")
+        inferred = (
+            spark.read.parquet(p)
+            .schema["__increment__"].dataType.simpleString()
+        )
+        assert inferred != "string", (tok, inferred)
+        if want:
+            assert inferred == want, (tok, inferred)
