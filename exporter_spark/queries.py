@@ -3673,6 +3673,19 @@ def dup_rate_by_source(spark, sf_dir):
 #            alternation from here on), were driver-green in r10, and
 #            remain exercised every round by bench.py and the full
 #            pytest oracle sweep.
+#   round 12: the flagship block + q1/q3 + the NEW html_rows_events
+#            rotated back in — 50/50 executed in CORRECTNESS_r12 (48
+#            oracle-green + 2 no-oracle by design).  Arithmetic
+#            changed again: at 101 entries two 50-slot windows cover
+#            all but a pinned two-entry CARRYOVER pair (thin
+#            derivatives of in-window flagships, rotating back the
+#            next round).
+#   round 13 (below): the relational/formatter half rotates back in,
+#            LED by the r12 carryovers (dedup_cluster_sizes,
+#            dup_rate_by_source); the incremental entries ride again
+#            because round 13 hardens their manifest plumbing; the
+#            new carryover pair is bpe_token_stats_by_lang +
+#            cube_order_stats.
 # The flagship half rides the back this round; it remains covered by
 # the full pytest oracle sweep vs DuckDB at sf0.001 (an automated
 # gate — test_queries_oracle.py parametrizes over the WHOLE registry,
@@ -3683,136 +3696,143 @@ def dup_rate_by_source(spark, sf_dir):
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-12 headline: the HTML record oracle — the last codec to
-    # gain a driver CORRECTNESS entry — and the incremental near-dup
-    # entry, riding a second consecutive window because round 12
-    # rewrote its plan (one-tokenization pass; values pinned identical)
-    "html_rows_events",
+    # round-13 leads: the r12 carryover pair rotates back in FIRST —
+    # the rotation contract bounds any entry's driver-window absence,
+    # and these two sat out round 12 (covered meanwhile by the
+    # committed full-registry replays + the pytest oracle gate)
+    "dedup_cluster_sizes",
+    "dup_rate_by_source",
+    # the incremental entries ride because round 13 touches their
+    # implementation again (ensure_store_params bootstrap race fix,
+    # append_signature_increment parameter hardening — ADVICE r12);
+    # incremental_minhash_survivors is therefore the one sanctioned
+    # overlap with the r12 window
+    "incremental_exact_survivors",
     "incremental_minhash_survivors",
-    # the flagship dedup/similarity/quality block + q1/q3 canaries
-    # (the r10 window rotating back in, minus the two carryovers below)
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "dedup_exact_docs",
-    "minhash_near_dup_pairs",
-    "minhash_dedup_survivors",
-    "dedup_clusters",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "paragraph_dedup_docs",
-    "dedup_tokens_within_docs",
-    "exact_substring_spans",
-    "exact_substring_strip",
-    "ngram_contamination_check",
-    "cosine_topk",
-    "cosine_topk_scan",
-    "lsh_ann_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_banded",
-    "ivf_fixed_topk",
-    "ivf_ann_topk",
-    "semdedup_survivors",
-    "semdedup_survivors_greedy",
-    "embedding_quantize_stats",
-    "embedding_random_projection",
-    "gopher_quality_signals",
-    "gopher_filter_stats",
-    "lm_quality_buckets",
-    "bigram_lm_scores",
-    "winnow_fingerprints",
-    "boilerplate_spans",
-    "pii_redaction_check",
-    "bm25_topk_docs",
-    "tfidf_top_terms",
-    "top_tokens",
-    "dsir_importance_weights",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "docs_capped_per_source",
-    "docs_rebalanced_mixture",
-    "temperature_mixture_docs",
-    "training_shuffle_docs",
-    "pack_chunks_docs",
-    "pretraining_mix_stats",
-    "lang_token_budget",
-    "multimodal_feature_stats",
-    "value_percentiles",
-    "conversion_funnel",
-    "retention_cohorts",
+    # the relational/formatter half (the r11 window rotating back in,
+    # minus the two r13 carryovers pinned below)
+    "tostring_events",
+    "csv_lines_events",
+    "xml_rows_events",
+    "ndjson_lines_docs",
+    "q2_min_cost_supplier",
+    "q4_priority_returns",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supply_gaps",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_wealthy_low_activity",
+    "top_customers_per_nation",
+    "distinct_counts",
+    "mktsegment_stats",
+    "customers_without_orders",
+    "events_hourly",
+    "events_sessions",
+    "rollup_pricing",
+    "order_status_setops",
+    "part_brand_stats",
+    "purchase_attribution",
+    "running_customer_revenue",
+    "purchases_near_errors",
+    "lineitem_dispersion",
+    "approx_distinct_events",
+    "token_stats_by_lang",
+    "lang_id_confusion",
+    "quality_by_source",
+    "curation_pipeline",
+    "doc_fingerprints",
+    "docs_sample_deterministic",
+    "int8_ann_topk",
+    "unigram_lm_scores",
 )
 
-# The previous round's window (relational/formatter half + the two
-# incremental entries), kept for the rotation invariant: a query may
-# ride the back half only if the previous round's driver window
-# verified it (CORRECTNESS_r11: 50/50 green — 49 oracle-paired plus
-# approx_distinct_events, rows-only by design).
-_R11_WINDOW: frozenset[str] = frozenset(
+# The previous round's window (flagship dedup/similarity/quality
+# block + q1/q3 canaries + the HTML codec entry), kept for the
+# rotation invariant: a query may ride the back half only if the
+# previous round's driver window verified it (CORRECTNESS_r12: 50/50
+# executed — 48 oracle-green plus ivf_ann_topk and
+# semdedup_survivors_greedy, no-oracle by design).
+_R12_WINDOW: frozenset[str] = frozenset(
     {
-        "incremental_exact_survivors",
+        "html_rows_events",
         "incremental_minhash_survivors",
-        "tostring_events",
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "q2_min_cost_supplier",
-        "q4_priority_returns",
-        "q5_region_revenue",
-        "q6_revenue_change",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_late_shipments",
-        "q13_order_count_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_brand_supply_gaps",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        "q19_discounted_revenue",
-        "q20_promo_suppliers",
-        "q21_waiting_suppliers",
-        "q22_wealthy_low_activity",
-        "top_customers_per_nation",
-        "distinct_counts",
-        "mktsegment_stats",
-        "customers_without_orders",
-        "events_hourly",
-        "events_sessions",
-        "rollup_pricing",
-        "order_status_setops",
-        "part_brand_stats",
-        "purchase_attribution",
-        "cube_order_stats",
-        "running_customer_revenue",
-        "purchases_near_errors",
-        "lineitem_dispersion",
-        "approx_distinct_events",
-        "token_stats_by_lang",
-        "bpe_token_stats_by_lang",
-        "lang_id_confusion",
-        "quality_by_source",
-        "curation_pipeline",
-        "doc_fingerprints",
-        "docs_sample_deterministic",
-        "int8_ann_topk",
-        "unigram_lm_scores",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "dedup_exact_docs",
+        "minhash_near_dup_pairs",
+        "minhash_dedup_survivors",
+        "dedup_clusters",
+        "simhash_near_dup_pairs",
+        "ngram_jaccard_pairs",
+        "paragraph_dedup_docs",
+        "dedup_tokens_within_docs",
+        "exact_substring_spans",
+        "exact_substring_strip",
+        "ngram_contamination_check",
+        "cosine_topk",
+        "cosine_topk_scan",
+        "lsh_ann_topk",
+        "embedding_near_dup",
+        "embedding_near_dup_banded",
+        "ivf_fixed_topk",
+        "ivf_ann_topk",
+        "semdedup_survivors",
+        "semdedup_survivors_greedy",
+        "embedding_quantize_stats",
+        "embedding_random_projection",
+        "gopher_quality_signals",
+        "gopher_filter_stats",
+        "lm_quality_buckets",
+        "bigram_lm_scores",
+        "winnow_fingerprints",
+        "boilerplate_spans",
+        "pii_redaction_check",
+        "bm25_topk_docs",
+        "tfidf_top_terms",
+        "top_tokens",
+        "dsir_importance_weights",
+        "docs_stratified_sample",
+        "docs_train_test_split",
+        "docs_capped_per_source",
+        "docs_rebalanced_mixture",
+        "temperature_mixture_docs",
+        "training_shuffle_docs",
+        "pack_chunks_docs",
+        "pretraining_mix_stats",
+        "lang_token_budget",
+        "multimodal_feature_stats",
+        "value_percentiles",
+        "conversion_funnel",
+        "retention_cohorts",
     }
 )
 
-# Round 12 grew the registry to 101 entries; two 50-slot windows can
-# no longer partition it, so exactly one window pair member must sit
-# out each round. These two carryovers are THIN DERIVATIVES of
-# operators whose flagship entries stay in-window (dedup_cluster_sizes
-# reaggregates dedup_clusters' labels; dup_rate_by_source reaggregates
-# the exact-dedup digests behind dedup_exact_docs), both driver-green
-# in CORRECTNESS_r10 with UNCHANGED plans since, and both verified
-# every round by the committed full-registry sf0.01 replay
+# The 101-entry/100-slot arithmetic (see round-12 note above) forces
+# one window-pair member to sit out each round. Round 13's carryovers
+# are THIN DERIVATIVES of operators whose flagship entries stay
+# in-window (bpe_token_stats_by_lang re-runs token_stats_by_lang's
+# aggregation under the BPE-ish tokenizer; cube_order_stats is the
+# CUBE member of the grouping-sets family whose ROLLUP flagship
+# rollup_pricing is in-window), both driver-green in CORRECTNESS_r11
+# with UNCHANGED plans since, and both verified every round by the
+# committed full-registry sf0.01 replay
 # (tools/replay_driver_window.py ... all) and the pytest oracle gate.
-# They rotate back into the r13 window.
-_R12_CARRYOVER: frozenset[str] = frozenset(
-    {"dedup_cluster_sizes", "dup_rate_by_source"}
+# They rotate back into the r14 window.
+_R13_CARRYOVER: frozenset[str] = frozenset(
+    {"bpe_token_stats_by_lang", "cube_order_stats"}
 )
 
 

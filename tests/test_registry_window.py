@@ -16,18 +16,19 @@ pre-change version it already verified.
 Round-12 arithmetic change: the registry reached 101 entries, so two
 consecutive 50-slot windows can no longer cover it exactly — one
 entry pair must sit out each round.  The carryover set is pinned
-explicitly (``_R12_CARRYOVER``): it must stay tiny, consist only of
+explicitly (``_R13_CARRYOVER``): it must stay tiny, consist only of
 thin derivatives of operators whose flagship entries ARE in-window,
 and rotate back in the following round (each member's absence is
-bounded to one round, covered meanwhile by the committed
-full-registry sf0.01 replay + the pytest oracle gate).
+bounded meanwhile by the committed full-registry sf0.01 replay + the
+pytest oracle gate, both of which cover the WHOLE registry every
+round).
 """
 
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R11_WINDOW,
-    _R12_CARRYOVER,
+    _R12_WINDOW,
+    _R13_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -45,10 +46,10 @@ def test_rotation_covers_every_query_within_two_rounds():
     driver window verified it — a NEW query must enter the window the
     round it is registered.  The explicit carryover pair is the one
     sanctioned exception (101 entries, 100 slots across two rounds);
-    its members were driver-green in CORRECTNESS_r10 with unchanged
+    its members were driver-green in CORRECTNESS_r11 with unchanged
     plans since."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R11_WINDOW - _R12_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R12_WINDOW - _R13_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
@@ -65,39 +66,47 @@ def test_window_has_no_duplicates_or_unknowns():
 def test_window_pair_covers_all_but_the_pinned_carryovers():
     """At 101 registered queries the window pair covers everything
     except the pinned carryover pair, and overlaps in exactly the one
-    entry whose plan round 12 rewrote (incremental_minhash_survivors
-    must be re-verified on the NEW code, so it rides both windows).
-    The carryover set itself must stay a pair of thin derivatives —
-    growth here would mean the rotation contract is eroding."""
+    entry whose implementation round 13 hardens again
+    (incremental_minhash_survivors — the ensure_store_params bootstrap
+    race fix and append_signature_increment parameter hardening touch
+    its module, so it must be re-verified on the NEW code and rides
+    both windows, as it did across r11→r12).  The carryover set itself
+    must stay a pair of thin derivatives — growth here would mean the
+    rotation contract is eroding."""
     assert len(QUERIES) == 101
-    assert set(DRIVER_WINDOW) | _R11_WINDOW | _R12_CARRYOVER == set(QUERIES)
-    assert set(DRIVER_WINDOW) & _R11_WINDOW == {"incremental_minhash_survivors"}
-    assert _R12_CARRYOVER == {"dedup_cluster_sizes", "dup_rate_by_source"}
-    assert not (_R12_CARRYOVER & set(DRIVER_WINDOW))
-    assert not (_R12_CARRYOVER & _R11_WINDOW)
+    assert set(DRIVER_WINDOW) | _R12_WINDOW | _R13_CARRYOVER == set(QUERIES)
+    assert set(DRIVER_WINDOW) & _R12_WINDOW == {"incremental_minhash_survivors"}
+    assert _R13_CARRYOVER == {"bpe_token_stats_by_lang", "cube_order_stats"}
+    assert not (_R13_CARRYOVER & set(DRIVER_WINDOW))
+    assert not (_R13_CARRYOVER & _R12_WINDOW)
     # the carryovers' flagship parents ARE in-window
-    assert {"dedup_clusters", "dedup_exact_docs"} <= set(DRIVER_WINDOW)
-    # the q1/q3 canaries rotate back in with the flagship half
-    assert {"q1_pricing_summary", "q3_top_orders"} <= set(DRIVER_WINDOW)
+    assert {"token_stats_by_lang", "rollup_pricing"} <= set(DRIVER_WINDOW)
+    # the q1/q3 canaries alternate with the flagship half (out this
+    # round; exercised every round by bench.py + the pytest oracle gate)
+    assert not ({"q1_pricing_summary", "q3_top_orders"} & set(DRIVER_WINDOW))
 
 
-def test_round12_window_holds_the_new_code():
-    """The standing rule: new code sits in-window the round it lands.
-    Round 12 registered the HTML record oracle (the last codec to gain
-    a driver CORRECTNESS entry) and rewrote the incremental near-dup
-    plan (one-tokenization pass) — both must be in the r12 driver
-    window, and first (they are the headline)."""
+def test_round13_window_holds_the_new_code():
+    """The standing rule: code a round touches sits in-window that
+    round.  Round 13 leads with the r12 carryover pair (the rotation
+    contract bounds their absence to one round-pair) and hardens the
+    incremental manifest plumbing, so both incremental entries must
+    ride."""
     first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[0] == "html_rows_events"
-    assert DRIVER_WINDOW[1] == "incremental_minhash_survivors"
-    # spot-check the flagship families rotated back in
+    assert DRIVER_WINDOW[0] == "dedup_cluster_sizes"
+    assert DRIVER_WINDOW[1] == "dup_rate_by_source"
     assert {
-        "dedup_exact_docs",
-        "minhash_dedup_survivors",
-        "cosine_topk",
-        "gopher_quality_signals",
-        "docs_stratified_sample",
-        "multimodal_feature_stats",
+        "incremental_exact_survivors",
+        "incremental_minhash_survivors",
+    } <= first_50
+    # spot-check the relational/formatter families rotated back in
+    assert {
+        "q2_min_cost_supplier",
+        "q22_wealthy_low_activity",
+        "csv_lines_events",
+        "tostring_events",
+        "events_sessions",
+        "token_stats_by_lang",
     } <= first_50
 
 
