@@ -47,6 +47,74 @@ def write_text(path_str: str, content: str, spark: SparkSession | None = None) -
         out.close()
 
 
+def write_text_atomic(
+    path_str: str, content: str, spark: SparkSession | None = None
+) -> None:
+    """Write-temp-then-rename: the target path either holds its old
+    content or the complete new content — never a truncated tail from
+    a crashed writer (VERDICT r12 #2: the increment-store contract
+    sidecars are load-bearing for the resume guard, and a truncated
+    ``_increment_store_state.json`` would raise a bare JSONDecodeError
+    at the worst possible moment). The temp file lands in the target's
+    directory under a dot-name, so Spark's file listing never sees it
+    (underscore/dot names without '=' are metadata). On filesystems
+    whose rename is a copy (object stores) this still removes the
+    torn-write window of a crashed PYTHON writer; the Hadoop connector
+    's own rename atomicity caveats apply beyond that."""
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), "." + jpath.getName() + ".tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    # ChecksumFileSystem.rename moves the .crc sidecar with the data
+    # file; a pre-existing destination is deleted first (HDFS rename
+    # refuses an existing target; local rename would orphan its crc)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(
+            f"atomic write to {path_str} failed: rename of staged"
+            f" {tmp.toString()} returned false"
+        )
+
+
+def create_text_exclusive(
+    path_str: str, content: str, spark: SparkSession | None = None
+) -> bool:
+    """Exclusive-create a small text file: returns False (writing
+    nothing) when the path already exists, True after a successful
+    create — the first-contact bootstrap primitive (ADVICE r12: two
+    concurrent manifest bootstraps must not silently last-write-wins
+    each other; the loser must observe the winner's file and validate
+    against it). The existence check rides on ``fs.create(path,
+    overwrite=false)``, which is atomic on HDFS/local; a crash
+    mid-write can still leave a truncated file, which every contract
+    reader raises on (loud), and callers re-read-verify after the
+    create."""
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path_str)
+    try:
+        out = fs.create(jpath, False)
+    except Exception as ex:  # py4j surfaces the Java exception
+        if fs.exists(jpath):
+            return False
+        name = type(ex).__name__
+        if "Py4J" in name and "exists" in str(ex).lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(path_str: str, spark: SparkSession | None = None) -> str:
     spark = _require_spark(spark)
     fs, jpath = _fs_path(spark, path_str)

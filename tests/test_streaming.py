@@ -8,6 +8,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+from exporter_spark import fsio
 from exporter_spark.formatters.xml import XMLFormatter
 from exporter_spark.plans.spec import ExportSpec
 from exporter_spark.sources.files import load_table
@@ -1137,10 +1138,14 @@ def test_compaction_resume_guard_refuses_unsafe_resume(spark, tmp_path):
     assert spark.read.parquet(out2).count() == 0
 
 
-def test_compaction_resume_guard_legacy_checkpoint(spark, tmp_path):
-    """A pre-guard checkpoint (no store-state marker) must refuse a
-    compacted store (safety unprovable) but keep working against its
-    original, never-compacted store — adopting it on first contact."""
+def test_compaction_resume_guard_legacy_checkpoint_refused(spark, tmp_path):
+    """ADVICE r12 (medium): a batches-begun checkpoint WITHOUT a
+    store-state marker predates the guard — it ran under naming
+    scheme 1 (fixed default run_ids, un-namespaced batch=N survivor
+    dirs), where a replayed batch under today's scheme would not
+    self-exclude its own old-rid store append. Round 12 silently
+    adopted it when the store was never compacted; round 13 refuses
+    it OUTRIGHT, against compacted and original store alike."""
     import os
 
     src = str(tmp_path / "src")
@@ -1154,19 +1159,145 @@ def test_compaction_resume_guard_legacy_checkpoint(spark, tmp_path):
 
     compacted = str(tmp_path / "store_v2")
     ss.compact_increment_store(spark, store, compacted)
-    with pytest.raises(RuntimeError, match="no record of adopting"):
+    with pytest.raises(RuntimeError, match="no store-state marker"):
         _run_inc_dedup(spark, src, compacted, out, ck)
 
-    # against the ORIGINAL store the legacy checkpoint resumes fine
-    # (and re-adopts — the refusal above wrote no marker, so the
-    # checkpoint is still marker-less here), processing a new wave
+    # against the ORIGINAL store the markerless-but-started
+    # checkpoint is refused too (its naming scheme is unprovable)
     _feed_wave(spark, src, [(20, "alpha"), (21, "delta")])
-    _run_inc_dedup(spark, src, store, out, ck)
-    assert os.path.exists(marker)
+    with pytest.raises(RuntimeError, match="no store-state marker"):
+        _run_inc_dedup(spark, src, store, out, ck)
+
+    # the documented recovery — a FRESH checkpoint against the same
+    # store — reprocesses and keeps only the genuinely new doc
+    out2 = str(tmp_path / "out2")
+    _run_inc_dedup(spark, src, store, out2, str(tmp_path / "ck2"))
+    got = sorted(
+        r[0] for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert got == [21]
+
+
+def test_resume_guard_run_id_and_scheme_pinned(spark, tmp_path):
+    """ADVICE r12 (medium): the marker records the naming scheme and
+    the effective run_id. A resume whose run_id no longer matches (an
+    explicit run_id changed across restarts) or whose recorded scheme
+    differs is refused; a round-12 marker (no run_id/scheme fields,
+    same naming scheme) is adopted and backfilled in place."""
+    import json
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha")])
+    _run_inc_dedup(spark, src, store, out, ck, run_id="runA")
+    marker = f"{ck}/_increment_store_state.json"
+    recorded = json.loads(fsio.read_text(marker, spark))
+    assert recorded["run_id"] == "runA"
+    assert recorded["scheme"] == 2
+
+    # changed explicit run_id under the same checkpoint -> refused
+    _feed_wave(spark, src, [(2, "beta")])
+    with pytest.raises(RuntimeError, match="last ran as run_id 'runA'"):
+        _run_inc_dedup(spark, src, store, out, ck, run_id="runB")
+
+    # a round-12 marker: same fields minus scheme/run_id -> adopted,
+    # backfilled, and the wave processes normally
+    legacy = {
+        k: v for k, v in recorded.items() if k not in ("scheme", "run_id")
+    }
+    fsio.write_text(marker, json.dumps(legacy, sort_keys=True), spark)
+    _run_inc_dedup(spark, src, store, out, ck, run_id="runA")
+    backfilled = json.loads(fsio.read_text(marker, spark))
+    assert backfilled["run_id"] == "runA"
+    assert backfilled["scheme"] == 2
     got = sorted(
         r[0] for r in spark.read.parquet(out).select("doc_id").collect()
     )
-    assert got == [1, 21]
+    assert got == [1, 2]
+
+    # a future/unknown scheme -> refused with the scheme message
+    fsio.write_text(
+        marker, json.dumps({**backfilled, "scheme": 1}, sort_keys=True), spark
+    )
+    with pytest.raises(RuntimeError, match="naming scheme 1"):
+        _run_inc_dedup(spark, src, store, out, ck, run_id="runA")
+
+
+def test_resume_guard_torn_marker_fails_actionably(spark, tmp_path):
+    """VERDICT r12 #2 'Done' criterion: a truncated store-state marker
+    (torn write from a pre-atomic version) gets the crafted recovery
+    message, not a bare JSONDecodeError."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha")])
+    _run_inc_dedup(spark, src, store, out, ck)
+    marker = f"{ck}/_increment_store_state.json"
+    whole = fsio.read_text(marker, spark)
+    fsio.write_text(marker, whole[: len(whole) // 2], spark)
+    with pytest.raises(RuntimeError, match="unreadable store-state marker"):
+        _run_inc_dedup(spark, src, store, out, ck)
+
+
+def test_crashed_compaction_target_fails_loud(spark, tmp_path):
+    """VERDICT r12 #1 'Done' criterion: interrupt compaction between
+    the sidecar writes and the parquet commit — the target then holds
+    manifests WITHOUT data, and both resume paths refuse it loudly
+    instead of bootstrapping into it (which would treat the whole
+    compacted history as empty and wave every duplicate through)."""
+    import os
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _feed_wave(spark, src, [(1, "alpha"), (2, "beta")])
+    _run_inc_dedup(spark, src, store, out, ck)
+
+    # crash the compaction at the write-order boundary: sidecars have
+    # committed, the parquet rewrite has not
+    compacted = str(tmp_path / "store_v2")
+
+    class Boom(RuntimeError):
+        pass
+
+    import pyspark.sql.readwriter as rw
+
+    real_parquet = rw.DataFrameWriter.parquet
+    try:
+        def boom(self, *a, **kw):
+            raise Boom("simulated crash before the parquet commit")
+
+        rw.DataFrameWriter.parquet = boom
+        with pytest.raises(Boom):
+            ss.compact_increment_store(spark, store, compacted)
+    finally:
+        rw.DataFrameWriter.parquet = real_parquet
+    assert os.path.exists(f"{compacted}/_compactions.json")
+
+    # driver-side: a fresh checkpoint pointed at the crashed target
+    # refuses before the query starts
+    with pytest.raises(RuntimeError, match="no committed data"):
+        _run_inc_dedup(
+            spark, src, compacted, str(tmp_path / "out2"),
+            str(tmp_path / "ck2"),
+        )
+    # and the per-batch read path refuses it too (belt and braces)
+    with pytest.raises(RuntimeError, match="interrupted compact_increment_store"):
+        ss._read_increment_store(spark, compacted, "r0-0")
+
+    # recovery per the message: delete the target, re-run, resume
+    import shutil
+
+    shutil.rmtree(compacted)
+    ss.compact_increment_store(spark, store, compacted)
+    _run_inc_dedup(
+        spark, src, compacted, str(tmp_path / "out3"), str(tmp_path / "ck3")
+    )
+    assert spark.read.parquet(str(tmp_path / "out3")).count() == 0
 
 
 def test_store_swap_under_live_checkpoint_refused(spark, tmp_path):
@@ -1302,7 +1433,9 @@ def test_chained_compaction_lineage(spark, tmp_path):
     v1 = str(tmp_path / "v1")
     b = spark.createDataFrame([(1, "alpha" * 10)], "doc_id long, text string")
     _, sig = incremental_minhash_dedup(b, "doc_id", "text")
-    append_signature_increment(sig, v1, "inc-0")
+    append_signature_increment(
+        sig, v1, "inc-0", num_hashes=32, bands=8, shingle_n=8, family="md5"
+    )
 
     v2 = str(tmp_path / "v2")
     v3 = str(tmp_path / "v3")
