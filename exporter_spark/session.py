@@ -64,9 +64,23 @@ def get_spark(
             "spark.sql.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_STATIC_BROADCAST_BYTES", "-1"),
         )
+        # SPARK_GRAFT_ADAPTIVE_BROADCAST_BYTES tunes (or, at -1,
+        # disables) AQE's runtime broadcast conversion. Round-13
+        # memory-pressure finding: broadcast HASH RELATIONS build in
+        # the unified memory pool, which local[*] SHARES with every
+        # task's execution memory — under a small heap a ~60 MB
+        # runtime-eligible side can fail the build (loud
+        # SparkException) while the same plan completes by spilling
+        # sort-merge joins once runtime broadcast is off. On a real
+        # cluster the driver builds alone and the default is safe;
+        # turn this down/off when driver memory is tight
+        # (SCALE.md round-13).
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
-            str(64 * 1024 * 1024),
+            os.environ.get(
+                "SPARK_GRAFT_ADAPTIVE_BROADCAST_BYTES",
+                str(64 * 1024 * 1024),
+            ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

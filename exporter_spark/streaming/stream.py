@@ -696,10 +696,13 @@ def _prepare_increment_resume(spark, store_path: str, ck: str, rid: str) -> None
             f"unreadable store-state marker at {marker}: {ex} — the"
             " marker is load-bearing for the compaction-vs-replay"
             " resume guard (likely a torn write from a pre-atomic"
-            " version). If the store was NEVER compacted or swapped"
-            " while this checkpoint ran, delete the marker to re-adopt"
-            " the store as it stands; otherwise restart from a FRESH"
-            " checkpoint location"
+            " version). Restart from a FRESH checkpoint location"
+            " (reprocessing is idempotent against the store); or, if"
+            " you are CERTAIN the store was never compacted or swapped"
+            " and the run_id is unchanged, rewrite the marker by hand:"
+            ' {"scheme": <naming scheme>, "run_id": <run id>,'
+            ' "store_path": <normalized store path>,'
+            ' "compaction_ids": [...]}'
         ) from ex
     scheme = seen.get("scheme", _NAMING_SCHEME)
     if scheme != _NAMING_SCHEME:
