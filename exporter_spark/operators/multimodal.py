@@ -7,7 +7,8 @@ Arrow batch shape, mapInPandas partitioning) are real and tested.
 Decoders: WAV audio decode is REAL (:func:`wav_decoder`, stdlib
 ``wave``) and PNG image decode is REAL (:func:`png_decoder`, stdlib
 ``zlib`` + ``struct`` — full chunk/CRC parse, all five scanline
-filters, gray/RGB/palette/gray-alpha/RGBA at bit depth 8), each with
+filters, Adam7 interlace, gray/RGB/palette/gray-alpha/RGBA at bit
+depths 8 and 16), each with
 a fixture-side inverse (:func:`encode_wav`, :func:`encode_png`).
 JPEG/other image codecs and VIDEO decode remain STUBBED — the
 runtime container has no PIL/cv2/imageio — behind the same
@@ -230,41 +231,32 @@ def wav_decoder() -> Callable[[bytes], np.ndarray]:
     return decode
 
 
-def encode_png(pixels, *, filter_type: int = 0) -> bytes:
-    """Encode a uint8 pixel array as a PNG payload (stdlib ``zlib`` +
-    ``struct``) — the fixture-side inverse of :func:`png_decoder`.
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per
+# pass, in transmission order (PNG spec §8.2).
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``pixels`` is ``(H, W)`` grayscale, ``(H, W, 2)`` gray+alpha,
-    ``(H, W, 3)`` RGB or ``(H, W, 4)`` RGBA, dtype coercible to
-    uint8 (palette images have no array form here — build PLTE
-    fixtures by hand). ``filter_type``
-    applies that one PNG scanline filter (0 None, 1 Sub, 2 Up,
-    3 Average, 4 Paeth) to EVERY scanline, so each of the decoder's
-    five unfilter paths can be exercised round-trip from pure
-    fixtures — a real encoder would pick per-line heuristically."""
-    import struct
-    import zlib
 
-    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
-        raise ValueError(
-            "pixels must be (H, W) or (H, W, {2|3|4}) uint8"
-        )
-    h, w, ch = arr.shape
-    if h == 0 or w == 0:
-        raise ValueError("PNG dimensions must be nonzero")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"unknown PNG filter type {filter_type}")
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-
-    flat = arr.astype(np.int32)
-    prev = np.zeros((w, ch), dtype=np.int32)
+def _png_filter_scanlines(img: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG scanline filter to every row of a byte matrix
+    ``img`` of shape (rows, row_bytes); row_bytes must be a multiple
+    of ``bpp`` (bytes per pixel — the filters' left-neighbor
+    distance). Per spec the filter runs on BYTES, not samples, which
+    is what makes this one code path serve both 8- and 16-bit."""
+    h = img.shape[0]
+    groups = img.reshape(h, -1, bpp).astype(np.int32)
+    prev = np.zeros(groups.shape[1:], dtype=np.int32)
     raw = bytearray()
     for y in range(h):
-        cur = flat[y]
-        left = np.vstack([np.zeros((1, ch), np.int32), cur[:-1]])
+        cur = groups[y]
+        left = np.vstack([np.zeros((1, bpp), np.int32), cur[:-1]])
         if filter_type == 0:
             out = cur
         elif filter_type == 1:
@@ -274,7 +266,7 @@ def encode_png(pixels, *, filter_type: int = 0) -> bytes:
         elif filter_type == 3:
             out = cur - (left + prev) // 2
         else:  # Paeth
-            ul = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+            ul = np.vstack([np.zeros((1, bpp), np.int32), prev[:-1]])
             p = left + prev - ul
             pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
             pred = np.where(
@@ -284,6 +276,65 @@ def encode_png(pixels, *, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend((out % 256).astype(np.uint8).tobytes())
         prev = cur
+    return bytes(raw)
+
+
+def encode_png(
+    pixels, *, filter_type: int = 0, bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a pixel array as a PNG payload (stdlib ``zlib`` +
+    ``struct``) — the fixture-side inverse of :func:`png_decoder`.
+
+    ``pixels`` is ``(H, W)`` grayscale, ``(H, W, 2)`` gray+alpha,
+    ``(H, W, 3)`` RGB or ``(H, W, 4)`` RGBA; dtype coercible to
+    uint8 for ``bit_depth=8``, uint16 for ``bit_depth=16`` (palette
+    images have no array form here — build PLTE fixtures by hand).
+    ``filter_type`` applies that one PNG scanline filter (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth) to EVERY scanline, so each of
+    the decoder's five unfilter paths can be exercised round-trip
+    from pure fixtures — a real encoder would pick per-line
+    heuristically. ``interlace=True`` emits Adam7: seven sub-image
+    passes in transmission order, filters resetting at each pass
+    boundary, exactly the layout the decoder's de-interlacer must
+    invert."""
+    import struct
+    import zlib
+
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth {bit_depth} not supported (8 or 16)")
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=dt))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(
+            "pixels must be (H, W) or (H, W, {2|3|4})"
+        )
+    h, w, ch = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("PNG dimensions must be nonzero")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * (bit_depth // 8)
+
+    def row_bytes(sub: np.ndarray) -> np.ndarray:
+        """(rows, cols, ch) samples -> (rows, cols*bpp) big-endian bytes."""
+        be = sub.astype(">u2" if bit_depth == 16 else np.uint8)
+        return np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
+            sub.shape[0], -1
+        )
+
+    if interlace:
+        raw = b"".join(
+            _png_filter_scanlines(row_bytes(sub), bpp, filter_type)
+            for x0, y0, dx, dy in ADAM7_PASSES
+            for sub in (arr[y0::dy, x0::dx],)
+            if sub.size
+        )
+    else:
+        raw = _png_filter_scanlines(row_bytes(arr), bpp, filter_type)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -293,11 +344,13 @@ def encode_png(pixels, *, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(interlace)
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
 
@@ -324,11 +377,13 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
     second media format decodable in this container, after WAV).
 
     Full PNG parse: signature, chunk walk with CRC32 validation, IHDR
-    sanity, IDAT concatenation + inflate, and per-scanline unfilter of
-    all five filter types (None/Sub/Up/Average/Paeth). Supports bit
-    depth 8 in color types 0 (gray), 2 (RGB), 3 (palette, expanded
-    via PLTE), 4 (gray+alpha) and 6 (RGBA), non-interlaced. Anything
-    else (16-bit, sub-byte depths, Adam7 interlace, corrupt or
+    sanity, IDAT concatenation + inflate, per-scanline unfilter of
+    all five filter types (None/Sub/Up/Average/Paeth — on BYTES with
+    the bytes-per-pixel left distance, per spec), and Adam7
+    de-interlace (seven passes, filters resetting per pass). Supports
+    bit depths 8 and 16 in color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded via PLTE — depth 8 only, per spec ≤8), 4 (gray+alpha)
+    and 6 (RGBA). Anything else (sub-byte depths, corrupt or
     truncated streams, CRC mismatches) raises ``ValueError`` naming
     the reason — a malformed payload must fail the row loudly, never
     return fake features.
@@ -336,10 +391,11 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
     Returns 8 float32 features per payload in
     :data:`PNG_FEATURE_NAMES` order: container facts (width, height,
     decoded channel count, bit depth) and mean/std/min/max of the
-    normalized luma plane. The returned closure also exposes
-    ``.pixels(payload)`` → uint8 ``(H, W, C)`` array for pixel-exact
-    tests and downstream transforms. Self-contained closure — pickles
-    by value, so executors don't need this package installed."""
+    luma plane normalized by the depth's max sample value. The
+    returned closure also exposes ``.pixels(payload)`` → uint8 or
+    uint16 ``(H, W, C)`` array for pixel-exact tests and downstream
+    transforms. Self-contained closure — pickles by value, so
+    executors don't need this package installed."""
     import struct as _struct
     import zlib as _zlib
 
@@ -386,15 +442,14 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
         )
         if w == 0 or h == 0:
             raise ValueError("undecodable PNG payload: zero dimension")
-        if depth != 8:
+        if depth not in (8, 16):
             raise ValueError(
-                f"PNG bit depth {depth} not supported (8 only;"
-                " 16-bit/sub-byte need an external codec)"
+                f"PNG bit depth {depth} not supported (8/16 only;"
+                " sub-byte depths need an external codec)"
             )
-        if interlace != 0:
+        if interlace not in (0, 1):
             raise ValueError(
-                "PNG Adam7 interlace not supported (progressive decode"
-                " needs an external codec)"
+                f"undecodable PNG payload: unknown interlace {interlace}"
             )
         if comp != 0 or filt != 0:
             raise ValueError(
@@ -405,6 +460,10 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
             raise ValueError(
                 f"undecodable PNG payload: unknown color type {color}"
             )
+        if color == 3 and depth != 8:
+            raise ValueError(
+                f"undecodable PNG payload: palette at bit depth {depth}"
+            )
         if not idat:
             raise ValueError("undecodable PNG payload: no IDAT data")
         try:
@@ -413,57 +472,102 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
             raise ValueError(
                 f"undecodable PNG payload: inflate failed: {ex}"
             ) from ex
-        stride = w * channels
-        if len(raw) != h * (1 + stride):
+        item = depth // 8
+        bpp = channels * item
+        # Adam7 pass grid (PNG spec §8.2); a 1x1 grid = the single
+        # non-interlaced pass
+        passes = (
+            [
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ]
+            if interlace
+            else [(0, 0, 1, 1)]
+        )
+        dims = [
+            ((w - x0 + dx - 1) // dx if w > x0 else 0,
+             (h - y0 + dy - 1) // dy if h > y0 else 0)
+            for x0, y0, dx, dy in passes
+        ]
+        expected = sum(ph * (1 + pw * bpp) for pw, ph in dims if pw and ph)
+        if len(raw) != expected:
             raise ValueError(
                 "undecodable PNG payload: decompressed size"
-                f" {len(raw)} != expected {h * (1 + stride)}"
+                f" {len(raw)} != expected {expected}"
             )
-        rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, 1 + stride)
-        out = _np.empty((h, w, channels), dtype=_np.int32)
-        prev = _np.zeros((w, channels), dtype=_np.int32)
-        for y in range(h):
-            ft = int(rows[y, 0])
-            cur = rows[y, 1:].reshape(w, channels).astype(_np.int32)
-            if ft == 0:
-                rec = cur
-            elif ft == 1:  # Sub: prefix-sum per channel lane mod 256
-                rec = (
-                    _np.cumsum(cur, axis=0, dtype=_np.int64) % 256
-                ).astype(_np.int32)
-            elif ft == 2:  # Up
-                rec = (cur + prev) % 256
-            elif ft == 3:  # Average — sequential in x (needs rec[x-1])
-                rec = _np.empty_like(cur)
-                left = _np.zeros(channels, dtype=_np.int32)
-                for x in range(w):
-                    left = (cur[x] + (left + prev[x]) // 2) % 256
-                    rec[x] = left
-            elif ft == 4:  # Paeth — sequential in x
-                rec = _np.empty_like(cur)
-                left = _np.zeros(channels, dtype=_np.int32)
-                ul = _np.zeros(channels, dtype=_np.int32)
-                for x in range(w):
-                    up = prev[x]
-                    p = left + up - ul
-                    pa = _np.abs(p - left)
-                    pb = _np.abs(p - up)
-                    pc = _np.abs(p - ul)
-                    pred = _np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        _np.where(pb <= pc, up, ul),
+
+        def unfilter(rows: _np.ndarray, pw: int) -> _np.ndarray:
+            """(rows, 1 + pw*bpp) filtered bytes -> (rows, pw*bpp)
+            reconstructed bytes. Filters act on bpp-byte groups."""
+            n = rows.shape[0]
+            out = _np.empty((n, pw, bpp), dtype=_np.int32)
+            prev = _np.zeros((pw, bpp), dtype=_np.int32)
+            for y in range(n):
+                ft = int(rows[y, 0])
+                cur = rows[y, 1:].reshape(pw, bpp).astype(_np.int32)
+                if ft == 0:
+                    rec = cur
+                elif ft == 1:  # Sub: prefix-sum per byte lane mod 256
+                    rec = (
+                        _np.cumsum(cur, axis=0, dtype=_np.int64) % 256
+                    ).astype(_np.int32)
+                elif ft == 2:  # Up
+                    rec = (cur + prev) % 256
+                elif ft == 3:  # Average — sequential in x (needs rec[x-1])
+                    rec = _np.empty_like(cur)
+                    left = _np.zeros(bpp, dtype=_np.int32)
+                    for x in range(pw):
+                        left = (cur[x] + (left + prev[x]) // 2) % 256
+                        rec[x] = left
+                elif ft == 4:  # Paeth — sequential in x
+                    rec = _np.empty_like(cur)
+                    left = _np.zeros(bpp, dtype=_np.int32)
+                    ul = _np.zeros(bpp, dtype=_np.int32)
+                    for x in range(pw):
+                        up = prev[x]
+                        p = left + up - ul
+                        pa = _np.abs(p - left)
+                        pb = _np.abs(p - up)
+                        pc = _np.abs(p - ul)
+                        pred = _np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            _np.where(pb <= pc, up, ul),
+                        )
+                        left = (cur[x] + pred) % 256
+                        rec[x] = left
+                        ul = up
+                else:
+                    raise ValueError(
+                        "undecodable PNG payload: unknown scanline"
+                        f" filter {ft}"
                     )
-                    left = (cur[x] + pred) % 256
-                    rec[x] = left
-                    ul = up
-            else:
-                raise ValueError(
-                    f"undecodable PNG payload: unknown scanline filter {ft}"
-                )
-            out[y] = rec
-            prev = rec
-        px = out.astype(_np.uint8)
+                out[y] = rec
+                prev = rec
+            return out.astype(_np.uint8).reshape(n, pw * bpp)
+
+        def to_samples(b: _np.ndarray, pw: int) -> _np.ndarray:
+            """(rows, pw*bpp) bytes -> (rows, pw, channels) samples."""
+            if depth == 8:
+                return b.reshape(-1, pw, channels)
+            return (
+                _np.frombuffer(b.tobytes(), dtype=">u2")
+                .reshape(-1, pw, channels)
+                .astype(_np.uint16)
+            )
+
+        px = _np.empty(
+            (h, w, channels), dtype=_np.uint8 if depth == 8 else _np.uint16
+        )
+        flat = _np.frombuffer(raw, dtype=_np.uint8)
+        pos2 = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+            if not (pw and ph):
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            rows = flat[pos2 : pos2 + nbytes].reshape(ph, 1 + pw * bpp)
+            pos2 += nbytes
+            px[y0::dy, x0::dx] = to_samples(unfilter(rows, pw), pw)
         if color == 3:
             if plte is None or len(plte) % 3 or not len(plte):
                 raise ValueError(
@@ -481,12 +585,12 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
     def decode(payload: bytes) -> _np.ndarray:
         px = _pixels(payload)
         h, w, ch = px.shape
-        if ch == 1:
-            luma = px[:, :, 0].astype(_np.float64) / 255.0
-        elif ch == 2:  # gray + alpha
-            luma = px[:, :, 0].astype(_np.float64) / 255.0
+        depth = px.dtype.itemsize * 8
+        scale = float(2**depth - 1)
+        if ch <= 2:  # gray / gray+alpha
+            luma = px[:, :, 0].astype(_np.float64) / scale
         else:  # RGB(A) — BT.601 luma, alpha excluded
-            rgb = px[:, :, :3].astype(_np.float64) / 255.0
+            rgb = px[:, :, :3].astype(_np.float64) / scale
             luma = (
                 0.299 * rgb[:, :, 0]
                 + 0.587 * rgb[:, :, 1]
@@ -497,7 +601,7 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
                 w,
                 h,
                 ch,
-                8,
+                depth,
                 float(luma.mean()),
                 float(luma.std()),
                 float(luma.min()),

@@ -696,14 +696,14 @@ def test_png_decoder_refusals():
 
     sig = b"\x89PNG\r\n\x1a\n"
     scan = zlib.compress(bytes([0, 7]))
-    # 16-bit depth and Adam7 interlace: declared unsupported, loud
-    deep = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    with pytest.raises(ValueError, match="bit depth 16"):
-        dec(sig + chunk(b"IHDR", deep) + chunk(b"IDAT", scan)
+    # sub-byte depth and 16-bit palette: declared unsupported, loud
+    subbyte = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth 4"):
+        dec(sig + chunk(b"IHDR", subbyte) + chunk(b"IDAT", scan)
             + chunk(b"IEND", b""))
-    adam = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    with pytest.raises(ValueError, match="interlace"):
-        dec(sig + chunk(b"IHDR", adam) + chunk(b"IDAT", scan)
+    pal16 = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="palette at bit depth 16"):
+        dec(sig + chunk(b"IHDR", pal16) + chunk(b"IDAT", scan)
             + chunk(b"IEND", b""))
     # garbage where the deflate stream should be
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
@@ -717,6 +717,59 @@ def test_png_decoder_refusals():
             + chunk(b"IEND", b""))
     # round-trip determinism on the good payload
     assert np.array_equal(dec(good), dec(good))
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    """Bit depth 16 (big-endian samples, byte-level filters with a
+    2-byte-per-sample left distance) and Adam7 interlace (seven
+    passes, filters resetting per pass) round-trip pixel-exact —
+    including combined, and at sizes where several passes are empty."""
+    import numpy as np
+
+    dec = multimodal.png_decoder()
+    rng = np.random.RandomState(7)
+    # 16-bit: extremes force byte-lane carries the 8-bit tests never see
+    for ch in (1, 3, 4):
+        px = rng.randint(0, 65536, size=(6, 4, ch)).astype(np.uint16)
+        px[0, 0] = 65535
+        px[-1, -1] = 0
+        for ft in range(5):
+            back = dec.pixels(
+                multimodal.encode_png(px, filter_type=ft, bit_depth=16)
+            )
+            assert back.dtype == np.uint16
+            assert np.array_equal(back, px), f"16-bit ch={ch} ft={ft}"
+    feats = dict(
+        zip(
+            multimodal.PNG_FEATURE_NAMES,
+            dec(
+                multimodal.encode_png(
+                    np.full((2, 2), 65535, dtype=np.uint16), bit_depth=16
+                )
+            ).tolist(),
+        )
+    )
+    assert feats["bit_depth"] == 16.0 and feats["mean_luma"] == 1.0
+    # Adam7: exercise sizes >8 (every pass non-empty), tiny sizes
+    # (most passes empty), and every filter inside the passes
+    for shape in ((13, 11, 3), (9, 9, 1), (1, 1, 1), (3, 2, 4), (8, 8, 2)):
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            p = multimodal.encode_png(px, filter_type=ft, interlace=True)
+            assert np.array_equal(dec.pixels(p), px), f"{shape} ft={ft}"
+    # interlace changes the stream layout but not the decoded image
+    px = rng.randint(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    plain = multimodal.encode_png(px)
+    woven = multimodal.encode_png(px, interlace=True)
+    assert plain != woven
+    assert np.array_equal(dec.pixels(plain), dec.pixels(woven))
+    # 16-bit + Adam7 combined
+    px16 = rng.randint(0, 65536, size=(11, 7, 2)).astype(np.uint16)
+    for ft in range(5):
+        p = multimodal.encode_png(
+            px16, filter_type=ft, bit_depth=16, interlace=True
+        )
+        assert np.array_equal(dec.pixels(p), px16), f"16+adam7 ft={ft}"
 
 
 def test_png_decoder_through_extract_features(spark):

@@ -21,32 +21,63 @@ from exporter_spark.operators import multimodal
 
 
 @st.composite
-def _images(draw):
+def _images(draw, depth: int = 8):
     h = draw(st.integers(min_value=1, max_value=12))
     w = draw(st.integers(min_value=1, max_value=12))
     ch = draw(st.sampled_from([1, 2, 3, 4]))
-    # byte values drawn adversarially: extremes (0/255 stress the
-    # mod-256 wraparound in Sub/Up), near-mid values (stress
-    # Average's floor), plus plain uniform
+    top = 2**depth - 1
+    # sample values drawn adversarially: extremes (stress the mod-256
+    # wraparound in Sub/Up), near-mid values (stress Average's
+    # floor), byte-boundary values for 16-bit, plus plain uniform
     vals = draw(
         st.lists(
             st.one_of(
-                st.sampled_from([0, 1, 127, 128, 129, 254, 255]),
-                st.integers(min_value=0, max_value=255),
+                st.sampled_from(
+                    sorted(
+                        v
+                        for v in {0, 1, top // 2, top // 2 + 1, 255, 256, top}
+                        if v <= top
+                    )
+                ),
+                st.integers(min_value=0, max_value=top),
             ),
             min_size=h * w * ch,
             max_size=h * w * ch,
         )
     )
-    return np.array(vals, dtype=np.uint8).reshape(h, w, ch)
+    dt = np.uint8 if depth == 8 else np.uint16
+    return np.array(vals, dtype=dt).reshape(h, w, ch)
 
 
 @settings(max_examples=150, deadline=None)
-@given(img=_images(), ft=st.integers(min_value=0, max_value=4))
-def test_png_roundtrip_pixel_exact(img, ft):
+@given(
+    img=_images(),
+    ft=st.integers(min_value=0, max_value=4),
+    interlace=st.booleans(),
+)
+def test_png_roundtrip_pixel_exact(img, ft, interlace):
     dec = multimodal.png_decoder()
-    back = dec.pixels(multimodal.encode_png(img, filter_type=ft))
+    back = dec.pixels(
+        multimodal.encode_png(img, filter_type=ft, interlace=interlace)
+    )
     assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    img=_images(depth=16),
+    ft=st.integers(min_value=0, max_value=4),
+    interlace=st.booleans(),
+)
+def test_png_roundtrip_pixel_exact_16bit(img, ft, interlace):
+    dec = multimodal.png_decoder()
+    back = dec.pixels(
+        multimodal.encode_png(
+            img, filter_type=ft, bit_depth=16, interlace=interlace
+        )
+    )
+    assert back.dtype == np.uint16
     assert np.array_equal(back, img)
 
 
