@@ -4,14 +4,17 @@ Images/audio/video travel as opaque ``binary`` payload columns with a
 typed metadata struct alongside; all Spark-side mechanics (schema,
 Arrow batch shape, mapInPandas partitioning) are real and tested.
 
-Decoders: WAV audio decode is REAL (:func:`wav_decoder`, stdlib
-``wave``) and PNG image decode is REAL (:func:`png_decoder`, stdlib
-``zlib`` + ``struct`` — full chunk/CRC parse, all five scanline
-filters, Adam7 interlace, gray/RGB/palette/gray-alpha/RGBA at bit
-depths 8 and 16), each with
-a fixture-side inverse (:func:`encode_wav`, :func:`encode_png`).
-JPEG/other image codecs and VIDEO decode remain STUBBED — the
-runtime container has no PIL/cv2/imageio — behind the same
+Decoders: three formats decode for REAL with zero external deps —
+WAV audio (:func:`wav_decoder`, stdlib ``wave``), PNG images
+(:func:`png_decoder`, stdlib ``zlib`` + ``struct`` — full chunk/CRC
+parse, all five scanline filters, Adam7 interlace,
+gray/RGB/palette/gray-alpha/RGBA at bit depths 8 and 16), and
+Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants) —
+each with a fixture-side inverse (:func:`encode_wav`,
+:func:`encode_png`, :func:`encode_ppm`), and
+:func:`auto_decoder` dispatches on payload magic for mixed-format
+frames. JPEG/other image codecs and VIDEO decode remain STUBBED —
+the runtime container has no PIL/cv2/imageio — behind the same
 ``decoder=`` hooks; the default deterministic fake derives features
 from the payload bytes so pipelines are testable end-to-end. Swap in
 a real codec (PIL/torchvision/...) via the ``decoder`` argument in
@@ -611,6 +614,200 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
         )
 
     decode.pixels = _pixels
+    return decode
+
+
+def encode_ppm(pixels, *, ascii_format: bool = False) -> bytes:
+    """Encode a pixel array as Netpbm PGM/PPM — the fixture-side
+    inverse of :func:`ppm_decoder`. ``pixels`` is ``(H, W)`` or
+    ``(H, W, 1)`` gray (→ P5/P2) or ``(H, W, 3)`` RGB (→ P6/P3);
+    uint8 emits maxval 255, uint16 maxval 65535 (binary samples
+    big-endian per spec). ``ascii_format`` emits the plain-text
+    variants."""
+    arr = np.ascontiguousarray(np.asarray(pixels))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("pixels must be (H, W) or (H, W, {1|3})")
+    if arr.dtype == np.uint8:
+        maxval = 255
+    elif arr.dtype == np.uint16:
+        maxval = 65535
+    else:
+        raise ValueError(f"dtype {arr.dtype} not supported (uint8/uint16)")
+    h, w, ch = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("PGM/PPM dimensions must be nonzero")
+    if ascii_format:
+        magic = b"P2" if ch == 1 else b"P3"
+        body = "\n".join(
+            " ".join(str(int(v)) for v in row.ravel()) for row in arr
+        ).encode("ascii")
+        return magic + f"\n{w} {h}\n{maxval}\n".encode() + body + b"\n"
+    magic = b"P5" if ch == 1 else b"P6"
+    samples = arr.astype(">u2" if maxval == 65535 else np.uint8).tobytes()
+    return magic + f"\n{w} {h}\n{maxval}\n".encode() + samples
+
+
+def ppm_decoder() -> Callable[[bytes], np.ndarray]:
+    """A REAL image decoder for the ``decoder=`` seam — Netpbm
+    PGM/PPM in both plain (P2/P3) and binary (P5/P6) variants, 1- or
+    2-byte samples (maxval ≤ 255 / ≤ 65535, binary big-endian per
+    spec), ``#`` comments honored anywhere in the header. Emits the
+    SAME 8 float32 lanes as :func:`png_decoder`
+    (:data:`PNG_FEATURE_NAMES`; ``bit_depth`` reports 8 or 16 by
+    sample width, luma normalized by the declared maxval) so
+    downstream queries are format-agnostic. Malformed payloads
+    (bad magic, truncated samples, out-of-range plain values) raise
+    ``ValueError`` naming the reason. Also exposes
+    ``.pixels(payload)``. Self-contained closure — pickles by
+    value."""
+    import numpy as _np
+
+    def _parse(payload: bytes):
+        data = bytes(payload or b"")
+        magic = data[:2]
+        if magic not in (b"P2", b"P3", b"P5", b"P6"):
+            raise ValueError(
+                f"undecodable PGM/PPM payload: bad magic {magic!r}"
+            )
+        ch = 3 if magic in (b"P3", b"P6") else 1
+        # header: magic, width, height, maxval — whitespace-separated,
+        # '#' comments running to end-of-line allowed between tokens
+        pos, fields = 2, []
+        while len(fields) < 3:
+            if pos >= len(data):
+                raise ValueError(
+                    "undecodable PGM/PPM payload: truncated header"
+                )
+            c = data[pos : pos + 1]
+            if c == b"#":
+                nl = data.find(b"\n", pos)
+                pos = len(data) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            elif c.isdigit():
+                end = pos
+                while end < len(data) and data[end : end + 1].isdigit():
+                    end += 1
+                fields.append(int(data[pos:end]))
+                pos = end
+            else:
+                raise ValueError(
+                    f"undecodable PGM/PPM payload: bad header byte {c!r}"
+                )
+        w, h, maxval = fields
+        if w == 0 or h == 0:
+            raise ValueError("undecodable PGM/PPM payload: zero dimension")
+        if not 0 < maxval < 65536:
+            raise ValueError(
+                f"undecodable PGM/PPM payload: maxval {maxval} out of range"
+            )
+        n = w * h * ch
+        dt = _np.uint8 if maxval < 256 else _np.uint16
+        if magic in (b"P2", b"P3"):
+            toks = data[pos:].split()
+            if len(toks) != n:
+                raise ValueError(
+                    "undecodable PGM/PPM payload: expected"
+                    f" {n} plain samples, found {len(toks)}"
+                )
+            try:
+                vals = _np.array([int(t) for t in toks], dtype=_np.int64)
+            except ValueError as ex:
+                raise ValueError(
+                    f"undecodable PGM/PPM payload: non-numeric sample: {ex}"
+                ) from ex
+            if vals.size and (
+                int(vals.min()) < 0 or int(vals.max()) > maxval
+            ):
+                raise ValueError(
+                    "undecodable PGM/PPM payload: plain sample outside"
+                    f" [0, {maxval}]"
+                )
+            px = vals.astype(dt)
+        else:
+            # exactly one whitespace byte separates maxval from samples
+            pos += 1
+            item = 1 if maxval < 256 else 2
+            if len(data) - pos != n * item:
+                raise ValueError(
+                    "undecodable PGM/PPM payload: expected"
+                    f" {n * item} sample bytes, found {len(data) - pos}"
+                )
+            raw = _np.frombuffer(data, dtype=_np.uint8, offset=pos)
+            px = (
+                raw.copy()
+                if item == 1
+                else _np.frombuffer(raw.tobytes(), dtype=">u2").astype(
+                    _np.uint16
+                )
+            )
+        return px.reshape(h, w, ch), maxval
+
+    def decode(payload: bytes) -> _np.ndarray:
+        px, maxval = _parse(payload)
+        h, w, ch = px.shape
+        depth = px.dtype.itemsize * 8
+        scale = float(maxval)
+        if ch == 1:
+            luma = px[:, :, 0].astype(_np.float64) / scale
+        else:
+            rgb = px.astype(_np.float64) / scale
+            luma = (
+                0.299 * rgb[:, :, 0]
+                + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2]
+            )
+        return _np.array(
+            [
+                w,
+                h,
+                ch,
+                depth,
+                float(luma.mean()),
+                float(luma.std()),
+                float(luma.min()),
+                float(luma.max()),
+            ],
+            dtype=_np.float32,
+        )
+
+    decode.pixels = lambda payload: _parse(payload)[0]
+    return decode
+
+
+def auto_decoder() -> Callable[[bytes], np.ndarray]:
+    """Magic-byte dispatcher over the real decoders — the
+    production-shaped ``decoder=`` for frames whose payload column
+    mixes formats: RIFF/WAVE → :func:`wav_decoder`, the PNG
+    signature → :func:`png_decoder`, Netpbm magics →
+    :func:`ppm_decoder`. All three image decoders share the
+    :data:`PNG_FEATURE_NAMES` lane layout; WAV rows come back in
+    :data:`WAV_FEATURE_NAMES` layout (same width, 8 lanes), so a
+    downstream consumer branches on ``meta.media_type`` — exactly as
+    it would with typed real-world codecs. Unknown magic raises
+    ``ValueError`` naming the leading bytes: an unroutable payload
+    must fail the row loudly, never fall back to fake features.
+    Self-contained closure — pickles by value (the component
+    closures it captures do too)."""
+    wav = wav_decoder()
+    png = png_decoder()
+    ppm = ppm_decoder()
+
+    def decode(payload: bytes):
+        head = bytes(payload or b"")[:12]
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            return wav(payload)
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            return png(payload)
+        if head[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            return ppm(payload)
+        raise ValueError(
+            f"no decoder for payload magic {head[:8]!r}"
+            " (WAV/PNG/PGM/PPM supported without external codecs)"
+        )
+
     return decode
 
 

@@ -772,6 +772,66 @@ def test_png_16bit_and_adam7_roundtrip():
         assert np.array_equal(dec.pixels(p), px16), f"16+adam7 ft={ft}"
 
 
+def test_ppm_decoder_roundtrip_and_maxval():
+    """Netpbm: binary and plain variants round-trip pixel-exact;
+    luma normalizes by the DECLARED maxval, not the sample width."""
+    import numpy as np
+
+    dec = multimodal.ppm_decoder()
+    rng = np.random.RandomState(5)
+    for ch in (1, 3):
+        px8 = rng.randint(0, 256, size=(6, 4, ch), dtype=np.uint8)
+        px16 = rng.randint(0, 65536, size=(3, 5, ch)).astype(np.uint16)
+        for px in (px8, px16):
+            for ascii_format in (False, True):
+                back = dec.pixels(
+                    multimodal.encode_ppm(px, ascii_format=ascii_format)
+                )
+                assert np.array_equal(back, px), (ch, px.dtype, ascii_format)
+    # declared maxval 100: a 100-valued gray pixel is full luma
+    payload = b"P5\n# a comment\n2 1\n100\n" + bytes([100, 50])
+    got = dict(zip(multimodal.PNG_FEATURE_NAMES, dec(payload).tolist()))
+    assert got["max_luma"] == 1.0 and got["min_luma"] == 0.5
+    assert got["width"] == 2.0 and got["bit_depth"] == 8.0
+    # refusals: bad magic, truncated binary, plain value over maxval
+    with pytest.raises(ValueError, match="bad magic"):
+        dec(b"P7\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="sample bytes"):
+        dec(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="outside"):
+        dec(b"P2\n2 1\n10\n5 11\n")
+    with pytest.raises(ValueError, match="truncated header"):
+        dec(b"P5\n4 4")
+
+
+def test_auto_decoder_dispatch(spark):
+    """One mixed-format frame through the seam: WAV, PNG and PPM
+    rows each route to their real decoder; unknown magic fails the
+    row loudly."""
+    import numpy as np
+
+    wav = multimodal.encode_wav([1000, -1000] * 50, framerate=8000)
+    png = multimodal.encode_png(np.full((2, 2), 255, dtype=np.uint8))
+    ppm = multimodal.encode_ppm(np.zeros((2, 2), dtype=np.uint8))
+    rows = [
+        (1, bytearray(wav), ("audio", "wav", None, None, 13)),
+        (2, bytearray(png), ("image", "png", 2, 2, None)),
+        (3, bytearray(ppm), ("image", "ppm", 2, 2, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            df, decoder=multimodal.auto_decoder()
+        ).collect()
+    }
+    assert dict(zip(multimodal.WAV_FEATURE_NAMES, out[1]))["framerate"] == 8000.0
+    assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[2]))["mean_luma"] == 1.0
+    assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[3]))["mean_luma"] == 0.0
+    with pytest.raises(ValueError, match="no decoder for payload magic"):
+        multimodal.auto_decoder()(b"GIF89a...")
+
+
 def test_png_decoder_through_extract_features(spark):
     """The real PNG decoder rides the same Arrow-batched mapInPandas
     seam as the stub — end-to-end over a Spark frame."""
