@@ -774,6 +774,7 @@ def ppm_decoder() -> Callable[[bytes], np.ndarray]:
         )
 
     decode.pixels = lambda payload: _parse(payload)[0]
+    decode.parse = _parse  # (pixels, declared maxval)
     return decode
 
 
@@ -845,6 +846,56 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def image_resizer() -> Callable[[bytes, int, int], bytes]:
+    """A REAL resizer for the ``resizer=`` seam: decodes PNG or
+    Netpbm payloads via the stdlib decoders, nearest-neighbor
+    resamples to the target grid (``round((i + 0.5) * src/dst - 0.5)``
+    index mapping — the standard pixel-center convention), and
+    re-encodes in the SAME family (PNG in → PNG out, binary PGM/PPM
+    in → binary PGM/PPM out), preserving channel count and sample
+    width. Palette PNGs come back as expanded RGB, Adam7 inputs as
+    non-interlaced, plain-Netpbm inputs as binary — content-
+    preserving normalizations a real pipeline would also apply.
+    Unknown magic raises ``ValueError`` (same contract as
+    :func:`auto_decoder`). Pickles by value; composes with
+    :func:`resize_media`."""
+    png = png_decoder()
+    ppm = ppm_decoder()
+
+    def _grid(src: int, dst: int) -> np.ndarray:
+        idx = np.round((np.arange(dst) + 0.5) * (src / dst) - 0.5)
+        return np.clip(idx, 0, src - 1).astype(np.int64)
+
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        if w <= 0 or h <= 0:
+            raise ValueError("resize target must be positive")
+        head = bytes(payload or b"")[:8]
+        if head == b"\x89PNG\r\n\x1a\n":
+            px = png.pixels(payload)
+            enc = lambda a: encode_png(  # noqa: E731
+                a, bit_depth=a.dtype.itemsize * 8
+            )
+        elif head[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            px, maxval = ppm.parse(payload)
+            top = 2 ** (px.dtype.itemsize * 8) - 1
+            if maxval != top:
+                # re-encoding declares the full-range maxval, so
+                # rescale samples to keep luma identical
+                px = (
+                    (px.astype(np.int64) * top + maxval // 2) // maxval
+                ).astype(px.dtype)
+            enc = encode_ppm
+        else:
+            raise ValueError(
+                f"no resizer for payload magic {head!r}"
+                " (PNG/PGM/PPM supported without external codecs)"
+            )
+        out = px[_grid(px.shape[0], h)][:, _grid(px.shape[1], w)]
+        return enc(np.ascontiguousarray(out))
+
+    return resize
+
+
 def resize_media(
     df: DataFrame,
     width: int,
@@ -856,12 +907,13 @@ def resize_media(
 ) -> DataFrame:
     """Resize plumbing: payload → resized payload + updated metadata,
     via Arrow-batched mapInPandas (full-row pass-through, so it
-    composes anywhere in a pipeline). The actual pixel resample is
-    STUBBED like decode — the default fake emits a deterministic
-    digest-seeded payload of width·height/64 bytes so sizes scale
-    plausibly; swap in a real resizer (PIL ``Image.resize`` → bytes)
-    via ``resizer=`` in production. Self-contained closure — pickles
-    by value."""
+    composes anywhere in a pipeline). Pass
+    ``resizer=image_resizer()`` for REAL nearest-neighbor resampling
+    of PNG/PGM/PPM payloads; the default remains the deterministic
+    digest-seeded fake (emits width·height/64 bytes so sizes scale
+    plausibly) standing in for formats this container cannot decode —
+    swap in PIL ``Image.resize`` → bytes for those in production.
+    Self-contained closure — pickles by value."""
     if resizer is None:
         import hashlib as _hashlib
 

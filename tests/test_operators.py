@@ -856,6 +856,65 @@ def test_png_decoder_through_extract_features(spark):
     assert out[2]["mean_luma"] == 1.0 and out[2]["n_channels"] == 1.0
 
 
+def test_image_resizer_real():
+    """Real nearest-neighbor resample over the stdlib codecs:
+    identity resize is pixel-exact, downscale picks the expected
+    source pixels, format/depth survive, odd-maxval Netpbm rescales
+    to keep luma identical."""
+    import numpy as np
+
+    rz = multimodal.image_resizer()
+    dec = multimodal.png_decoder()
+    pdec = multimodal.ppm_decoder()
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    # identity: same pixels back (PNG and PPM)
+    assert np.array_equal(
+        dec.pixels(rz(multimodal.encode_png(px), 4, 4)), px
+    )
+    assert np.array_equal(
+        pdec.pixels(rz(multimodal.encode_ppm(px), 4, 4)), px
+    )
+    # 4x4 -> 2x2 nearest with pixel-center mapping picks rows/cols 0,2
+    small = dec.pixels(rz(multimodal.encode_png(px), 2, 2))
+    assert np.array_equal(small, px[[0, 2]][:, [0, 2]])
+    # 1x1 -> 3x3 replicates; 16-bit depth survives
+    one = np.full((1, 1), 60000, dtype=np.uint16)
+    up = dec.pixels(rz(multimodal.encode_png(one, bit_depth=16), 3, 3))
+    assert up.shape == (3, 3, 1) and int(up.max()) == int(up.min()) == 60000
+    # odd-maxval PPM: 100-of-100 is full luma before AND after
+    payload = b"P5\n1 1\n100\n" + bytes([100])
+    before = dict(zip(multimodal.PNG_FEATURE_NAMES, pdec(payload).tolist()))
+    resized = rz(payload, 2, 2)
+    after = dict(zip(multimodal.PNG_FEATURE_NAMES, pdec(resized).tolist()))
+    assert before["max_luma"] == after["max_luma"] == 1.0
+    # Adam7 input comes back decodable (non-interlaced re-encode)
+    woven = multimodal.encode_png(px, interlace=True)
+    assert np.array_equal(dec.pixels(rz(woven, 4, 4)), px)
+    # unroutable magic refuses
+    with pytest.raises(ValueError, match="no resizer"):
+        rz(multimodal.encode_wav([0] * 8), 2, 2)
+
+
+def test_image_resizer_through_resize_media(spark):
+    import numpy as np
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    rows = [
+        (1, bytearray(multimodal.encode_png(px)), ("image", "png", 3, 3, None)),
+        (2, bytearray(multimodal.encode_ppm(px)), ("image", "ppm", 3, 3, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = multimodal.resize_media(
+        df, 2, 2, resizer=multimodal.image_resizer()
+    ).collect()
+    dec = multimodal.auto_decoder()
+    for r in out:
+        f = dict(zip(multimodal.PNG_FEATURE_NAMES, dec(bytes(r["payload"]))))
+        assert f["width"] == 2.0 and f["height"] == 2.0
+        assert r["meta"]["width"] == 2 and r["meta"]["height"] == 2
+
+
 def test_sample_frames(spark):
     rows = [(1, bytearray(b"vid"), ("video", "mp4", None, None, 3500))]
     df = spark.createDataFrame(rows, multimodal.media_schema())
