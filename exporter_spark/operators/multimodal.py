@@ -896,6 +896,137 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     return resize
 
 
+def probe_media(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Derive the :data:`MEDIA_META` struct FROM THE PAYLOAD BYTES
+    instead of trusting upstream metadata — the validation step a
+    real ingest pipeline runs first. Dispatches on magic like
+    :func:`auto_decoder`: WAV headers give media_type/format/
+    duration; PNG and Netpbm headers give dimensions; MP4 containers
+    are walked at the box level (pure ``struct`` — ``mvhd``
+    timescale/duration for duration_ms, the first ``tkhd`` with
+    nonzero 16.16-fixed dimensions for width/height; no codec
+    needed, so this works on payloads whose FRAMES the container
+    cannot decode). Unknown magic probes to a NULL meta row rather
+    than failing: probing exists to classify, and "none of the known
+    formats" is a classification. Arrow-batched mapInPandas,
+    full-row pass-through like :func:`resize_media`."""
+    out_schema = df.schema
+
+    def probe(payload: bytes):
+        import io
+        import struct
+        import wave
+
+        data = bytes(payload or b"")
+        head = data[:12]
+        try:
+            if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+                with wave.open(io.BytesIO(data), "rb") as wv:
+                    rate = wv.getframerate()
+                    dur = (
+                        int(wv.getnframes() * 1000 / rate) if rate else None
+                    )
+                return ("audio", "wav", None, None, dur)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                if data[12:16] != b"IHDR":
+                    raise ValueError("IHDR not first chunk")
+                w, h = struct.unpack_from(">II", data, 16)
+                return ("image", "png", int(w), int(h), None)
+            if head[:2] in (b"P2", b"P3", b"P5", b"P6"):
+                toks, pos = [], 2
+                while len(toks) < 2 and pos < len(data):
+                    c = data[pos : pos + 1]
+                    if c == b"#":
+                        nl = data.find(b"\n", pos)
+                        pos = len(data) if nl < 0 else nl + 1
+                    elif c.isspace():
+                        pos += 1
+                    elif c.isdigit():
+                        end = pos
+                        while (
+                            end < len(data)
+                            and data[end : end + 1].isdigit()
+                        ):
+                            end += 1
+                        toks.append(int(data[pos:end]))
+                        pos = end
+                    else:
+                        raise ValueError("bad Netpbm header")
+                if len(toks) < 2:
+                    raise ValueError("truncated Netpbm header")
+                fmt = "ppm" if head[:2] in (b"P3", b"P6") else "pgm"
+                return ("image", fmt, toks[0], toks[1], None)
+            if len(data) >= 12 and data[4:8] == b"ftyp":
+                return _mp4_probe(data)
+        except (ValueError, EOFError, struct.error, wave.Error):
+            # a recognized magic with a corrupt body is still a
+            # classification outcome for a PROBE (unlike decode,
+            # which must fail the row) — it maps to the NULL row
+            return (None, None, None, None, None)
+        return (None, None, None, None, None)
+
+    def _mp4_probe(data: bytes):
+        import struct
+
+        def boxes(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                (size,) = struct.unpack_from(">I", data, pos)
+                tag = data[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:
+                    (size,) = struct.unpack_from(">Q", data, pos + 8)
+                    body = pos + 16
+                elif size == 0:
+                    size = hi - pos
+                if size < 8 or pos + size > hi:
+                    raise ValueError("bad MP4 box size")
+                yield tag, body, pos + size
+                pos += size
+
+        dur_ms, w, h = None, None, None
+        for tag, body, end in boxes(0, len(data)):
+            if tag != b"moov":
+                continue
+            for t2, b2, e2 in boxes(body, end):
+                if t2 == b"mvhd":
+                    ver = data[b2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", data, b2 + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", data, b2 + 12)
+                    if ts:
+                        dur_ms = int(dur * 1000 / ts)
+                elif t2 == b"trak" and (w is None or h is None):
+                    for t3, b3, _ in boxes(b2, e2):
+                        if t3 != b"tkhd":
+                            continue
+                        # ver/flags(4) + times/track/reserved/duration
+                        # (20 at v0, 32 at v1) + reserved(8) +
+                        # layer/alt/volume/reserved(8) + matrix(36)
+                        off = b3 + (88 if data[b3] == 1 else 76)
+                        tw, th = struct.unpack_from(">II", data, off)
+                        if tw and th:  # 16.16 fixed; audio tracks are 0x0
+                            w, h = tw >> 16, th >> 16
+        return ("video", "mp4", w, h, dur_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("media_type", "format", "width", "height", "duration_ms")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[meta_col] = [
+                dict(zip(keys, probe(p))) for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resize_media(
     df: DataFrame,
     width: int,

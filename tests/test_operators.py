@@ -915,6 +915,85 @@ def test_image_resizer_through_resize_media(spark):
         assert r["meta"]["width"] == 2 and r["meta"]["height"] == 2
 
 
+def _mp4_fixture(version: int = 0) -> bytes:
+    """Minimal-but-spec-shaped MP4: ftyp + moov(mvhd + audio trak +
+    video trak). mvhd declares timescale 1000 / duration 3500 (=
+    3500 ms); the audio tkhd is 0x0 (skipped), the video tkhd
+    carries 640x360 in 16.16 fixed point."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    if version:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, 1000, 3500)
+            + bytes(80),
+        )
+        tk_head = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQII Q", 0, 0, 2, 0, 3500
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, 1000, 3500)
+            + bytes(80),
+        )
+        tk_head = bytes([0, 0, 0, 0]) + struct.pack(
+            ">IIII I", 0, 0, 2, 0, 3500
+        )
+    tail = bytes(8 + 8 + 36)  # reserved + layer/alt/vol/res + matrix
+    video_tkhd = box(
+        b"tkhd", tk_head + tail + struct.pack(">II", 640 << 16, 360 << 16)
+    )
+    audio_tkhd = box(b"tkhd", tk_head + tail + struct.pack(">II", 0, 0))
+    moov = box(
+        b"moov",
+        mvhd + box(b"trak", audio_tkhd) + box(b"trak", video_tkhd),
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_probe_media(spark):
+    """Meta derived from payload bytes, not trusted: WAV duration,
+    PNG/Netpbm dimensions, MP4 box-walk duration+dimensions (both
+    mvhd/tkhd versions); unknown magic and corrupt bodies probe to a
+    NULL meta row."""
+    import numpy as np
+
+    wav = multimodal.encode_wav([0] * 800, framerate=8000)  # 100 ms
+    png = multimodal.encode_png(np.zeros((3, 5, 3), dtype=np.uint8))
+    ppm = multimodal.encode_ppm(np.zeros((2, 7), dtype=np.uint8))
+    rows = [
+        # deliberately WRONG input meta everywhere: the probe must
+        # overwrite from bytes
+        (1, bytearray(wav), ("image", "xxx", 9, 9, 9)),
+        (2, bytearray(png), (None, None, None, None, None)),
+        (3, bytearray(ppm), ("video", "mp4", 1, 1, 1)),
+        (4, bytearray(_mp4_fixture(0)), (None, None, None, None, None)),
+        (5, bytearray(_mp4_fixture(1)), (None, None, None, None, None)),
+        (6, bytearray(b"GIF89a not probeable"), ("image", "gif", 2, 2, 2)),
+        (7, bytearray(png[:20]), (None, None, None, None, None)),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = {r["media_id"]: r["meta"] for r in multimodal.probe_media(df).collect()}
+    assert out[1]["media_type"] == "audio" and out[1]["duration_ms"] == 100
+    assert out[2]["format"] == "png" and (out[2]["width"], out[2]["height"]) == (5, 3)
+    assert out[3]["format"] == "pgm" and (out[3]["width"], out[3]["height"]) == (7, 2)
+    for mid in (4, 5):
+        m = out[mid]
+        assert m["media_type"] == "video" and m["format"] == "mp4"
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["duration_ms"] == 3500
+    for mid in (6, 7):
+        assert all(v is None for v in out[mid].asDict().values()), out[mid]
+    # probed MP4 meta feeds sample_frames' real fan-out
+    probed = multimodal.probe_media(df).filter("media_id = 4")
+    ts = [r["ts_ms"] for r in multimodal.sample_frames(probed, every_ms=1000).collect()]
+    assert ts == [0, 1000, 2000, 3000]
+
+
 def test_sample_frames(spark):
     rows = [(1, bytearray(b"vid"), ("video", "mp4", None, None, 3500))]
     df = spark.createDataFrame(rows, multimodal.media_schema())
