@@ -516,30 +516,41 @@ def png_decoder() -> Callable[[bytes], np.ndarray]:
                     ).astype(_np.int32)
                 elif ft == 2:  # Up
                     rec = (cur + prev) % 256
-                elif ft == 3:  # Average — sequential in x (needs rec[x-1])
-                    rec = _np.empty_like(cur)
-                    left = _np.zeros(bpp, dtype=_np.int32)
-                    for x in range(pw):
-                        left = (cur[x] + (left + prev[x]) // 2) % 256
-                        rec[x] = left
-                elif ft == 4:  # Paeth — sequential in x
-                    rec = _np.empty_like(cur)
-                    left = _np.zeros(bpp, dtype=_np.int32)
-                    ul = _np.zeros(bpp, dtype=_np.int32)
-                    for x in range(pw):
-                        up = prev[x]
-                        p = left + up - ul
-                        pa = _np.abs(p - left)
-                        pb = _np.abs(p - up)
-                        pc = _np.abs(p - ul)
-                        pred = _np.where(
-                            (pa <= pb) & (pa <= pc),
-                            left,
-                            _np.where(pb <= pc, up, ul),
-                        )
-                        left = (cur[x] + pred) % 256
-                        rec[x] = left
-                        ul = up
+                elif ft == 3:  # Average — sequential in x (needs
+                    # rec[x-1]); byte lanes are independent, so run
+                    # one plain-int loop per lane: ~25x faster than
+                    # per-pixel numpy ops on 3-element vectors
+                    rec_t = []
+                    for cl, pl in zip(cur.T.tolist(), prev.T.tolist()):
+                        left, out_l = 0, []
+                        push = out_l.append
+                        for c, p in zip(cl, pl):
+                            left = (c + ((left + p) >> 1)) & 255
+                            push(left)
+                        rec_t.append(out_l)
+                    rec = _np.array(rec_t, dtype=_np.int32).T
+                elif ft == 4:  # Paeth — sequential in x, same
+                    # per-lane plain-int formulation
+                    rec_t = []
+                    for cl, pl in zip(cur.T.tolist(), prev.T.tolist()):
+                        left, ul, out_l = 0, 0, []
+                        push = out_l.append
+                        for c, up in zip(cl, pl):
+                            p = left + up - ul
+                            pa = p - left if p >= left else left - p
+                            pb = p - up if p >= up else up - p
+                            pc = p - ul if p >= ul else ul - p
+                            if pa <= pb and pa <= pc:
+                                pred = left
+                            elif pb <= pc:
+                                pred = up
+                            else:
+                                pred = ul
+                            left = (c + pred) & 255
+                            push(left)
+                            ul = up
+                        rec_t.append(out_l)
+                    rec = _np.array(rec_t, dtype=_np.int32).T
                 else:
                     raise ValueError(
                         "undecodable PNG payload: unknown scanline"
