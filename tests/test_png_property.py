@@ -81,6 +81,40 @@ def test_png_roundtrip_pixel_exact_16bit(img, ft, interlace):
     assert np.array_equal(back, img)
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    img=_images(),
+    ft=st.integers(min_value=0, max_value=4),
+    flips=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    cut=st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+)
+def test_png_corruption_never_leaks_raw_exceptions(img, ft, flips, cut):
+    """The decode contract is 'malformed payloads raise ValueError
+    with the reason named' — random byte flips and truncations must
+    never surface struct.error / zlib.error / IndexError / numpy
+    shape errors instead. (Decoding may also still SUCCEED: a flip
+    inside IDAT that zlib tolerates is caught by CRC first, but a
+    flip in an ignored ancillary position is legitimately harmless.)"""
+    payload = bytearray(multimodal.encode_png(img, filter_type=ft))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    data = bytes(payload[: cut % (len(payload) + 1)] if cut is not None
+                 else payload)
+    dec = multimodal.png_decoder()
+    try:
+        feats = dec(data)
+    except ValueError:
+        return
+    assert len(feats) == 8  # survived corruption -> still well-formed
+
+
 @settings(max_examples=60, deadline=None)
 @given(img=_images())
 def test_png_features_filter_invariant(img):
