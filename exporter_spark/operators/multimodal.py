@@ -9,11 +9,12 @@ WAV audio (:func:`wav_decoder`, stdlib ``wave``), PNG images
 (:func:`png_decoder`, stdlib ``zlib`` + ``struct`` — full chunk/CRC
 parse, all five scanline filters, Adam7 interlace,
 gray/RGB/palette/gray-alpha/RGBA at bit depths 8 and 16), and
-Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants) —
-each with a fixture-side inverse (:func:`encode_wav`,
-:func:`encode_png`, :func:`encode_ppm`), and
-:func:`auto_decoder` dispatches on payload magic for mixed-format
-frames. JPEG/other image codecs and VIDEO decode remain STUBBED —
+Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants), and
+Windows BMP (:func:`bmp_decoder`, BI_RGB 8/24/32-bit incl. palette
+and top-down) — each with a fixture-side inverse
+(:func:`encode_wav`, :func:`encode_png`, :func:`encode_ppm`,
+:func:`encode_bmp`), and :func:`auto_decoder` dispatches on payload
+magic for mixed-format frames. JPEG/other image codecs and VIDEO decode remain STUBBED —
 the runtime container has no PIL/cv2/imageio — behind the same
 ``decoder=`` hooks; the default deterministic fake derives features
 from the payload bytes so pipelines are testable end-to-end. Swap in
@@ -789,12 +790,146 @@ def ppm_decoder() -> Callable[[bytes], np.ndarray]:
     return decode
 
 
+def encode_bmp(pixels) -> bytes:
+    """Encode a uint8 pixel array as Windows BMP (BITMAPINFOHEADER,
+    BI_RGB, bottom-up, 4-byte row padding) — the fixture-side inverse
+    of :func:`bmp_decoder`. ``(H, W)``/``(H, W, 1)`` emits 8-bit with
+    a 256-entry grayscale palette, ``(H, W, 3)`` emits 24-bit BGR,
+    ``(H, W, 4)`` emits 32-bit BGRA."""
+    import struct
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError("pixels must be (H, W) or (H, W, {1|3|4}) uint8")
+    h, w, ch = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("BMP dimensions must be nonzero")
+    bits = {1: 8, 3: 24, 4: 32}[ch]
+    palette = b""
+    if ch == 1:
+        palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
+        rows = arr[:, :, 0]
+    else:
+        rows = arr[:, :, ::-1] if ch == 3 else arr[:, :, [2, 1, 0, 3]]
+    stride = (w * ch + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = rows[y].tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, 0, len(body), 2835, 2835,
+        256 if ch == 1 else 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return head + info + palette + bytes(body)
+
+
+def bmp_decoder() -> Callable[[bytes], np.ndarray]:
+    """A REAL image decoder for the ``decoder=`` seam — Windows BMP,
+    BITMAPINFOHEADER family (header size ≥ 40), uncompressed BI_RGB
+    at 8 (palette), 24 and 32 bits, bottom-up or top-down (negative
+    height), 4-byte row padding honored. Emits the same 8 float32
+    lanes as :func:`png_decoder` (:data:`PNG_FEATURE_NAMES`;
+    ``bit_depth`` reports 8 per channel) and exposes
+    ``.pixels(payload)`` → uint8 (H, W, {3|4}) RGB(A). RLE and
+    bitfield compressions raise ``ValueError`` naming the reason.
+    Self-contained closure — pickles by value."""
+    import struct as _struct
+
+    import numpy as _np
+
+    def _pixels(payload: bytes) -> _np.ndarray:
+        data = bytes(payload or b"")
+        if data[:2] != b"BM" or len(data) < 54:
+            raise ValueError("undecodable BMP payload: bad magic/short file")
+        (offset,) = _struct.unpack_from("<I", data, 10)
+        (hsize,) = _struct.unpack_from("<I", data, 14)
+        if hsize < 40:
+            raise ValueError(
+                f"BMP core-header size {hsize} not supported (BITMAPINFO"
+                "HEADER and later only)"
+            )
+        w, h, planes, bits, comp = _struct.unpack_from("<iiHHI", data, 18)
+        (clr_used,) = _struct.unpack_from("<I", data, 46)
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0:
+            raise ValueError("undecodable BMP payload: bad dimensions")
+        if comp != 0:
+            raise ValueError(
+                f"BMP compression {comp} not supported (BI_RGB only;"
+                " RLE/bitfields need an external codec)"
+            )
+        if bits not in (8, 24, 32):
+            raise ValueError(
+                f"BMP bit depth {bits} not supported (8/24/32 only)"
+            )
+        ch = bits // 8
+        stride = (w * ch + 3) // 4 * 4
+        if offset + stride * h > len(data):
+            raise ValueError(
+                "undecodable BMP payload: pixel data truncated"
+                f" (need {offset + stride * h}, have {len(data)})"
+            )
+        raw = _np.frombuffer(
+            data, dtype=_np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)
+        rows = raw[:, : w * ch].reshape(h, w, ch)
+        if not top_down:
+            rows = rows[::-1]
+        if bits == 8:
+            n_pal = clr_used or 256
+            pal_off = 14 + hsize
+            pal = _np.frombuffer(
+                data, dtype=_np.uint8, count=n_pal * 4, offset=pal_off
+            ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+            idx = rows[:, :, 0]
+            if int(idx.max()) >= n_pal:
+                raise ValueError(
+                    "undecodable BMP payload: palette index out of range"
+                )
+            return _np.ascontiguousarray(pal[idx])
+        if bits == 24:
+            return _np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+        return _np.ascontiguousarray(rows[:, :, [2, 1, 0, 3]])  # BGRA
+
+    def decode(payload: bytes) -> _np.ndarray:
+        px = _pixels(payload)
+        h, w, ch = px.shape
+        rgb = px[:, :, :3].astype(_np.float64) / 255.0
+        luma = (
+            0.299 * rgb[:, :, 0]
+            + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        )
+        return _np.array(
+            [
+                w,
+                h,
+                ch,
+                8,
+                float(luma.mean()),
+                float(luma.std()),
+                float(luma.min()),
+                float(luma.max()),
+            ],
+            dtype=_np.float32,
+        )
+
+    decode.pixels = _pixels
+    return decode
+
+
 def auto_decoder() -> Callable[[bytes], np.ndarray]:
     """Magic-byte dispatcher over the real decoders — the
     production-shaped ``decoder=`` for frames whose payload column
     mixes formats: RIFF/WAVE → :func:`wav_decoder`, the PNG
     signature → :func:`png_decoder`, Netpbm magics →
-    :func:`ppm_decoder`. All three image decoders share the
+    :func:`ppm_decoder`, ``BM`` → :func:`bmp_decoder`. The image
+    decoders share the
     :data:`PNG_FEATURE_NAMES` lane layout; WAV rows come back in
     :data:`WAV_FEATURE_NAMES` layout (same width, 8 lanes), so a
     downstream consumer branches on ``meta.media_type`` — exactly as
@@ -806,6 +941,7 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     wav = wav_decoder()
     png = png_decoder()
     ppm = ppm_decoder()
+    bmp = bmp_decoder()
 
     def decode(payload: bytes):
         head = bytes(payload or b"")[:12]
@@ -815,9 +951,11 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
             return png(payload)
         if head[:2] in (b"P2", b"P3", b"P5", b"P6"):
             return ppm(payload)
+        if head[:2] == b"BM":
+            return bmp(payload)
         raise ValueError(
             f"no decoder for payload magic {head[:8]!r}"
-            " (WAV/PNG/PGM/PPM supported without external codecs)"
+            " (WAV/PNG/PGM/PPM/BMP supported without external codecs)"
         )
 
     return decode
@@ -863,15 +1001,17 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     resamples to the target grid (``round((i + 0.5) * src/dst - 0.5)``
     index mapping — the standard pixel-center convention), and
     re-encodes in the SAME family (PNG in → PNG out, binary PGM/PPM
-    in → binary PGM/PPM out), preserving channel count and sample
-    width. Palette PNGs come back as expanded RGB, Adam7 inputs as
-    non-interlaced, plain-Netpbm inputs as binary — content-
-    preserving normalizations a real pipeline would also apply.
+    in → binary PGM/PPM out, BMP in → BMP out), preserving channel
+    count and sample width. Palette inputs come back as expanded
+    RGB, Adam7 inputs as non-interlaced, plain-Netpbm inputs as
+    binary — content-preserving normalizations a real pipeline would
+    also apply.
     Unknown magic raises ``ValueError`` (same contract as
     :func:`auto_decoder`). Pickles by value; composes with
     :func:`resize_media`."""
     png = png_decoder()
     ppm = ppm_decoder()
+    bmp = bmp_decoder()
 
     def _grid(src: int, dst: int) -> np.ndarray:
         idx = np.round((np.arange(dst) + 0.5) * (src / dst) - 0.5)
@@ -896,10 +1036,13 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
                     (px.astype(np.int64) * top + maxval // 2) // maxval
                 ).astype(px.dtype)
             enc = encode_ppm
+        elif head[:2] == b"BM":
+            px = bmp.pixels(payload)
+            enc = encode_bmp
         else:
             raise ValueError(
                 f"no resizer for payload magic {head!r}"
-                " (PNG/PGM/PPM supported without external codecs)"
+                " (PNG/PGM/PPM/BMP supported without external codecs)"
             )
         out = px[_grid(px.shape[0], h)][:, _grid(px.shape[1], w)]
         return enc(np.ascontiguousarray(out))
@@ -972,6 +1115,11 @@ def probe_media(
                     raise ValueError("truncated Netpbm header")
                 fmt = "ppm" if head[:2] in (b"P3", b"P6") else "pgm"
                 return ("image", fmt, toks[0], toks[1], None)
+            if head[:2] == b"BM" and len(data) >= 26:
+                w, h = struct.unpack_from("<ii", data, 18)
+                if w <= 0 or h == 0:
+                    raise ValueError("bad BMP dimensions")
+                return ("image", "bmp", int(w), abs(int(h)), None)
             if len(data) >= 12 and data[4:8] == b"ftyp":
                 return _mp4_probe(data)
         except (ValueError, EOFError, struct.error, wave.Error):

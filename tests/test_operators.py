@@ -804,6 +804,58 @@ def test_ppm_decoder_roundtrip_and_maxval():
         dec(b"P5\n4 4")
 
 
+def test_bmp_decoder_roundtrip_variants_and_refusals():
+    """Windows BMP: 8-bit grayscale palette / 24-bit / 32-bit
+    round-trip pixel-exact through the padded bottom-up layout;
+    top-down and truncated/compressed payloads behave per contract."""
+    import struct
+
+    import numpy as np
+
+    dec = multimodal.bmp_decoder()
+    rng = np.random.RandomState(17)
+    # 24-bit and 32-bit: odd widths exercise the 4-byte row padding
+    for ch in (3, 4):
+        for w in (1, 2, 3, 5):
+            px = rng.randint(0, 256, size=(4, w, ch), dtype=np.uint8)
+            back = dec.pixels(multimodal.encode_bmp(px))
+            assert np.array_equal(back, px), (ch, w)
+    # 8-bit grayscale palette expands to RGB
+    gray = rng.randint(0, 256, size=(3, 7), dtype=np.uint8)
+    back = dec.pixels(multimodal.encode_bmp(gray))
+    assert np.array_equal(back, np.repeat(gray[:, :, None], 3, axis=2))
+    # top-down (negative height): flip the encoder's bottom-up body
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    payload = bytearray(multimodal.encode_bmp(px))
+    struct.pack_into("<i", payload, 22, -2)  # height -> -2 (top-down)
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    stride = (4 * 3 + 3) // 4 * 4
+    body = bytes(payload[offset:])
+    payload[offset:] = body[stride:] + body[:stride]  # swap the 2 rows
+    assert np.array_equal(dec.pixels(bytes(payload)), px)
+    # features ride the shared lane layout
+    f = dict(
+        zip(
+            multimodal.PNG_FEATURE_NAMES,
+            dec(multimodal.encode_bmp(np.full((2, 2, 3), 255, np.uint8))),
+        )
+    )
+    assert f["mean_luma"] == 1.0 and f["n_channels"] == 3.0
+    # refusals
+    with pytest.raises(ValueError, match="bad magic"):
+        dec(b"not a bitmap at all........................................")
+    with pytest.raises(ValueError, match="truncated"):
+        dec(multimodal.encode_bmp(px)[:-5])
+    rle = bytearray(multimodal.encode_bmp(gray))
+    struct.pack_into("<I", rle, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(ValueError, match="compression 1"):
+        dec(bytes(rle))
+    # resizer + probe route BMP
+    rz = multimodal.image_resizer()
+    small = dec.pixels(rz(multimodal.encode_bmp(px), 2, 1))
+    assert small.shape == (1, 2, 3)
+
+
 def test_auto_decoder_dispatch(spark):
     """One mixed-format frame through the seam: WAV, PNG and PPM
     rows each route to their real decoder; unknown magic fails the
@@ -813,10 +865,12 @@ def test_auto_decoder_dispatch(spark):
     wav = multimodal.encode_wav([1000, -1000] * 50, framerate=8000)
     png = multimodal.encode_png(np.full((2, 2), 255, dtype=np.uint8))
     ppm = multimodal.encode_ppm(np.zeros((2, 2), dtype=np.uint8))
+    bmp = multimodal.encode_bmp(np.full((2, 2, 3), 255, dtype=np.uint8))
     rows = [
         (1, bytearray(wav), ("audio", "wav", None, None, 13)),
         (2, bytearray(png), ("image", "png", 2, 2, None)),
         (3, bytearray(ppm), ("image", "ppm", 2, 2, None)),
+        (4, bytearray(bmp), ("image", "bmp", 2, 2, None)),
     ]
     df = spark.createDataFrame(rows, multimodal.media_schema())
     out = {
@@ -828,6 +882,7 @@ def test_auto_decoder_dispatch(spark):
     assert dict(zip(multimodal.WAV_FEATURE_NAMES, out[1]))["framerate"] == 8000.0
     assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[2]))["mean_luma"] == 1.0
     assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[3]))["mean_luma"] == 0.0
+    assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[4]))["mean_luma"] == 1.0
     with pytest.raises(ValueError, match="no decoder for payload magic"):
         multimodal.auto_decoder()(b"GIF89a...")
 
@@ -975,6 +1030,9 @@ def test_probe_media(spark):
         (5, bytearray(_mp4_fixture(1)), (None, None, None, None, None)),
         (6, bytearray(b"GIF89a not probeable"), ("image", "gif", 2, 2, 2)),
         (7, bytearray(png[:20]), (None, None, None, None, None)),  # corrupt
+        (8, bytearray(multimodal.encode_bmp(
+            np.zeros((4, 6, 3), dtype=np.uint8))),
+         (None, None, None, None, None)),
     ]
     df = spark.createDataFrame(rows, multimodal.media_schema())
     out = {r["media_id"]: r["meta"] for r in multimodal.probe_media(df).collect()}
@@ -988,6 +1046,7 @@ def test_probe_media(spark):
         assert m["duration_ms"] == 3500
     for mid in (6, 7):
         assert all(v is None for v in out[mid].asDict().values()), out[mid]
+    assert out[8]["format"] == "bmp" and (out[8]["width"], out[8]["height"]) == (6, 4)
     # probed MP4 meta feeds sample_frames' real fan-out
     probed = multimodal.probe_media(df).filter("media_id = 4")
     ts = [r["ts_ms"] for r in multimodal.sample_frames(probed, every_ms=1000).collect()]
