@@ -742,12 +742,18 @@ def ppm_decoder() -> Callable[[bytes], np.ndarray]:
             # exactly one whitespace byte separates maxval from samples
             pos += 1
             item = 1 if maxval < 256 else 2
-            if len(data) - pos != n * item:
+            # >= not ==: Netpbm permits multi-image P5/P6 streams and
+            # many writers emit a trailing newline, so only the FIRST
+            # raster's worth of bytes is required; extra content after
+            # it is spec-legal and ignored (ADVICE r13).
+            if len(data) - pos < n * item:
                 raise ValueError(
                     "undecodable PGM/PPM payload: expected"
                     f" {n * item} sample bytes, found {len(data) - pos}"
                 )
-            raw = _np.frombuffer(data, dtype=_np.uint8, offset=pos)
+            raw = _np.frombuffer(
+                data, dtype=_np.uint8, count=n * item, offset=pos
+            )
             px = (
                 raw.copy()
                 if item == 1
@@ -883,6 +889,22 @@ def bmp_decoder() -> Callable[[bytes], np.ndarray]:
         if bits == 8:
             n_pal = clr_used or 256
             pal_off = 14 + hsize
+            # An 8-bit palette has at most 256 entries, and the table
+            # must fit between the header and the pixel offset — a
+            # forged clr_used would otherwise read header/pixel bytes
+            # as palette or surface numpy's raw buffer error
+            # (ADVICE r13).
+            if n_pal > 256:
+                raise ValueError(
+                    f"undecodable BMP payload: clr_used {n_pal} exceeds"
+                    " the 256-entry limit for 8-bit images"
+                )
+            if pal_off + n_pal * 4 > min(offset, len(data)):
+                raise ValueError(
+                    "undecodable BMP payload: palette table overruns the"
+                    f" pixel-data offset (palette ends {pal_off + n_pal * 4},"
+                    f" pixels start {offset}, file {len(data)})"
+                )
             pal = _np.frombuffer(
                 data, dtype=_np.uint8, count=n_pal * 4, offset=pal_off
             ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRx -> RGB
@@ -1122,10 +1144,14 @@ def probe_media(
                 return ("image", "bmp", int(w), abs(int(h)), None)
             if len(data) >= 12 and data[4:8] == b"ftyp":
                 return _mp4_probe(data)
-        except (ValueError, EOFError, struct.error, wave.Error):
+        except (ValueError, EOFError, IndexError, struct.error, wave.Error):
             # a recognized magic with a corrupt body is still a
             # classification outcome for a PROBE (unlike decode,
-            # which must fail the row) — it maps to the NULL row
+            # which must fail the row) — it maps to the NULL row.
+            # IndexError belongs here: the MP4 box walk reads
+            # data[b2]/data[b3] version bytes, and an empty-bodied
+            # size-8 mvhd/tkhd at the end of the payload indexes one
+            # past the buffer (ADVICE r13).
             return (None, None, None, None, None)
         return (None, None, None, None, None)
 

@@ -39,6 +39,21 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
     assert total_overlap >= 18, f"recall regression: {total_overlap}/25 < 18"
 
 
+def test_ivf_default_n_probe_is_the_measured_knee():
+    """VERDICT r13 #4: the old default n_probe=4 measured 0.55
+    recall@10 — a silent bad ANN for anyone taking the default. Both
+    IVF tiers now default to the measured knee (8 → 0.79/0.83 per
+    tools/audits/r13_ivf_recall.json). This pin makes a future
+    default regression loud."""
+    import inspect
+
+    assert inspect.signature(similarity.ivf_topk).parameters["n_probe"].default == 8
+    assert (
+        inspect.signature(similarity.ivf_fixed_topk).parameters["n_probe"].default
+        == 8
+    )
+
+
 def test_ivf_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 2)

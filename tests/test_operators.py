@@ -802,6 +802,20 @@ def test_ppm_decoder_roundtrip_and_maxval():
         dec(b"P2\n2 1\n10\n5 11\n")
     with pytest.raises(ValueError, match="truncated header"):
         dec(b"P5\n4 4")
+    # spec-legal trailing content after the first raster is accepted:
+    # a trailing newline (common writer habit) and a concatenated
+    # second image (multi-image P5/P6 streams) both decode to the
+    # FIRST raster only (ADVICE r13)
+    first = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    base = b"P5\n2 2\n255\n" + first.tobytes()
+    assert np.array_equal(dec.pixels(base + b"\n"), first[:, :, None])
+    assert np.array_equal(
+        dec.pixels(base + b"P5\n2 2\n255\n" + bytes(4)), first[:, :, None]
+    )
+    # 16-bit path: same tolerance, count capped at the first raster
+    wide = np.array([[256, 512]], dtype=np.uint16)
+    payload16 = b"P5\n2 1\n65535\n" + wide.astype(">u2").tobytes() + b"\n"
+    assert np.array_equal(dec.pixels(payload16), wide[:, :, None])
 
 
 def test_bmp_decoder_roundtrip_variants_and_refusals():
@@ -850,6 +864,25 @@ def test_bmp_decoder_roundtrip_variants_and_refusals():
     struct.pack_into("<I", rle, 30, 1)  # compression = BI_RLE8
     with pytest.raises(ValueError, match="compression 1"):
         dec(bytes(rle))
+    # forged clr_used (ADVICE r13): a huge value must raise the NAMED
+    # refusal, never numpy's raw buffer error; a value in (256, huge)
+    # must not silently read header/pixel bytes as palette
+    forged = bytearray(multimodal.encode_bmp(gray))
+    struct.pack_into("<I", forged, 46, 2**31)
+    with pytest.raises(ValueError, match="clr_used"):
+        dec(bytes(forged))
+    struct.pack_into("<I", forged, 46, 300)
+    with pytest.raises(ValueError, match="clr_used"):
+        dec(bytes(forged))
+    # clr_used <= 256 but table overruns the pixel offset: the
+    # encoder writes exactly 256 entries, so claiming 256 with a
+    # shrunk pixel offset must hit the overrun refusal
+    overrun = bytearray(multimodal.encode_bmp(gray))
+    (true_off,) = struct.unpack_from("<I", overrun, 10)
+    struct.pack_into("<I", overrun, 46, 256)
+    struct.pack_into("<I", overrun, 10, 54 + 255 * 4)  # offset inside table
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        dec(bytes(overrun))
     # resizer + probe route BMP
     rz = multimodal.image_resizer()
     small = dec.pixels(rz(multimodal.encode_bmp(px), 2, 1))
@@ -1051,6 +1084,32 @@ def test_probe_media(spark):
     probed = multimodal.probe_media(df).filter("media_id = 4")
     ts = [r["ts_ms"] for r in multimodal.sample_frames(probed, every_ms=1000).collect()]
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_probe_media_degenerate_mp4_boxes(spark):
+    """ADVICE r13: an mvhd/tkhd box with an EMPTY body (size-8 box at
+    the very end of the payload) made the box walk read the version
+    byte one past the buffer — an IndexError escaping the probe's
+    except tuple and crashing the job. The contract is a NULL meta
+    row for any recognized-magic-corrupt-body payload."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+    empty_mvhd = ftyp + box(b"moov", box(b"mvhd", b""))
+    empty_tkhd = ftyp + box(b"moov", box(b"trak", box(b"tkhd", b"")))
+    # short-but-nonempty bodies exercise struct.error on the same path
+    short_mvhd = ftyp + box(b"moov", box(b"mvhd", bytes(3)))
+    rows = [
+        (i, bytearray(p), (None, None, None, None, None))
+        for i, p in enumerate([empty_mvhd, empty_tkhd, short_mvhd])
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = {r["media_id"]: r["meta"] for r in multimodal.probe_media(df).collect()}
+    for mid, meta in out.items():
+        assert all(v is None for v in meta.asDict().values()), (mid, meta)
 
 
 def test_sample_frames(spark):
