@@ -2832,6 +2832,160 @@ def multimodal_feature_stats(spark, sf_dir):
     )
 
 
+# Fixture geometry shared by media_decode_stats and its oracle. The
+# pixel/sample GENERATORS are simple integer formulas so DuckDB can
+# replay the ground truth independently of any codec: if a decoder
+# corrupts even one pixel, the per-doc luma stats diverge.
+_MEDIA_H, _MEDIA_W, _MEDIA_N_SAMP = 7, 9, 120
+
+
+def _media_decode_oracle() -> str:
+    """DuckDB ground truth for media_decode_stats — NOT a replay of
+    the decoders: the expected features are recomputed from the pixel
+    formula v(doc,r,c,k) = (doc*11 + r*31 + c*7 + k*13) % 256 and the
+    sample formula s(doc,i) = (doc*7919 + i*104729) % 65536 - 32768,
+    so the Spark side's encode→decode round trip (encode_png /
+    encode_bmp / encode_ppm / encode_wav → auto_decoder) is gated
+    against independently derived values. float64 math matches the
+    decoders op-for-op (luma weights applied to v/255.0, two-pass
+    population variance, signbit zero-crossings); the ::FLOAT::DOUBLE
+    casts replicate the decoders' float32 lane quantization before
+    the shared round-6."""
+    h, w, n = _MEDIA_H, _MEDIA_W, _MEDIA_N_SAMP
+    v = "((doc_id*11 + r.r*31 + c.c*7 + {k}) % 256)/255.0"
+    luma = (
+        f"(0.299*({v.format(k=0)}) + 0.587*({v.format(k=13)})"
+        f" + 0.114*({v.format(k=26)}))"
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id, {luma} AS luma
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 < 3)
+      CROSS JOIN generate_series(0, {h - 1}) r(r)
+      CROSS JOIN generate_series(0, {w - 1}) c(c)
+    ),
+    istat AS (
+      SELECT doc_id, avg(luma) AS mu, min(luma) AS mn, max(luma) AS mx
+      FROM px GROUP BY doc_id
+    ),
+    ivar AS (
+      SELECT p.doc_id, avg((p.luma - s.mu)*(p.luma - s.mu)) AS vr
+      FROM px p JOIN istat s USING (doc_id) GROUP BY p.doc_id
+    ),
+    imrows AS (
+      SELECT s.doc_id AS media_id,
+             CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  ELSE 'ppm' END AS format,
+             {w}.0::DOUBLE AS lane0, {h}.0::DOUBLE AS lane1,
+             3.0::DOUBLE AS lane2, 8.0::DOUBLE AS lane3,
+             round(s.mu::FLOAT::DOUBLE, 6) AS lane4,
+             round(sqrt(v.vr)::FLOAT::DOUBLE, 6) AS lane5,
+             round(s.mn::FLOAT::DOUBLE, 6) AS lane6,
+             round(s.mx::FLOAT::DOUBLE, 6) AS lane7
+      FROM istat s JOIN ivar v USING (doc_id)
+    ),
+    smp AS (
+      SELECT doc_id, t.i,
+             (((doc_id*7919 + t.i*104729) % 65536) - 32768)/32768.0 AS s
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3)
+      CROSS JOIN generate_series(0, {n - 1}) t(i)
+    ),
+    wstat AS (
+      SELECT doc_id, sqrt(avg(s*s)) AS rms, max(abs(s)) AS peak,
+             avg(s) AS dc
+      FROM smp GROUP BY doc_id
+    ),
+    wzc AS (
+      SELECT doc_id,
+             sum(CASE WHEN (s < 0) != (prev < 0) THEN 1 ELSE 0 END)::DOUBLE
+               / {n - 1} AS zcr
+      FROM (SELECT doc_id, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM smp)
+      WHERE prev IS NOT NULL GROUP BY doc_id
+    ),
+    wavrows AS (
+      SELECT w.doc_id AS media_id, 'wav' AS format,
+             1.0::DOUBLE AS lane0, 8000.0::DOUBLE AS lane1,
+             {n}.0::DOUBLE AS lane2,
+             ({n}.0*1000.0/8000.0)::FLOAT::DOUBLE AS lane3,
+             round(w.rms::FLOAT::DOUBLE, 6) AS lane4,
+             round(w.peak::FLOAT::DOUBLE, 6) AS lane5,
+             round(z.zcr::FLOAT::DOUBLE, 6) AS lane6,
+             round(w.dc::FLOAT::DOUBLE, 6) AS lane7
+      FROM wstat w JOIN wzc z USING (doc_id)
+    )
+    SELECT * FROM imrows UNION ALL SELECT * FROM wavrows
+    """
+
+
+@_register("media_decode_stats", _media_decode_oracle())
+def media_decode_stats(spark, sf_dir):
+    """The REAL media codecs under the driver gate (VERDICT r13 #1):
+    every documents row becomes a deterministic formula-generated
+    payload in one of the four zero-dependency formats by doc_id % 4
+    (PNG / BMP / binary PPM / 16-bit PCM WAV), encoded executor-side
+    in an Arrow-batched mapInPandas, then decoded back through the
+    production extract_features + auto_decoder seam. The output is
+    the raw 8-lane feature vector per doc (images:
+    PNG_FEATURE_NAMES layout, wav: WAV_FEATURE_NAMES layout —
+    generic lane names because the driver compares by column). The
+    oracle recomputes expected lanes from the generator formulas, so
+    encoder AND decoder must both be pixel/sample-exact to pass."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h, w, n = _MEDIA_H, _MEDIA_W, _MEDIA_N_SAMP
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                kind = doc_id % 4
+                if kind < 3:
+                    px = (
+                        doc_id * 11
+                        + 31 * np.arange(h)[:, None, None]
+                        + 7 * np.arange(w)[None, :, None]
+                        + 13 * np.arange(3)[None, None, :]
+                    ) % 256
+                    px = px.astype(np.uint8)
+                    enc = (
+                        multimodal.encode_png
+                        if kind == 0
+                        else multimodal.encode_bmp
+                        if kind == 1
+                        else multimodal.encode_ppm
+                    )
+                    payloads.append(enc(px))
+                else:
+                    i = np.arange(n, dtype=np.int64)
+                    s = (doc_id * 7919 + i * 104729) % 65536 - 32768
+                    payloads.append(
+                        multimodal.encode_wav(s.tolist(), framerate=8000)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(encode, "media_id long, payload binary")
+    feats = extract_features(media, decoder=multimodal.auto_decoder())
+    lanes = [
+        F.round(F.col("features")[i].cast("double"), 6).alias(f"lane{i}")
+        for i in range(8)
+    ]
+    return feats.select(
+        "media_id",
+        F.expr(
+            "CASE CAST(media_id % 4 AS INT) WHEN 0 THEN 'png'"
+            " WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' ELSE 'wav' END"
+        ).alias("format"),
+        *lanes,
+    )
+
+
 # =====================================================================
 # Gopher-style quality signals & filtering (operators/text.py)
 # =====================================================================
@@ -3680,159 +3834,165 @@ def dup_rate_by_source(spark, sf_dir):
 #            all but a pinned two-entry CARRYOVER pair (thin
 #            derivatives of in-window flagships, rotating back the
 #            next round).
-#   round 13 (below): the relational/formatter half rotates back in,
-#            LED by the r12 carryovers (dedup_cluster_sizes,
-#            dup_rate_by_source); the incremental entries ride again
-#            because round 13 hardens their manifest plumbing; the
-#            new carryover pair is bpe_token_stats_by_lang +
+#   round 13: the relational/formatter half rotated back in, LED by
+#            the r12 carryovers (dedup_cluster_sizes,
+#            dup_rate_by_source) — 49/50 oracle-green in
+#            CORRECTNESS_r13 (+ approx_distinct_events, no-oracle by
+#            design); carryover pair was bpe_token_stats_by_lang +
 #            cube_order_stats.
-# The flagship half rides the back this round; it remains covered by
-# the full pytest oracle sweep vs DuckDB at sf0.001 (an automated
-# gate — test_queries_oracle.py parametrizes over the WHOLE registry,
-# not the window) and by the round-end full-registry replay at sf0.01
-# (tools/replay_driver_window.py ... all) on the final tree.
+#   round 14 (below): the flagship dedup/similarity/quality block
+#            rotates back in (with q1/q3 riding it per the odd/even
+#            alternation), LED by the r13 carryovers and the NEW
+#            media_decode_stats (the round's headline: the four real
+#            media codecs finally under the driver gate, VERDICT r13
+#            #1). At 102 entries the new carryover pair is
+#            cosine_topk_scan + exact_substring_strip (thin
+#            derivatives of in-window cosine_topk /
+#            exact_substring_spans).
+# The relational/formatter half rides the back this round; it remains
+# covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
+# automated gate — test_queries_oracle.py parametrizes over the WHOLE
+# registry, not the window) and by the round-end full-registry replay
+# at sf0.01 (tools/replay_driver_window.py ... all) on the final tree.
 # tests/test_registry_window.py asserts the rotation invariant: every
 # registered query is in THIS window or was in the previous round's.
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-13 leads: the r12 carryover pair rotates back in FIRST —
-    # the rotation contract bounds any entry's driver-window absence,
-    # and these two sat out round 12 (covered meanwhile by the
-    # committed full-registry replays + the pytest oracle gate)
-    "dedup_cluster_sizes",
-    "dup_rate_by_source",
-    # the incremental entries ride because round 13 touches their
-    # implementation again (ensure_store_params bootstrap race fix,
-    # append_signature_increment parameter hardening — ADVICE r12);
-    # incremental_minhash_survivors is therefore the one sanctioned
-    # overlap with the r12 window
-    "incremental_exact_survivors",
-    "incremental_minhash_survivors",
-    # the relational/formatter half (the r11 window rotating back in,
-    # minus the two r13 carryovers pinned below)
-    "tostring_events",
-    "csv_lines_events",
-    "xml_rows_events",
-    "ndjson_lines_docs",
-    "q2_min_cost_supplier",
-    "q4_priority_returns",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supply_gaps",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_low_activity",
-    "top_customers_per_nation",
-    "distinct_counts",
-    "mktsegment_stats",
-    "customers_without_orders",
-    "events_hourly",
-    "events_sessions",
-    "rollup_pricing",
-    "order_status_setops",
-    "part_brand_stats",
-    "purchase_attribution",
-    "running_customer_revenue",
-    "purchases_near_errors",
-    "lineitem_dispersion",
-    "approx_distinct_events",
-    "token_stats_by_lang",
-    "lang_id_confusion",
-    "quality_by_source",
-    "curation_pipeline",
-    "doc_fingerprints",
-    "docs_sample_deterministic",
-    "int8_ann_topk",
-    "unigram_lm_scores",
+    # round-14 leads: the r13 carryover pair rotates back in FIRST
+    # (the rotation contract bounds any entry's driver-window absence,
+    # and these two sat out round 13, covered meanwhile by the
+    # committed full-registry replays + the pytest oracle gate),
+    # then the round's new code (the standing rule: new code sits
+    # in-window the round it lands)
+    "bpe_token_stats_by_lang",
+    "cube_order_stats",
+    "media_decode_stats",
+    # the flagship block + q1/q3 canaries (the r12 window rotating
+    # back in, minus incremental_minhash_survivors — verified on the
+    # current code in the r13 window — and minus the two r14
+    # carryovers pinned below)
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "html_rows_events",
+    "dedup_exact_docs",
+    "minhash_near_dup_pairs",
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup_docs",
+    "dedup_tokens_within_docs",
+    "exact_substring_spans",
+    "ngram_contamination_check",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_banded",
+    "ivf_fixed_topk",
+    "ivf_ann_topk",
+    "semdedup_survivors",
+    "semdedup_survivors_greedy",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    "gopher_quality_signals",
+    "gopher_filter_stats",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "winnow_fingerprints",
+    "boilerplate_spans",
+    "pii_redaction_check",
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "top_tokens",
+    "dsir_importance_weights",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "docs_capped_per_source",
+    "docs_rebalanced_mixture",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    "lang_token_budget",
+    "multimodal_feature_stats",
+    "value_percentiles",
+    "conversion_funnel",
+    "retention_cohorts",
 )
 
-# The previous round's window (flagship dedup/similarity/quality
-# block + q1/q3 canaries + the HTML codec entry), kept for the
-# rotation invariant: a query may ride the back half only if the
-# previous round's driver window verified it (CORRECTNESS_r12: 50/50
-# executed — 48 oracle-green plus ivf_ann_topk and
-# semdedup_survivors_greedy, no-oracle by design).
-_R12_WINDOW: frozenset[str] = frozenset(
+# The previous round's window (r13: relational/formatter half + the
+# r12 carryovers + both incremental entries), kept for the rotation
+# invariant: a query may ride the back half only if the previous
+# round's driver window verified it (CORRECTNESS_r13: 49/50
+# oracle-green plus approx_distinct_events, no-oracle by design).
+_R13_WINDOW: frozenset[str] = frozenset(
     {
-        "html_rows_events",
+        "dedup_cluster_sizes",
+        "dup_rate_by_source",
+        "incremental_exact_survivors",
         "incremental_minhash_survivors",
-        "q1_pricing_summary",
-        "q3_top_orders",
-        "dedup_exact_docs",
-        "minhash_near_dup_pairs",
-        "minhash_dedup_survivors",
-        "dedup_clusters",
-        "simhash_near_dup_pairs",
-        "ngram_jaccard_pairs",
-        "paragraph_dedup_docs",
-        "dedup_tokens_within_docs",
-        "exact_substring_spans",
-        "exact_substring_strip",
-        "ngram_contamination_check",
-        "cosine_topk",
-        "cosine_topk_scan",
-        "lsh_ann_topk",
-        "embedding_near_dup",
-        "embedding_near_dup_banded",
-        "ivf_fixed_topk",
-        "ivf_ann_topk",
-        "semdedup_survivors",
-        "semdedup_survivors_greedy",
-        "embedding_quantize_stats",
-        "embedding_random_projection",
-        "gopher_quality_signals",
-        "gopher_filter_stats",
-        "lm_quality_buckets",
-        "bigram_lm_scores",
-        "winnow_fingerprints",
-        "boilerplate_spans",
-        "pii_redaction_check",
-        "bm25_topk_docs",
-        "tfidf_top_terms",
-        "top_tokens",
-        "dsir_importance_weights",
-        "docs_stratified_sample",
-        "docs_train_test_split",
-        "docs_capped_per_source",
-        "docs_rebalanced_mixture",
-        "temperature_mixture_docs",
-        "training_shuffle_docs",
-        "pack_chunks_docs",
-        "pretraining_mix_stats",
-        "lang_token_budget",
-        "multimodal_feature_stats",
-        "value_percentiles",
-        "conversion_funnel",
-        "retention_cohorts",
+        "tostring_events",
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "q2_min_cost_supplier",
+        "q4_priority_returns",
+        "q5_region_revenue",
+        "q6_revenue_change",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_order_count_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_brand_supply_gaps",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        "q19_discounted_revenue",
+        "q20_promo_suppliers",
+        "q21_waiting_suppliers",
+        "q22_wealthy_low_activity",
+        "top_customers_per_nation",
+        "distinct_counts",
+        "mktsegment_stats",
+        "customers_without_orders",
+        "events_hourly",
+        "events_sessions",
+        "rollup_pricing",
+        "order_status_setops",
+        "part_brand_stats",
+        "purchase_attribution",
+        "running_customer_revenue",
+        "purchases_near_errors",
+        "lineitem_dispersion",
+        "approx_distinct_events",
+        "token_stats_by_lang",
+        "lang_id_confusion",
+        "quality_by_source",
+        "curation_pipeline",
+        "doc_fingerprints",
+        "docs_sample_deterministic",
+        "int8_ann_topk",
+        "unigram_lm_scores",
     }
 )
 
-# The 101-entry/100-slot arithmetic (see round-12 note above) forces
-# one window-pair member to sit out each round. Round 13's carryovers
+# The 102-entry/100-slot arithmetic (see round-12 note above) forces
+# one window-pair member to sit out each round. Round 14's carryovers
 # are THIN DERIVATIVES of operators whose flagship entries stay
-# in-window (bpe_token_stats_by_lang re-runs token_stats_by_lang's
-# aggregation under the BPE-ish tokenizer; cube_order_stats is the
-# CUBE member of the grouping-sets family whose ROLLUP flagship
-# rollup_pricing is in-window), both driver-green in CORRECTNESS_r11
-# with UNCHANGED plans since, and both verified every round by the
+# in-window (cosine_topk_scan is the small-query-side-broadcast twin
+# of cosine_topk; exact_substring_strip is the removal projection of
+# exact_substring_spans), both driver-green in CORRECTNESS_r12 with
+# unchanged plans since, and both verified every round by the
 # committed full-registry sf0.01 replay
 # (tools/replay_driver_window.py ... all) and the pytest oracle gate.
-# They rotate back into the r14 window.
-_R13_CARRYOVER: frozenset[str] = frozenset(
-    {"bpe_token_stats_by_lang", "cube_order_stats"}
+# They rotate back into the r15 window.
+_R14_CARRYOVER: frozenset[str] = frozenset(
+    {"cosine_topk_scan", "exact_substring_strip"}
 )
 
 

@@ -13,10 +13,10 @@ whose implementations the PREVIOUS round touched must ride the next
 window, so the driver gate always checks the current code, never the
 pre-change version it already verified.
 
-Round-12 arithmetic change: the registry reached 101 entries, so two
+Round-12 arithmetic change: the registry outgrew 100 entries, so two
 consecutive 50-slot windows can no longer cover it exactly — one
 entry pair must sit out each round.  The carryover set is pinned
-explicitly (``_R13_CARRYOVER``): it must stay tiny, consist only of
+explicitly (``_R14_CARRYOVER``): it must stay tiny, consist only of
 thin derivatives of operators whose flagship entries ARE in-window,
 and rotate back in the following round (each member's absence is
 bounded meanwhile by the committed full-registry sf0.01 replay + the
@@ -27,8 +27,8 @@ round).
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R12_WINDOW,
-    _R13_CARRYOVER,
+    _R13_WINDOW,
+    _R14_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -45,11 +45,11 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered.  The explicit carryover pair is the one
-    sanctioned exception (101 entries, 100 slots across two rounds);
-    its members were driver-green in CORRECTNESS_r11 with unchanged
+    sanctioned exception (102 entries, 100 slots across two rounds);
+    its members were driver-green in CORRECTNESS_r12 with unchanged
     plans since."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R12_WINDOW - _R13_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R13_WINDOW - _R14_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
@@ -64,49 +64,49 @@ def test_window_has_no_duplicates_or_unknowns():
 
 
 def test_window_pair_covers_all_but_the_pinned_carryovers():
-    """At 101 registered queries the window pair covers everything
-    except the pinned carryover pair, and overlaps in exactly the one
-    entry whose implementation round 13 hardens again
-    (incremental_minhash_survivors — the ensure_store_params bootstrap
-    race fix and append_signature_increment parameter hardening touch
-    its module, so it must be re-verified on the NEW code and rides
-    both windows, as it did across r11→r12).  The carryover set itself
-    must stay a pair of thin derivatives — growth here would mean the
-    rotation contract is eroding."""
-    assert len(QUERIES) == 101
-    assert set(DRIVER_WINDOW) | _R12_WINDOW | _R13_CARRYOVER == set(QUERIES)
-    assert set(DRIVER_WINDOW) & _R12_WINDOW == {"incremental_minhash_survivors"}
-    assert _R13_CARRYOVER == {"bpe_token_stats_by_lang", "cube_order_stats"}
-    assert not (_R13_CARRYOVER & set(DRIVER_WINDOW))
-    assert not (_R13_CARRYOVER & _R12_WINDOW)
+    """At 102 registered queries the window pair covers everything
+    except the pinned carryover pair.  Round 14 has NO window overlap:
+    the one r13 overlap entry (incremental_minhash_survivors) was
+    verified on its current code in the r13 window and its module is
+    untouched this round.  The carryover set itself must stay a pair
+    of thin derivatives — growth here would mean the rotation
+    contract is eroding."""
+    assert len(QUERIES) == 102
+    assert set(DRIVER_WINDOW) | _R13_WINDOW | _R14_CARRYOVER == set(QUERIES)
+    assert not (set(DRIVER_WINDOW) & _R13_WINDOW)
+    assert _R14_CARRYOVER == {"cosine_topk_scan", "exact_substring_strip"}
+    assert not (_R14_CARRYOVER & set(DRIVER_WINDOW))
+    assert not (_R14_CARRYOVER & _R13_WINDOW)
     # the carryovers' flagship parents ARE in-window
-    assert {"token_stats_by_lang", "rollup_pricing"} <= set(DRIVER_WINDOW)
-    # the q1/q3 canaries alternate with the flagship half (out this
-    # round; exercised every round by bench.py + the pytest oracle gate)
-    assert not ({"q1_pricing_summary", "q3_top_orders"} & set(DRIVER_WINDOW))
+    assert {"cosine_topk", "exact_substring_spans"} <= set(DRIVER_WINDOW)
+    # the q1/q3 canaries alternate with the flagship half (IN this
+    # round, riding the flagship block)
+    assert {"q1_pricing_summary", "q3_top_orders"} <= set(DRIVER_WINDOW)
 
 
-def test_round13_window_holds_the_new_code():
+def test_round14_window_holds_the_new_code():
     """The standing rule: code a round touches sits in-window that
-    round.  Round 13 leads with the r12 carryover pair (the rotation
-    contract bounds their absence to one round-pair) and hardens the
-    incremental manifest plumbing, so both incremental entries must
+    round.  Round 14 leads with the r13 carryover pair (the rotation
+    contract bounds their absence to one round-pair) followed by the
+    new media_decode_stats — the entry that finally puts the real
+    PNG/BMP/PPM/WAV codecs under the driver gate (VERDICT r13 #1).
+    Round 14 also touches the IVF defaults, so both IVF entries must
     ride."""
     first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[0] == "dedup_cluster_sizes"
-    assert DRIVER_WINDOW[1] == "dup_rate_by_source"
+    assert DRIVER_WINDOW[0] == "bpe_token_stats_by_lang"
+    assert DRIVER_WINDOW[1] == "cube_order_stats"
+    assert DRIVER_WINDOW[2] == "media_decode_stats"
+    assert {"ivf_fixed_topk", "ivf_ann_topk"} <= first_50
+    # the changed multimodal module's other entry rides too
+    assert "multimodal_feature_stats" in first_50
+    # spot-check the flagship families rotated back in
     assert {
-        "incremental_exact_survivors",
-        "incremental_minhash_survivors",
-    } <= first_50
-    # spot-check the relational/formatter families rotated back in
-    assert {
-        "q2_min_cost_supplier",
-        "q22_wealthy_low_activity",
-        "csv_lines_events",
-        "tostring_events",
-        "events_sessions",
-        "token_stats_by_lang",
+        "dedup_exact_docs",
+        "minhash_near_dup_pairs",
+        "cosine_topk",
+        "gopher_quality_signals",
+        "dsir_importance_weights",
+        "retention_cohorts",
     } <= first_50
 
 
