@@ -1,0 +1,773 @@
+"""Baseline JPEG codec — stdlib + numpy, zero external dependencies.
+
+The fifth real media format for the multimodal pillar (VERDICT r13
+missing #1: JPEG is the single most common real-world image payload
+and was the last honestly-stubbed image format). Same design rules as
+the PNG/BMP/PPM/WAV codecs in ``operators/multimodal.py``:
+
+- ``encode_jpeg`` is the fixture-side inverse: baseline sequential
+  DCT (SOF0), JFIF headers, Annex-K quantization + Huffman tables,
+  IJG quality scaling, 4:4:4 or 4:2:0 subsampling, optional restart
+  intervals — enough of a real encoder that the decoder's every
+  structural path (interleaved MCUs, chroma upsampling, byte
+  stuffing, RSTn resync) can be exercised round-trip from pure
+  fixtures.
+- ``jpeg_decoder()`` returns a ``decoder=``-seam closure emitting the
+  shared 8-lane image feature layout
+  (``multimodal.PNG_FEATURE_NAMES``) and exposing
+  ``.pixels(payload)`` → uint8 (H, W, {1|3}).  Baseline (SOF0) and
+  extended-sequential (SOF1) Huffman JPEGs decode; progressive
+  (SOF2), hierarchical, and arithmetic-coded payloads raise
+  ``ValueError`` naming the reason — a recognized-but-undecodable
+  payload must fail the row loudly, never emit fake pixels.
+- JPEG is LOSSY: round-trip tests pin tolerance (quality-dependent
+  PSNR), not byte equality; the DC-only and flat-color paths are
+  near-exact and pinned tightly.
+
+Scale note: decode runs inside Arrow-batched ``mapInPandas`` seams
+(``extract_features`` / ``resize_media``), so per-payload Python cost
+parallelizes across executors; the entropy loop is pure Python but
+the DCT/color stages are vectorized numpy over whole planes.
+
+Reference: reference has no multimodal surface at all
+(BASELINE.json north-star scope) — this is public-spec work (ITU T.81
+Annex F/K), not a port.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K tables (ITU T.81) --------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+STD_LUMA_QT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+STD_CHROMA_QT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# (bits-per-length[1..16], symbol list) per standard table
+DC_LUMA_HUFF = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_HUFF = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_HUFF = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_HUFF = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: forward S = A @ s @ A.T,
+    inverse s = A.T @ S @ A — exactly the T.81 FDCT/IDCT scaling."""
+    n = np.arange(8)
+    a = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    a[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return a
+
+
+_A = _dct_matrix()
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality → scaled Annex-K tables (zigzag order), clamped to
+    [1, 255] so they fit 8-bit DQT precision."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG quality {quality} out of range [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (STD_LUMA_QT, STD_CHROMA_QT):
+        q = (base * scale + 50) // 100
+        out.append(np.clip(q, 1, 255))
+    return out[0], out[1]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits per spec
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-pad a component plane to (bh*8, bw*8) and return
+    (bh, bw, 8, 8) float blocks."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    ).astype(np.float64)
+    return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(
+    pixels,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 pixel array as a baseline JFIF payload.
+
+    ``pixels`` is (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB.
+    ``subsampling`` is ``"444"`` (no chroma subsampling) or ``"420"``
+    (2x2 luma per MCU, box-filtered chroma) — ignored for grayscale.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (exercises the decoder's resync path).
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("pixels must be (H, W), (H, W, 1) or (H, W, 3)")
+    h, w, ch = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("JPEG dimensions must be in [1, 65535]")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} not supported (444/420)")
+    gray = ch == 1
+    sub420 = (not gray) and subsampling == "420"
+
+    luma_qt, chroma_qt = quality_tables(quality)
+
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub420:
+            # box-average 2x2 on an edge-padded even grid
+            def down(p: np.ndarray) -> np.ndarray:
+                ph = np.pad(
+                    p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge"
+                )
+                return (
+                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+
+            planes = [y, down(cb), down(cr)]
+        else:
+            planes = [y, cb, cr]
+
+    # component geometry: (id, h_factor, v_factor, qt_id)
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    elif sub420:
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+
+    # per-component quantized coefficient blocks in plane layout
+    qts = (luma_qt, chroma_qt)
+    comp_blocks = []
+    for (cid, ch_, cv, qid), plane in zip(comps, planes):
+        bw, bh = mcus_x * ch_, mcus_y * cv
+        blocks = _plane_blocks(plane, bh, bw) - 128.0
+        coefs = _A @ blocks @ _A.T
+        qt = qts[qid][_UNZIGZAG].reshape(8, 8).astype(np.float64)
+        quant = np.round(coefs / qt).astype(np.int64)
+        comp_blocks.append(quant.reshape(bh, bw, 64)[:, :, ZIGZAG])
+
+    # --- headers ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, qt in enumerate(qts if not gray else qts[:1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid)
+        out += bytes(int(x) for x in qt)
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, ch_, cv, qid in comps:
+        out += bytes([cid, (ch_ << 4) | cv, qid])
+    huffs = [(0x00, DC_LUMA_HUFF), (0x10, AC_LUMA_HUFF)]
+    if not gray:
+        huffs += [(0x01, DC_CHROMA_HUFF), (0x11, AC_CHROMA_HUFF)]
+    enc_tables: dict[int, dict[int, tuple[int, int]]] = {}
+    for tc_th, (bits, vals) in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+        enc_tables[tc_th] = _build_codes(bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for i, (cid, *_rest) in enumerate(comps):
+        dc_id = 0 if i == 0 else 1
+        ac_id = 0 if i == 0 else 1
+        if gray:
+            dc_id = ac_id = 0
+        out += bytes([cid, (dc_id << 4) | ac_id])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    # --- entropy-coded data ---
+    writer = _BitWriter()
+    dc_pred = [0] * len(comps)
+    mcu_count = 0
+    rst = 0
+
+    def emit_block(coefs_zz: np.ndarray, dc_tbl, ac_tbl, ci: int) -> None:
+        diff = int(coefs_zz[0]) - dc_pred[ci]
+        dc_pred[ci] = int(coefs_zz[0])
+        size = _mag_category(diff)
+        code, length = dc_tbl[size]
+        writer.write(code, length)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            writer.write(amp, size)
+        run = 0
+        nz = np.nonzero(coefs_zz[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(coefs_zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tbl[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            size = _mag_category(v)
+            code, length = ac_tbl[(run << 4) | size]
+            writer.write(code, length)
+            amp = v if v > 0 else v + (1 << size) - 1
+            writer.write(amp, size)
+            run = 0
+        if last < 63:
+            code, length = ac_tbl[0x00]  # EOB
+            writer.write(code, length)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.pad_to_byte()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                dc_pred[:] = [0] * len(comps)
+            for ci, (cid, ch_, cv, qid) in enumerate(comps):
+                dc_tbl = enc_tables[0x00 if (ci == 0 or gray) else 0x01]
+                ac_tbl = enc_tables[0x10 if (ci == 0 or gray) else 0x11]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        emit_block(
+                            comp_blocks[ci][my * cv + by, mx * ch_ + bx],
+                            dc_tbl,
+                            ac_tbl,
+                            ci,
+                        )
+            mcu_count += 1
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------
+
+
+class _HuffTable:
+    """T.81 F.2.2.3 canonical decode tables."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over an unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # spec: missing bits read as 0 past EOI pad
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huffman(self, tbl: _HuffTable) -> int:
+        code = self.bits(1)
+        for length in range(1, 17):
+            if tbl.maxcode[length] >= code >= tbl.mincode[length]:
+                return tbl.vals[tbl.valptr[length] + code - tbl.mincode[length]]
+            code = (code << 1) | self.bits(1)
+        raise ValueError("undecodable JPEG payload: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _parse_segments(data: bytes):
+    """Yield (marker, payload) up to SOS; return (yielded list, sos
+    payload, entropy-coded byte offset)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("undecodable JPEG payload: missing SOI")
+    pos = 2
+    segs = []
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("undecodable JPEG payload: truncated headers")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"undecodable JPEG payload: expected marker at {pos}"
+            )
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("undecodable JPEG payload: truncated segment")
+        pos += 2 + ln
+        if marker == 0xDA:
+            return segs, body, pos
+        segs.append((marker, body))
+
+
+def jpeg_decoder():
+    """Baseline JPEG → the shared 8-lane image feature vector
+    (``multimodal.PNG_FEATURE_NAMES`` layout; bit_depth reports 8).
+    Exposes ``.pixels(payload)`` → uint8 (H, W, {1|3}).
+
+    Supports: SOF0/SOF1 Huffman sequential, 1 or 3 components, any
+    integer sampling-ratio grid (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0),
+    8-bit and 16-bit DQT precision, restart intervals, multiple
+    DQT/DHT segments. Rejects with a named ``ValueError``:
+    progressive (SOF2) and every other non-baseline frame type,
+    arithmetic coding, 12-bit precision, fractional sampling grids,
+    truncated or corrupt streams."""
+
+    def _decode_planes(payload: bytes):
+        data = bytes(payload or b"")
+        if data[:3] != b"\xff\xd8\xff":
+            raise ValueError("undecodable JPEG payload: bad magic")
+        segs, sos, epos = _parse_segments(data)
+
+        qts: dict[int, np.ndarray] = {}
+        huffs: dict[int, _HuffTable] = {}
+        sof = None
+        restart = 0
+        for marker, body in segs:
+            if marker == 0xDB:  # DQT (possibly several tables)
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    if pq == 0:
+                        qts[tq] = np.frombuffer(
+                            body, dtype=np.uint8, count=64, offset=p
+                        ).astype(np.int64)
+                        p += 64
+                    elif pq == 1:
+                        qts[tq] = np.frombuffer(
+                            body, dtype=">u2", count=64, offset=p
+                        ).astype(np.int64)
+                        p += 128
+                    else:
+                        raise ValueError(
+                            f"undecodable JPEG payload: DQT precision {pq}"
+                        )
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(body):
+                    if p + 17 > len(body):
+                        raise ValueError(
+                            "undecodable JPEG payload: truncated DHT"
+                        )
+                    tc_th = body[p]
+                    bits = list(body[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + n])
+                    if len(vals) != n:
+                        raise ValueError(
+                            "undecodable JPEG payload: truncated DHT"
+                        )
+                    huffs[tc_th] = _HuffTable(bits, vals)
+                    p += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError(
+                        f"undecodable JPEG payload: {prec}-bit precision"
+                        " (8-bit baseline only)"
+                    )
+                comps = []
+                for i in range(nc):
+                    cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0x0F, qid))
+                sof = (fh, fw, comps)
+            elif marker == 0xC2:
+                raise ValueError(
+                    "undecodable JPEG payload: progressive (SOF2) not"
+                    " supported (baseline sequential only)"
+                )
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"undecodable JPEG payload: frame type 0xC{marker & 0xF:X}"
+                    " not supported (baseline sequential only)"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack_from(">H", body, 0)
+            # APPn/COM ignored
+        if sof is None:
+            raise ValueError("undecodable JPEG payload: missing SOF")
+        fh, fw, comps = sof
+        if fh == 0 or fw == 0:
+            raise ValueError("undecodable JPEG payload: zero dimension")
+        if len(comps) not in (1, 3):
+            raise ValueError(
+                f"undecodable JPEG payload: {len(comps)} components"
+                " (grayscale or YCbCr only)"
+            )
+
+        # scan header: component -> (dc table, ac table)
+        ns = sos[0]
+        if ns != len(comps):
+            raise ValueError(
+                "undecodable JPEG payload: non-interleaved scans not"
+                " supported (single interleaved baseline scan only)"
+            )
+        scan_tbl = {}
+        for i in range(ns):
+            cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+            scan_tbl[cs] = (tda >> 4, tda & 0x0F)
+
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        for _, ch_, cv, _ in comps:
+            if ch_ < 1 or cv < 1:
+                raise ValueError(
+                    "undecodable JPEG payload: zero sampling factor"
+                )
+            if max_h % ch_ or max_v % cv:
+                raise ValueError(
+                    "undecodable JPEG payload: fractional sampling ratio"
+                )
+        mcus_x = -(-fw // (8 * max_h))
+        mcus_y = -(-fh // (8 * max_v))
+
+        # split entropy data on restart markers, unstuff 0xFF00
+        segments: list[bytearray] = [bytearray()]
+        p = epos
+        while p < len(data):
+            b = data[p]
+            if b != 0xFF:
+                segments[-1].append(b)
+                p += 1
+                continue
+            m = data[p + 1] if p + 1 < len(data) else 0xD9
+            if m == 0x00:
+                segments[-1].append(0xFF)
+                p += 2
+            elif 0xD0 <= m <= 0xD7:
+                segments.append(bytearray())
+                p += 2
+            elif m == 0xD9:
+                break
+            elif m == 0xFF:
+                p += 1  # fill byte
+            else:
+                break  # next real marker ends the scan
+
+        coef = [
+            np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
+            for _, ch_, cv, _ in comps
+        ]
+        for _, _, _, qid in comps:
+            if qid not in qts:
+                raise ValueError(
+                    f"undecodable JPEG payload: missing DQT {qid}"
+                )
+
+        seg_i = 0
+        reader = _BitReader(bytes(segments[0]))
+        dc_pred = [0] * len(comps)
+        try:
+            for mcu in range(mcus_x * mcus_y):
+                if restart and mcu and mcu % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError(
+                            "undecodable JPEG payload: missing restart"
+                            " segment"
+                        )
+                    reader = _BitReader(bytes(segments[seg_i]))
+                    dc_pred = [0] * len(comps)
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (cid, ch_, cv, qid) in enumerate(comps):
+                    if cid not in scan_tbl:
+                        raise ValueError(
+                            "undecodable JPEG payload: scan names unknown"
+                            f" component {cid}"
+                        )
+                    td, ta = scan_tbl[cid]
+                    try:
+                        dc_tbl = huffs[0x00 | td]
+                        ac_tbl = huffs[0x10 | ta]
+                    except KeyError as ex:
+                        raise ValueError(
+                            f"undecodable JPEG payload: missing DHT {ex}"
+                        ) from ex
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            blk = coef[ci][my * cv + by, mx * ch_ + bx]
+                            size = reader.huffman(dc_tbl)
+                            if size > 11:
+                                raise ValueError(
+                                    "undecodable JPEG payload: DC size"
+                                    f" {size}"
+                                )
+                            diff = (
+                                _extend(reader.bits(size), size) if size else 0
+                            )
+                            dc_pred[ci] += diff
+                            blk[0] = dc_pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = reader.huffman(ac_tbl)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "undecodable JPEG payload: AC run"
+                                        " past block end"
+                                    )
+                                blk[k] = _extend(reader.bits(s), s)
+                                k += 1
+        except IndexError as ex:
+            raise ValueError(
+                f"undecodable JPEG payload: truncated entropy data: {ex}"
+            ) from ex
+
+        planes = []
+        for (cid, ch_, cv, qid), blocks in zip(comps, coef):
+            bh, bw, _ = blocks.shape
+            dq = (blocks * qts[qid][None, None, :]).astype(np.float64)
+            nat = dq[:, :, _UNZIGZAG].reshape(bh, bw, 8, 8)
+            spatial = _A.T @ nat @ _A + 128.0
+            plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            # upsample to full-resolution grid by replication
+            plane = np.repeat(
+                np.repeat(plane, max_v // cv, axis=0), max_h // ch_, axis=1
+            )
+            planes.append(plane[:fh, :fw])
+        return planes, fh, fw
+
+    def _pixels(payload: bytes) -> np.ndarray:
+        try:
+            planes, fh, fw = _decode_planes(payload)
+        except (struct.error, IndexError) as ex:
+            # corruption-contract backstop (shared with every codec in
+            # operators/multimodal.py): a mutated header length can
+            # leave any fixed-width read short — that is a refusal,
+            # never a raw struct/index error escaping to the caller
+            raise ValueError(
+                f"undecodable JPEG payload: corrupt header structure: {ex}"
+            ) from ex
+        if len(planes) == 1:
+            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return out[:, :, None]
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    def decode(payload: bytes) -> np.ndarray:
+        px = _pixels(payload)
+        h, w, ch = px.shape
+        if ch == 1:
+            luma = px[:, :, 0].astype(np.float64) / 255.0
+        else:
+            rgb = px.astype(np.float64) / 255.0
+            luma = (
+                0.299 * rgb[:, :, 0]
+                + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2]
+            )
+        return np.array(
+            [
+                w,
+                h,
+                ch,
+                8,
+                float(luma.mean()),
+                float(luma.std()),
+                float(luma.min()),
+                float(luma.max()),
+            ],
+            dtype=np.float32,
+        )
+
+    decode.pixels = _pixels
+    return decode

@@ -4,22 +4,26 @@ Images/audio/video travel as opaque ``binary`` payload columns with a
 typed metadata struct alongside; all Spark-side mechanics (schema,
 Arrow batch shape, mapInPandas partitioning) are real and tested.
 
-Decoders: three formats decode for REAL with zero external deps —
+Decoders: five formats decode for REAL with zero external deps —
 WAV audio (:func:`wav_decoder`, stdlib ``wave``), PNG images
 (:func:`png_decoder`, stdlib ``zlib`` + ``struct`` — full chunk/CRC
 parse, all five scanline filters, Adam7 interlace,
-gray/RGB/palette/gray-alpha/RGBA at bit depths 8 and 16), and
-Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants), and
+gray/RGB/palette/gray-alpha/RGBA at bit depths 8 and 16),
+Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants),
 Windows BMP (:func:`bmp_decoder`, BI_RGB 8/24/32-bit incl. palette
-and top-down) — each with a fixture-side inverse
-(:func:`encode_wav`, :func:`encode_png`, :func:`encode_ppm`,
-:func:`encode_bmp`), and :func:`auto_decoder` dispatches on payload
-magic for mixed-format frames. JPEG/other image codecs and VIDEO decode remain STUBBED —
-the runtime container has no PIL/cv2/imageio — behind the same
-``decoder=`` hooks; the default deterministic fake derives features
-from the payload bytes so pipelines are testable end-to-end. Swap in
-a real codec (PIL/torchvision/...) via the ``decoder`` argument in
-production.
+and top-down), and baseline JPEG
+(:mod:`exporter_spark.operators.jpeg` — SOF0/SOF1 Huffman
+sequential, 4:4:4/4:2:2/4:2:0, restart markers) — each with a
+fixture-side inverse (:func:`encode_wav`, :func:`encode_png`,
+:func:`encode_ppm`, :func:`encode_bmp`, ``jpeg.encode_jpeg``), and
+:func:`auto_decoder` dispatches on payload magic for mixed-format
+frames. VIDEO frame decode remains STUBBED — the runtime container
+has no cv2/imageio and an honest stub beats a fake (MP4 *metadata*
+probing is real: :func:`probe_media` walks the box structure) —
+behind the same ``decoder=`` hooks; the default deterministic fake
+derives features from the payload bytes so pipelines are testable
+end-to-end. Swap in a real codec (cv2/torchvision/...) via the
+``decoder`` argument in production.
 """
 
 from __future__ import annotations
@@ -69,9 +73,10 @@ def _fake_features(payload: bytes, n: int) -> np.ndarray:
 def stub_decoder(n_features: int = 8) -> Callable[[bytes], np.ndarray]:
     """Default decoder: raises for empty payloads (a real decoder
     would), else deterministic fake features. This stub stands in for
-    JPEG-image/VIDEO decode only (no PIL/cv2/imageio in this
-    container); WAV audio and PNG images have REAL decoders —
-    :func:`wav_decoder`, :func:`png_decoder`. Self-contained
+    VIDEO-frame decode only (no cv2/imageio in this container); WAV
+    audio and PNG/PPM/BMP/JPEG images have REAL decoders —
+    :func:`wav_decoder`, :func:`png_decoder`, :func:`ppm_decoder`,
+    :func:`bmp_decoder`, ``jpeg.jpeg_decoder``. Self-contained
     closure — pickles by value, so executors don't need this package
     installed."""
     import hashlib as _hashlib
@@ -950,7 +955,8 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     production-shaped ``decoder=`` for frames whose payload column
     mixes formats: RIFF/WAVE → :func:`wav_decoder`, the PNG
     signature → :func:`png_decoder`, Netpbm magics →
-    :func:`ppm_decoder`, ``BM`` → :func:`bmp_decoder`. The image
+    :func:`ppm_decoder`, ``BM`` → :func:`bmp_decoder`, the
+    ``FF D8 FF`` SOI signature → :func:`jpeg.jpeg_decoder`. The image
     decoders share the
     :data:`PNG_FEATURE_NAMES` lane layout; WAV rows come back in
     :data:`WAV_FEATURE_NAMES` layout (same width, 8 lanes), so a
@@ -960,10 +966,13 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     must fail the row loudly, never fall back to fake features.
     Self-contained closure — pickles by value (the component
     closures it captures do too)."""
+    from exporter_spark.operators.jpeg import jpeg_decoder
+
     wav = wav_decoder()
     png = png_decoder()
     ppm = ppm_decoder()
     bmp = bmp_decoder()
+    jpg = jpeg_decoder()
 
     def decode(payload: bytes):
         head = bytes(payload or b"")[:12]
@@ -975,9 +984,11 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
             return ppm(payload)
         if head[:2] == b"BM":
             return bmp(payload)
+        if head[:3] == b"\xff\xd8\xff":
+            return jpg(payload)
         raise ValueError(
             f"no decoder for payload magic {head[:8]!r}"
-            " (WAV/PNG/PGM/PPM/BMP supported without external codecs)"
+            " (WAV/PNG/PGM/PPM/BMP/JPEG supported without external codecs)"
         )
 
     return decode
@@ -1018,22 +1029,27 @@ def extract_features(
 
 
 def image_resizer() -> Callable[[bytes, int, int], bytes]:
-    """A REAL resizer for the ``resizer=`` seam: decodes PNG or
-    Netpbm payloads via the stdlib decoders, nearest-neighbor
-    resamples to the target grid (``round((i + 0.5) * src/dst - 0.5)``
-    index mapping — the standard pixel-center convention), and
-    re-encodes in the SAME family (PNG in → PNG out, binary PGM/PPM
-    in → binary PGM/PPM out, BMP in → BMP out), preserving channel
-    count and sample width. Palette inputs come back as expanded
-    RGB, Adam7 inputs as non-interlaced, plain-Netpbm inputs as
-    binary — content-preserving normalizations a real pipeline would
-    also apply.
+    """A REAL resizer for the ``resizer=`` seam: decodes
+    PNG/Netpbm/BMP/JPEG payloads via the zero-dependency decoders,
+    nearest-neighbor resamples to the target grid
+    (``round((i + 0.5) * src/dst - 0.5)`` index mapping — the
+    standard pixel-center convention), and re-encodes in the SAME
+    family (PNG in → PNG out, binary PGM/PPM in → binary PGM/PPM
+    out, BMP in → BMP out, JPEG in → quality-90 4:4:4 JPEG out),
+    preserving channel count and sample width. Palette inputs come
+    back as expanded RGB, Adam7 inputs as non-interlaced,
+    plain-Netpbm inputs as binary — content-preserving
+    normalizations a real pipeline would also apply; JPEG re-encode
+    is the one LOSSY leg (inherent to the format).
     Unknown magic raises ``ValueError`` (same contract as
     :func:`auto_decoder`). Pickles by value; composes with
     :func:`resize_media`."""
+    from exporter_spark.operators.jpeg import encode_jpeg, jpeg_decoder
+
     png = png_decoder()
     ppm = ppm_decoder()
     bmp = bmp_decoder()
+    jpg = jpeg_decoder()
 
     def _grid(src: int, dst: int) -> np.ndarray:
         idx = np.round((np.arange(dst) + 0.5) * (src / dst) - 0.5)
@@ -1061,10 +1077,17 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
         elif head[:2] == b"BM":
             px = bmp.pixels(payload)
             enc = encode_bmp
+        elif head[:3] == b"\xff\xd8\xff":
+            # JPEG is lossy: resize decodes to pixels and re-encodes
+            # at quality 90 (4:4:4, no further chroma loss) — one
+            # generation loss per resize, same contract as any real
+            # image pipeline that round-trips through JPEG
+            px = jpg.pixels(payload)
+            enc = lambda a: encode_jpeg(a, quality=90)  # noqa: E731
         else:
             raise ValueError(
                 f"no resizer for payload magic {head!r}"
-                " (PNG/PGM/PPM/BMP supported without external codecs)"
+                " (PNG/PGM/PPM/BMP/JPEG supported without external codecs)"
             )
         out = px[_grid(px.shape[0], h)][:, _grid(px.shape[1], w)]
         return enc(np.ascontiguousarray(out))
@@ -1142,6 +1165,27 @@ def probe_media(
                 if w <= 0 or h == 0:
                     raise ValueError("bad BMP dimensions")
                 return ("image", "bmp", int(w), abs(int(h)), None)
+            if head[:3] == b"\xff\xd8\xff":
+                # marker walk to the first SOFn (no entropy decode):
+                # a probe CLASSIFIES, so progressive/arithmetic
+                # frames — which jpeg_decoder refuses — still report
+                # their dimensions here
+                pos = 2
+                while pos + 4 <= len(data):
+                    if data[pos] != 0xFF:
+                        raise ValueError("bad JPEG marker stream")
+                    m = data[pos + 1]
+                    if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                        pos += 2
+                        continue
+                    if m in (0xD9, 0xDA):
+                        break
+                    (ln,) = struct.unpack_from(">H", data, pos + 2)
+                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                        fh, fw = struct.unpack_from(">HH", data, pos + 5)
+                        return ("image", "jpeg", int(fw), int(fh), None)
+                    pos += 2 + ln
+                raise ValueError("JPEG without SOF header")
             if len(data) >= 12 and data[4:8] == b"ftyp":
                 return _mp4_probe(data)
         except (ValueError, EOFError, IndexError, struct.error, wave.Error):

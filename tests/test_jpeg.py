@@ -1,0 +1,276 @@
+"""Baseline JPEG codec (operators/jpeg.py): round-trip tolerance,
+decoder-independent goldens, corruption contract, and the seam wiring
+through auto_decoder / image_resizer / probe_media / extract_features.
+
+JPEG is LOSSY, so unlike the PNG/BMP/PPM suites the round-trip pins
+are tolerance bands, not byte equality — EXCEPT the paths where the
+math is exact by construction: flat-color images (DC-only blocks
+survive quantization exactly) and the hand-built DC-coefficient
+golden, which is derived from the T.81 IDCT definition with no help
+from encode_jpeg, so a shared encoder/decoder bug cannot cancel
+there.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exporter_spark.operators import jpeg, multimodal
+
+
+def _luma(a: np.ndarray) -> np.ndarray:
+    a = a.astype(np.float64)
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def test_flat_color_roundtrip_exact():
+    """A uniform image is DC-only in every block; at quality >= 90 the
+    quantized DC survives exactly, so decode must be bit-exact."""
+    dec = jpeg.jpeg_decoder()
+    for val in (0, 1, 127, 128, 254, 255):
+        px = np.full((16, 24, 3), val, np.uint8)
+        for sub in ("444", "420"):
+            back = dec.pixels(jpeg.encode_jpeg(px, quality=95, subsampling=sub))
+            assert back.shape == px.shape
+            err = int(np.abs(back.astype(int) - px.astype(int)).max())
+            assert err <= 1, (val, sub, err)
+
+
+def test_smooth_gradient_tolerance():
+    dec = jpeg.jpeg_decoder()
+    x = np.linspace(0, 255, 24)
+    grad = np.stack(np.meshgrid(x, x), axis=2)
+    img = np.concatenate([grad, grad[:, :, :1]], axis=2).astype(np.uint8)
+    back = dec.pixels(jpeg.encode_jpeg(img, quality=95))
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 6
+
+
+def test_noise_luma_fidelity_and_chroma_subsampling():
+    """Random noise is the worst case for the AC tables; at quality 95
+    the LUMA channel must still come back within ~2/255 mean error in
+    both subsampling modes (chroma at 4:2:0 is averaged 2x2 by design,
+    so only luma is pinned there)."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (19, 23, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        back = dec.pixels(jpeg.encode_jpeg(img, quality=95, subsampling=sub))
+        assert back.shape == img.shape
+        mean_err = float(np.abs(_luma(back) - _luma(img)).mean())
+        assert mean_err < 2.5, (sub, mean_err)
+
+
+def test_grayscale_and_odd_dimensions():
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(11)
+    for shape in ((1, 1), (7, 9), (8, 8), (17, 31)):
+        gr = rng.randint(0, 256, shape, dtype=np.uint8)
+        back = dec.pixels(jpeg.encode_jpeg(gr, quality=95))
+        assert back.shape == (*shape, 1)
+        # single-component: no chroma, errors are pure DCT quantization
+        assert float(np.abs(back[:, :, 0].astype(int) - gr.astype(int)).mean()) < 4
+
+
+def test_restart_interval_resync():
+    """DRI + RSTn markers: decode must resync and reset DC predictors;
+    the result must be IDENTICAL to the no-restart encode of the same
+    source (restart changes framing, not coefficients)."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    plain = dec.pixels(jpeg.encode_jpeg(img, quality=90, subsampling="420"))
+    for interval in (1, 2, 5):
+        rst = dec.pixels(
+            jpeg.encode_jpeg(
+                img, quality=90, subsampling="420", restart_interval=interval
+            )
+        )
+        assert np.array_equal(rst, plain), interval
+
+
+def test_chroma_alignment_420():
+    """Left-red/right-blue at 4:2:0: the upsampled chroma must land on
+    the correct side — a half-MCU misalignment would swap colors at
+    sampled pixel centers away from the boundary."""
+    dec = jpeg.jpeg_decoder()
+    img = np.zeros((16, 32, 3), np.uint8)
+    img[:, :16, 0] = 220
+    img[:, 16:, 2] = 220
+    back = dec.pixels(jpeg.encode_jpeg(img, quality=95, subsampling="420"))
+    assert back[8, 4, 0] > 180 and back[8, 4, 2] < 40
+    assert back[8, 28, 2] > 180 and back[8, 28, 0] < 40
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def _dc_golden_fixture(dqt_16bit: bool = False) -> bytes:
+    """Hand-built 8x8 grayscale JPEG, independent of encode_jpeg:
+    qt all-16s, custom 1-symbol Huffman tables (DC: code '0' ->
+    category 2; AC: code '0' -> EOB), entropy data = DC '0' + amp
+    '11' (diff=+3) + EOB '0' + 1-padding.  T.81 math: DC coefficient
+    3 dequantizes to 48; the IDCT of a DC-only block is S00/8 = 6;
+    level shift +128 -> every pixel exactly 134."""
+    if dqt_16bit:
+        dqt = _seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([16] * 64)))
+    else:
+        dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+        + _seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x3F, 0x00]))
+        + bytes([0b01101111])
+        + b"\xff\xd9"
+    )
+
+
+def test_hand_built_dc_golden_decoder_independent():
+    dec = jpeg.jpeg_decoder()
+    for bit16 in (False, True):
+        px = dec.pixels(_dc_golden_fixture(dqt_16bit=bit16))
+        assert px.shape == (8, 8, 1)
+        assert np.unique(px).tolist() == [134], bit16
+
+
+def test_corruption_contract_named_refusals():
+    dec = jpeg.jpeg_decoder()
+    good = jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8), quality=90)
+    cases = {
+        "bad magic": b"not a jpeg at all",
+        "missing SOI": b"\xff\xd9\xff\xd8",
+        "truncated": good[:20],
+        "truncated entropy": None,  # built below
+    }
+    for why, payload in cases.items():
+        if payload is None:
+            continue
+        with pytest.raises(ValueError, match="undecodable JPEG"):
+            dec.pixels(payload)
+    # progressive and other non-baseline frame types refuse by name
+    golden = _dc_golden_fixture()
+    sof0 = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    for marker, match in ((0xC2, "progressive"), (0xC9, "frame type")):
+        mutated = golden.replace(
+            sof0,
+            _seg(marker, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])),
+        )
+        with pytest.raises(ValueError, match=match):
+            dec.pixels(mutated)
+    # 12-bit precision refuses by name
+    deep = golden.replace(
+        sof0, _seg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with pytest.raises(ValueError, match="12-bit"):
+        dec.pixels(deep)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pos=st.integers(min_value=2, max_value=5000),
+    val=st.integers(min_value=0, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_corruption_fuzz_no_raw_leaks(pos, val, seed):
+    """The corruption contract shared with the other codecs: any
+    single-byte mutation of a valid payload either decodes cleanly or
+    raises ValueError — never a raw IndexError/struct.error/numpy
+    buffer error escaping to the caller."""
+    rng = np.random.RandomState(seed % 7)
+    img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    payload = bytearray(jpeg.encode_jpeg(img, quality=85, subsampling="420"))
+    payload[pos % len(payload)] = val
+    dec = jpeg.jpeg_decoder()
+    try:
+        px = dec.pixels(bytes(payload))
+        assert px.dtype == np.uint8 and px.ndim == 3
+    except ValueError:
+        pass  # named refusal is the contract
+
+
+def test_feature_lanes_shared_layout():
+    dec = jpeg.jpeg_decoder()
+    img = np.full((4, 6, 3), 255, np.uint8)
+    f = dict(
+        zip(multimodal.PNG_FEATURE_NAMES, dec(jpeg.encode_jpeg(img)).tolist())
+    )
+    assert f["width"] == 6.0 and f["height"] == 4.0
+    assert f["n_channels"] == 3.0 and f["bit_depth"] == 8.0
+    assert f["mean_luma"] > 0.99 and f["max_luma"] <= 1.0
+
+
+def test_auto_decoder_routes_jpeg():
+    dec = multimodal.auto_decoder()
+    img = np.full((5, 7, 3), 128, np.uint8)
+    f = dict(
+        zip(
+            multimodal.PNG_FEATURE_NAMES,
+            dec(jpeg.encode_jpeg(img, quality=95)).tolist(),
+        )
+    )
+    assert f["width"] == 7.0 and f["height"] == 5.0
+    assert abs(f["mean_luma"] - 128 / 255) < 0.01
+
+
+def test_image_resizer_routes_jpeg():
+    rz = multimodal.image_resizer()
+    dec = jpeg.jpeg_decoder()
+    img = np.full((16, 16, 3), 200, np.uint8)
+    out = rz(jpeg.encode_jpeg(img, quality=95), 4, 8)
+    assert out[:3] == b"\xff\xd8\xff"  # same-family re-encode
+    px = dec.pixels(out)
+    assert px.shape == (8, 4, 3)
+    assert int(np.abs(px.astype(int) - 200).max()) <= 2
+
+
+def test_probe_media_jpeg_dimensions(spark):
+    """probe_media reports JPEG dims from the SOF marker without
+    entropy decode — including PROGRESSIVE payloads, which the
+    decoder refuses (a probe classifies; decode must fail loudly)."""
+    img = np.zeros((12, 34, 3), np.uint8)
+    base = jpeg.encode_jpeg(img, quality=90)
+    sof0 = struct.pack(">BHHB", 8, 12, 34, 3)
+    idx = base.index(b"\xff\xc0")
+    progressive = base[:idx] + b"\xff\xc2" + base[idx + 2 :]
+    rows = [
+        (1, bytearray(base), (None, None, None, None, None)),
+        (2, bytearray(progressive), (None, None, None, None, None)),
+        (3, bytearray(b"\xff\xd8\xff\xe0junk"), (None, None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = {r["media_id"]: r["meta"] for r in multimodal.probe_media(df).collect()}
+    for mid in (1, 2):
+        m = out[mid]
+        assert m["media_type"] == "image" and m["format"] == "jpeg"
+        assert (m["width"], m["height"]) == (34, 12), mid
+    assert all(v is None for v in out[3].asDict().values())
+    assert sof0  # silence linters; sof0 documents the SOF layout
+
+
+def test_extract_features_jpeg_through_spark(spark):
+    """The production seam end-to-end: JPEG payloads through
+    Arrow-batched extract_features with auto_decoder on executors."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(6):
+        img = rng.randint(0, 256, (8 + i, 10, 3), dtype=np.uint8)
+        rows.append(
+            (i, bytearray(jpeg.encode_jpeg(img, quality=90)), (None,) * 5)
+        )
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.auto_decoder()
+    ).collect()
+    assert len(feats) == 6
+    for r in feats:
+        f = dict(zip(multimodal.PNG_FEATURE_NAMES, r["features"]))
+        assert f["width"] == 10.0 and 8.0 <= f["height"] <= 13.0
+        assert 0.0 <= f["mean_luma"] <= 1.0
