@@ -1304,6 +1304,69 @@ def resize_media(
     return df.mapInPandas(run, out_schema)
 
 
+def video_frame_decoder(
+    every_ms: int = 1000, max_frames: int = 64
+) -> Callable[[bytes], np.ndarray]:
+    """Real video FRAME decode — the one media path that genuinely
+    needs an external codec (H.264/VP9/AV1 entropy decode is far
+    beyond a stdlib+numpy reimplementation, unlike the five formats
+    that decode for real here). Dependency-gated: with ``cv2``
+    installed this returns a working sampler (payload → uint8
+    ``(n_frames, H, W, 3)`` RGB, one frame per ``every_ms``, capped
+    at ``max_frames``); without it, it raises ``NotImplementedError``
+    AT FACTORY TIME naming the missing dependency — per the
+    do-not-fake rule, no digest-derived pretend frames on this seam.
+    MP4 *metadata* probing (:func:`probe_media`) and frame-timestamp
+    fan-out (:func:`sample_frames`) work without cv2.
+
+    The cv2 branch is real, committed, and exercised by a
+    ``skipif(no cv2)`` test (tests/test_jpeg.py) so the seam
+    activates the day the runtime gains the dependency."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "video frame decode needs cv2 (opencv-python); it is not"
+            " installed in this environment. MP4 metadata probing"
+            " (probe_media) and frame fan-out (sample_frames) work"
+            " without it; swap in this decoder when cv2 is available."
+        ) from ex
+
+    def decode(payload: bytes) -> np.ndarray:
+        import os
+        import tempfile
+
+        import cv2 as _cv2
+        import numpy as _np
+
+        fd, path = tempfile.mkstemp(suffix=".mp4")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(bytes(payload or b""))
+            cap = _cv2.VideoCapture(path)
+            if not cap.isOpened():
+                raise ValueError("undecodable video payload: cv2 open failed")
+            frames = []
+            t = 0.0
+            while len(frames) < max_frames:
+                cap.set(_cv2.CAP_PROP_POS_MSEC, t)
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame[:, :, ::-1])  # BGR -> RGB
+                t += every_ms
+            cap.release()
+            if not frames:
+                raise ValueError(
+                    "undecodable video payload: no frames decoded"
+                )
+            return _np.stack(frames).astype(_np.uint8)
+        finally:
+            os.unlink(path)
+
+    return decode
+
+
 def sample_frames(
     df: DataFrame,
     *,

@@ -255,6 +255,51 @@ def test_probe_media_jpeg_dimensions(spark):
     assert sof0  # silence linters; sof0 documents the SOF layout
 
 
+def _has_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_cv2(), reason="cv2 installed: stub inactive")
+def test_video_frame_decoder_honest_stub_without_cv2():
+    """The video seam refuses AT FACTORY TIME with the dependency
+    named — never digest-derived fake frames (the do-not-fake rule).
+    This test self-retires when the sandbox gains cv2 and the skipif
+    twin below takes over (VERDICT r13 next #8)."""
+    with pytest.raises(NotImplementedError, match="cv2"):
+        multimodal.video_frame_decoder()
+
+
+@pytest.mark.skipif(not _has_cv2(), reason="cv2 not installed")
+def test_video_frame_decoder_real_with_cv2(tmp_path):
+    """Exercises the REAL cv2 branch the day the dependency lands:
+    write a tiny mp4 with cv2.VideoWriter, sample frames at 100 ms,
+    and check the (n, H, W, 3) RGB contract."""
+    import cv2
+    import numpy as np_
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 24)
+    )
+    for i in range(10):
+        frame = np_.full((24, 32, 3), i * 20, np_.uint8)
+        w.write(frame)
+    w.release()
+    payload = open(path, "rb").read()
+    dec = multimodal.video_frame_decoder(every_ms=100, max_frames=5)
+    frames = dec(payload)
+    assert frames.dtype == np_.uint8
+    assert frames.ndim == 4 and frames.shape[1:] == (24, 32, 3)
+    assert 1 <= frames.shape[0] <= 5
+    with pytest.raises(ValueError, match="undecodable video"):
+        dec(b"not a video")
+
+
 def test_extract_features_jpeg_through_spark(spark):
     """The production seam end-to-end: JPEG payloads through
     Arrow-batched extract_features with auto_decoder on executors."""
