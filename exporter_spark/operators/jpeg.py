@@ -397,9 +397,13 @@ def encode_jpeg(
 
 
 class _HuffTable:
-    """T.81 F.2.2.3 canonical decode tables."""
+    """T.81 F.2.2.3 canonical decode tables, plus an 8-bit prefix LUT
+    fast path: ``lut[peek8]`` resolves every symbol whose code is <= 8
+    bits in one dict-free lookup (the standard tables put all the
+    high-frequency symbols there), leaving the per-length walk for
+    the rare long codes only."""
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut")
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.vals = vals
@@ -407,56 +411,20 @@ class _HuffTable:
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
         code, k = 0, 0
+        self.lut: list[tuple[int, int] | None] = [None] * 256
         for length in range(1, 17):
             if bits[length - 1]:
                 self.valptr[length] = k
                 self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
+                for _ in range(bits[length - 1]):
+                    if length <= 8 and k < len(vals):
+                        lo = code << (8 - length)
+                        for p in range(lo, lo + (1 << (8 - length))):
+                            self.lut[p] = (vals[k], length)
+                    code += 1
+                    k += 1
                 self.maxcode[length] = code - 1
             code <<= 1
-
-
-class _BitReader:
-    """MSB-first reader over an unstuffed entropy segment."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc <<= 8  # spec: missing bits read as 0 past EOI pad
-            self.nbits += 8
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def huffman(self, tbl: _HuffTable) -> int:
-        code = self.bits(1)
-        for length in range(1, 17):
-            if tbl.maxcode[length] >= code >= tbl.mincode[length]:
-                return tbl.vals[tbl.valptr[length] + code - tbl.mincode[length]]
-            code = (code << 1) | self.bits(1)
-        raise ValueError("undecodable JPEG payload: invalid Huffman code")
-
-
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def _parse_segments(data: bytes):
@@ -643,70 +611,188 @@ def jpeg_decoder():
                     f"undecodable JPEG payload: missing DQT {qid}"
                 )
 
+        # per-component table resolution hoisted out of the MCU loop
+        comp_tables = []
+        for cid, ch_, cv, qid in comps:
+            if cid not in scan_tbl:
+                raise ValueError(
+                    "undecodable JPEG payload: scan names unknown"
+                    f" component {cid}"
+                )
+            td, ta = scan_tbl[cid]
+            try:
+                dc_tbl = huffs[0x00 | td]
+                ac_tbl = huffs[0x10 | ta]
+            except KeyError as ex:
+                raise ValueError(
+                    f"undecodable JPEG payload: missing DHT {ex}"
+                ) from ex
+            comp_tables.append((dc_tbl.lut, dc_tbl, ac_tbl.lut, ac_tbl))
+
+        # The entropy loop keeps the bit-reader state (acc/nbits/pos)
+        # in LOCALS and inlines the 8-bit-LUT Huffman fast path: the
+        # method-call formulation measured ~2x slower (profile in
+        # SCALE.md round-14) and this loop is the whole per-payload
+        # cost model for the seam. Zero-fill past the segment end is
+        # spec behavior (T.81 F.2.2.5 pads with 1-bits; any value
+        # works because a well-formed stream never reads them, and a
+        # corrupt one hits the invalid-code/run-past-end refusals).
         seg_i = 0
-        reader = _BitReader(bytes(segments[0]))
+        data = segments[0]
+        dlen = len(data)
+        pos = acc = nbits = 0
         dc_pred = [0] * len(comps)
-        try:
-            for mcu in range(mcus_x * mcus_y):
-                if restart and mcu and mcu % restart == 0:
-                    seg_i += 1
-                    if seg_i >= len(segments):
-                        raise ValueError(
-                            "undecodable JPEG payload: missing restart"
-                            " segment"
-                        )
-                    reader = _BitReader(bytes(segments[seg_i]))
-                    dc_pred = [0] * len(comps)
-                my, mx = divmod(mcu, mcus_x)
-                for ci, (cid, ch_, cv, qid) in enumerate(comps):
-                    if cid not in scan_tbl:
-                        raise ValueError(
-                            "undecodable JPEG payload: scan names unknown"
-                            f" component {cid}"
-                        )
-                    td, ta = scan_tbl[cid]
-                    try:
-                        dc_tbl = huffs[0x00 | td]
-                        ac_tbl = huffs[0x10 | ta]
-                    except KeyError as ex:
-                        raise ValueError(
-                            f"undecodable JPEG payload: missing DHT {ex}"
-                        ) from ex
-                    for by in range(cv):
-                        for bx in range(ch_):
-                            blk = coef[ci][my * cv + by, mx * ch_ + bx]
-                            size = reader.huffman(dc_tbl)
+        ncomp = len(comps)
+        for mcu in range(mcus_x * mcus_y):
+            if restart and mcu and mcu % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError(
+                        "undecodable JPEG payload: missing restart segment"
+                    )
+                data = segments[seg_i]
+                dlen = len(data)
+                pos = acc = nbits = 0
+                dc_pred = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(ncomp):
+                dc_lut, dc_tbl, ac_lut, ac_tbl = comp_tables[ci]
+                _, ch_, cv, _ = comps[ci]
+                cplane = coef[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        blk = cplane[my * cv + by, mx * ch_ + bx]
+                        # DC symbol
+                        while nbits < 8:
+                            if pos < dlen:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        hit = dc_lut[(acc >> (nbits - 8)) & 0xFF]
+                        if hit is not None:
+                            size = hit[0]
+                            nbits -= hit[1]
+                            acc &= (1 << nbits) - 1
+                        else:
+                            size = -1
+                            for ln in range(9, 17):
+                                while nbits < ln:
+                                    if pos < dlen:
+                                        acc = (acc << 8) | data[pos]
+                                        pos += 1
+                                    else:
+                                        acc <<= 8
+                                    nbits += 8
+                                code = (acc >> (nbits - ln)) & ((1 << ln) - 1)
+                                if dc_tbl.maxcode[ln] >= code >= dc_tbl.mincode[ln]:
+                                    size = dc_tbl.vals[
+                                        dc_tbl.valptr[ln]
+                                        + code
+                                        - dc_tbl.mincode[ln]
+                                    ]
+                                    nbits -= ln
+                                    acc &= (1 << nbits) - 1
+                                    break
+                            if size < 0:
+                                raise ValueError(
+                                    "undecodable JPEG payload: invalid"
+                                    " Huffman code"
+                                )
+                        if size:
                             if size > 11:
                                 raise ValueError(
-                                    "undecodable JPEG payload: DC size"
-                                    f" {size}"
+                                    f"undecodable JPEG payload: DC size {size}"
                                 )
-                            diff = (
-                                _extend(reader.bits(size), size) if size else 0
+                            while nbits < size:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            nbits -= size
+                            acc &= (1 << nbits) - 1
+                            dc_pred[ci] += (
+                                v
+                                if v >= (1 << (size - 1))
+                                else v - (1 << size) + 1
                             )
-                            dc_pred[ci] += diff
-                            blk[0] = dc_pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = reader.huffman(ac_tbl)
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError(
-                                        "undecodable JPEG payload: AC run"
-                                        " past block end"
+                        blk[0] = dc_pred[ci]
+                        # AC coefficients
+                        k = 1
+                        while k < 64:
+                            while nbits < 8:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                            hit = ac_lut[(acc >> (nbits - 8)) & 0xFF]
+                            if hit is not None:
+                                rs = hit[0]
+                                nbits -= hit[1]
+                                acc &= (1 << nbits) - 1
+                            else:
+                                rs = -1
+                                for ln in range(9, 17):
+                                    while nbits < ln:
+                                        if pos < dlen:
+                                            acc = (acc << 8) | data[pos]
+                                            pos += 1
+                                        else:
+                                            acc <<= 8
+                                        nbits += 8
+                                    code = (acc >> (nbits - ln)) & (
+                                        (1 << ln) - 1
                                     )
-                                blk[k] = _extend(reader.bits(s), s)
-                                k += 1
-        except IndexError as ex:
-            raise ValueError(
-                f"undecodable JPEG payload: truncated entropy data: {ex}"
-            ) from ex
+                                    if (
+                                        ac_tbl.maxcode[ln]
+                                        >= code
+                                        >= ac_tbl.mincode[ln]
+                                    ):
+                                        rs = ac_tbl.vals[
+                                            ac_tbl.valptr[ln]
+                                            + code
+                                            - ac_tbl.mincode[ln]
+                                        ]
+                                        nbits -= ln
+                                        acc &= (1 << nbits) - 1
+                                        break
+                                if rs < 0:
+                                    raise ValueError(
+                                        "undecodable JPEG payload: invalid"
+                                        " Huffman code"
+                                    )
+                            s = rs & 0x0F
+                            if s == 0:
+                                if rs == 0xF0:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "undecodable JPEG payload: AC run past"
+                                    " block end"
+                                )
+                            while nbits < s:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            acc &= (1 << nbits) - 1
+                            blk[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
+                            k += 1
 
         planes = []
         for (cid, ch_, cv, qid), blocks in zip(comps, coef):
