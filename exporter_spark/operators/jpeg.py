@@ -233,8 +233,9 @@ def encode_jpeg(
     """Encode a uint8 pixel array as a baseline JFIF payload.
 
     ``pixels`` is (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB.
-    ``subsampling`` is ``"444"`` (no chroma subsampling) or ``"420"``
-    (2x2 luma per MCU, box-filtered chroma) — ignored for grayscale.
+    ``subsampling`` is ``"444"`` (no chroma subsampling), ``"422"``
+    (horizontal-only chroma halving) or ``"420"`` (2x2 luma per MCU,
+    box-filtered chroma) — ignored for grayscale.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers
     every that many MCUs (exercises the decoder's resync path).
     """
@@ -246,10 +247,12 @@ def encode_jpeg(
     h, w, ch = arr.shape
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("JPEG dimensions must be in [1, 65535]")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} not supported (444/420)")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsampling {subsampling!r} not supported (444/422/420)"
+        )
     gray = ch == 1
-    sub420 = (not gray) and subsampling == "420"
+    sub = "444" if gray else subsampling
 
     luma_qt, chroma_qt = quality_tables(quality)
 
@@ -261,16 +264,20 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub420:
-            # box-average 2x2 on an edge-padded even grid
+        if sub != "444":
+            # box-average on an edge-padded even grid: 2x2 for 420,
+            # 1x2 (columns only) for 422
+            vstep = 2 if sub == "420" else 1
+
             def down(p: np.ndarray) -> np.ndarray:
                 ph = np.pad(
-                    p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge"
+                    p,
+                    ((0, p.shape[0] % vstep), (0, p.shape[1] % 2)),
+                    mode="edge",
                 )
-                return (
-                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
-                    .mean(axis=(1, 3))
-                )
+                return ph.reshape(
+                    ph.shape[0] // vstep, vstep, ph.shape[1] // 2, 2
+                ).mean(axis=(1, 3))
 
             planes = [y, down(cb), down(cr)]
         else:
@@ -279,8 +286,10 @@ def encode_jpeg(
     # component geometry: (id, h_factor, v_factor, qt_id)
     if gray:
         comps = [(1, 1, 1, 0)]
-    elif sub420:
+    elif sub == "420":
         comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif sub == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     else:
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     max_h = max(c[1] for c in comps)

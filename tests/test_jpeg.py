@@ -34,7 +34,7 @@ def test_flat_color_roundtrip_exact():
     dec = jpeg.jpeg_decoder()
     for val in (0, 1, 127, 128, 254, 255):
         px = np.full((16, 24, 3), val, np.uint8)
-        for sub in ("444", "420"):
+        for sub in ("444", "422", "420"):
             back = dec.pixels(jpeg.encode_jpeg(px, quality=95, subsampling=sub))
             assert back.shape == px.shape
             err = int(np.abs(back.astype(int) - px.astype(int)).max())
@@ -52,13 +52,15 @@ def test_smooth_gradient_tolerance():
 
 def test_noise_luma_fidelity_and_chroma_subsampling():
     """Random noise is the worst case for the AC tables; at quality 95
-    the LUMA channel must still come back within ~2/255 mean error in
-    both subsampling modes (chroma at 4:2:0 is averaged 2x2 by design,
-    so only luma is pinned there)."""
+    the LUMA channel must still come back within ~2.5/255 mean error
+    in every subsampling mode (chroma at 4:2:2/4:2:0 is box-averaged
+    by design, so only luma is pinned there). 4:2:2 exercises the
+    decoder's horizontal-only (2,1) sampling-grid path, which no
+    other fixture reaches."""
     dec = jpeg.jpeg_decoder()
     rng = np.random.RandomState(7)
     img = rng.randint(0, 256, (19, 23, 3), dtype=np.uint8)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         back = dec.pixels(jpeg.encode_jpeg(img, quality=95, subsampling=sub))
         assert back.shape == img.shape
         mean_err = float(np.abs(_luma(back) - _luma(img)).mean())
