@@ -15,11 +15,17 @@ the PNG/BMP/PPM/WAV codecs in ``operators/multimodal.py``:
 - ``jpeg_decoder()`` returns a ``decoder=``-seam closure emitting the
   shared 8-lane image feature layout
   (``multimodal.PNG_FEATURE_NAMES``) and exposing
-  ``.pixels(payload)`` → uint8 (H, W, {1|3}).  Baseline (SOF0) and
-  extended-sequential (SOF1) Huffman JPEGs decode; progressive
-  (SOF2), hierarchical, and arithmetic-coded payloads raise
-  ``ValueError`` naming the reason — a recognized-but-undecodable
-  payload must fail the row loudly, never emit fake pixels.
+  ``.pixels(payload)`` → uint8 (H, W, {1|3}).  Baseline (SOF0),
+  extended-sequential (SOF1) AND progressive (SOF2) Huffman JPEGs
+  decode — progressive covers spectral selection, successive
+  approximation with DC/AC refinement scans, and EOB-run coding
+  (``encode_jpeg_progressive`` is the fixture-side inverse; its
+  transport is a lossless re-encoding of the same quantized
+  coefficients, so progressive decode is pinned EXACTLY equal to
+  baseline decode of the same source).  Hierarchical, lossless, and
+  arithmetic-coded payloads raise ``ValueError`` naming the reason —
+  a recognized-but-undecodable payload must fail the row loudly,
+  never emit fake pixels.
 - JPEG is LOSSY: round-trip tests pin tolerance (quality-dependent
   PSNR), not byte equality; the DC-only and flat-color paths are
   near-exact and pinned tightly.
@@ -223,22 +229,13 @@ def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(
-    pixels,
-    *,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode a uint8 pixel array as a baseline JFIF payload.
-
-    ``pixels`` is (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB.
-    ``subsampling`` is ``"444"`` (no chroma subsampling), ``"422"``
-    (horizontal-only chroma halving) or ``"420"`` (2x2 luma per MCU,
-    box-filtered chroma) — ignored for grayscale.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every that many MCUs (exercises the decoder's resync path).
-    """
+def _quantize_pixels(pixels, quality: int, subsampling: str):
+    """Shared encode front half: pixels → (gray, h, w, comps, qts,
+    comp_blocks, mcus_x, mcus_y); comp_blocks are per-component
+    quantized zigzag coefficient arrays in MCU-padded plane layout.
+    Baseline and progressive transports serialize THE SAME arrays —
+    which is what makes progressive-vs-baseline decode equality an
+    exact pin."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -307,6 +304,29 @@ def encode_jpeg(
         qt = qts[qid][_UNZIGZAG].reshape(8, 8).astype(np.float64)
         quant = np.round(coefs / qt).astype(np.int64)
         comp_blocks.append(quant.reshape(bh, bw, 64)[:, :, ZIGZAG])
+
+    return gray, h, w, comps, qts, comp_blocks, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    pixels,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 pixel array as a baseline JFIF payload.
+
+    ``pixels`` is (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB.
+    ``subsampling`` is ``"444"`` (no chroma subsampling), ``"422"``
+    (horizontal-only chroma halving) or ``"420"`` (2x2 luma per MCU,
+    box-filtered chroma) — ignored for grayscale.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (exercises the decoder's resync path).
+    """
+    (
+        gray, h, w, comps, qts, comp_blocks, mcus_x, mcus_y,
+    ) = _quantize_pixels(pixels, quality, subsampling)
 
     # --- headers ---
     out = bytearray(b"\xff\xd8")  # SOI
@@ -436,15 +456,42 @@ class _HuffTable:
             code <<= 1
 
 
-def _parse_segments(data: bytes):
-    """Yield (marker, payload) up to SOS; return (yielded list, sos
-    payload, entropy-coded byte offset)."""
+def _entropy_segments(data: bytes, pos: int):
+    """Split one scan's entropy-coded data starting at ``pos`` on
+    restart markers, unstuffing 0xFF00; returns (segments, position
+    of the next marker or end of data)."""
+    segments: list[bytearray] = [bytearray()]
+    while pos < len(data):
+        b = data[pos]
+        if b != 0xFF:
+            segments[-1].append(b)
+            pos += 1
+            continue
+        m = data[pos + 1] if pos + 1 < len(data) else 0xD9
+        if m == 0x00:
+            segments[-1].append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytearray())
+            pos += 2
+        elif m == 0xFF:
+            pos += 1  # fill byte
+        else:
+            break  # EOI or the next real marker ends the scan
+    return segments, pos
+
+
+def _parse_stream(data: bytes):
+    """Full marker walk: returns an ordered event list of
+    ``("seg", marker, body)`` and ``("scan", sos_body, segments)`` —
+    tables may legally change between scans, so order is preserved
+    (progressive streams interleave DHT and SOS)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("undecodable JPEG payload: missing SOI")
     pos = 2
-    segs = []
-    while True:
-        if pos + 4 > len(data):
+    events = []
+    while pos < len(data):
+        if pos + 2 > len(data):
             raise ValueError("undecodable JPEG payload: truncated headers")
         if data[pos] != 0xFF:
             raise ValueError(
@@ -454,224 +501,154 @@ def _parse_segments(data: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(data):
+            raise ValueError("undecodable JPEG payload: truncated headers")
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
             raise ValueError("undecodable JPEG payload: truncated segment")
         pos += 2 + ln
         if marker == 0xDA:
-            return segs, body, pos
-        segs.append((marker, body))
+            segments, pos = _entropy_segments(data, pos)
+            events.append(("scan", body, segments))
+        else:
+            events.append(("seg", marker, body))
+    return events
 
 
-def jpeg_decoder():
-    """Baseline JPEG → the shared 8-lane image feature vector
-    (``multimodal.PNG_FEATURE_NAMES`` layout; bit_depth reports 8).
-    Exposes ``.pixels(payload)`` → uint8 (H, W, {1|3}).
+def _decode_baseline_scan(
+    sos, segments, comps, coef, huffs, restart, mcus_x, mcus_y
+):
+    """The single interleaved sequential scan (SOF0/SOF1) — the hot
+    path, kept as the locals-inlined loop (see the in-loop comment).
+    Fills ``coef`` in place."""
+    # scan header: component -> (dc table, ac table)
+    ns = sos[0]
+    if ns != len(comps):
+        raise ValueError(
+            "undecodable JPEG payload: non-interleaved scans not"
+            " supported (single interleaved baseline scan only)"
+        )
+    scan_tbl = {}
+    for i in range(ns):
+        cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan_tbl[cs] = (tda >> 4, tda & 0x0F)
 
-    Supports: SOF0/SOF1 Huffman sequential, 1 or 3 components, any
-    integer sampling-ratio grid (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0),
-    8-bit and 16-bit DQT precision, restart intervals, multiple
-    DQT/DHT segments. Rejects with a named ``ValueError``:
-    progressive (SOF2) and every other non-baseline frame type,
-    arithmetic coding, 12-bit precision, fractional sampling grids,
-    truncated or corrupt streams."""
+    # per-component table resolution hoisted out of the MCU loop
+    comp_tables = []
+    for cid, ch_, cv, qid in comps:
+        if cid not in scan_tbl:
+            raise ValueError(
+                "undecodable JPEG payload: scan names unknown"
+                f" component {cid}"
+            )
+        td, ta = scan_tbl[cid]
+        try:
+            dc_tbl = huffs[0x00 | td]
+            ac_tbl = huffs[0x10 | ta]
+        except KeyError as ex:
+            raise ValueError(
+                f"undecodable JPEG payload: missing DHT {ex}"
+            ) from ex
+        comp_tables.append((dc_tbl.lut, dc_tbl, ac_tbl.lut, ac_tbl))
 
-    def _decode_planes(payload: bytes):
-        data = bytes(payload or b"")
-        if data[:3] != b"\xff\xd8\xff":
-            raise ValueError("undecodable JPEG payload: bad magic")
-        segs, sos, epos = _parse_segments(data)
-
-        qts: dict[int, np.ndarray] = {}
-        huffs: dict[int, _HuffTable] = {}
-        sof = None
-        restart = 0
-        for marker, body in segs:
-            if marker == 0xDB:  # DQT (possibly several tables)
-                p = 0
-                while p < len(body):
-                    pq, tq = body[p] >> 4, body[p] & 0x0F
-                    p += 1
-                    if pq == 0:
-                        qts[tq] = np.frombuffer(
-                            body, dtype=np.uint8, count=64, offset=p
-                        ).astype(np.int64)
-                        p += 64
-                    elif pq == 1:
-                        qts[tq] = np.frombuffer(
-                            body, dtype=">u2", count=64, offset=p
-                        ).astype(np.int64)
-                        p += 128
+    # The entropy loop keeps the bit-reader state (acc/nbits/pos)
+    # in LOCALS and inlines the 8-bit-LUT Huffman fast path: the
+    # method-call formulation measured ~2x slower (profile in
+    # SCALE.md round-14) and this loop is the whole per-payload
+    # cost model for the seam. Zero-fill past the segment end is
+    # spec behavior (T.81 F.2.2.5 pads with 1-bits; any value
+    # works because a well-formed stream never reads them, and a
+    # corrupt one hits the invalid-code/run-past-end refusals).
+    seg_i = 0
+    data = segments[0]
+    dlen = len(data)
+    pos = acc = nbits = 0
+    dc_pred = [0] * len(comps)
+    ncomp = len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError(
+                    "undecodable JPEG payload: missing restart segment"
+                )
+            data = segments[seg_i]
+            dlen = len(data)
+            pos = acc = nbits = 0
+            dc_pred = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(ncomp):
+            dc_lut, dc_tbl, ac_lut, ac_tbl = comp_tables[ci]
+            _, ch_, cv, _ = comps[ci]
+            cplane = coef[ci]
+            for by in range(cv):
+                for bx in range(ch_):
+                    blk = cplane[my * cv + by, mx * ch_ + bx]
+                    # DC symbol
+                    while nbits < 8:
+                        if pos < dlen:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                        else:
+                            acc <<= 8
+                        nbits += 8
+                    hit = dc_lut[(acc >> (nbits - 8)) & 0xFF]
+                    if hit is not None:
+                        size = hit[0]
+                        nbits -= hit[1]
+                        acc &= (1 << nbits) - 1
                     else:
-                        raise ValueError(
-                            f"undecodable JPEG payload: DQT precision {pq}"
+                        size = -1
+                        for ln in range(9, 17):
+                            while nbits < ln:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                            code = (acc >> (nbits - ln)) & ((1 << ln) - 1)
+                            if dc_tbl.maxcode[ln] >= code >= dc_tbl.mincode[ln]:
+                                size = dc_tbl.vals[
+                                    dc_tbl.valptr[ln]
+                                    + code
+                                    - dc_tbl.mincode[ln]
+                                ]
+                                nbits -= ln
+                                acc &= (1 << nbits) - 1
+                                break
+                        if size < 0:
+                            raise ValueError(
+                                "undecodable JPEG payload: invalid"
+                                " Huffman code"
+                            )
+                    if size:
+                        if size > 11:
+                            raise ValueError(
+                                f"undecodable JPEG payload: DC size {size}"
+                            )
+                        while nbits < size:
+                            if pos < dlen:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        acc &= (1 << nbits) - 1
+                        dc_pred[ci] += (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
                         )
-            elif marker == 0xC4:  # DHT
-                p = 0
-                while p < len(body):
-                    if p + 17 > len(body):
-                        raise ValueError(
-                            "undecodable JPEG payload: truncated DHT"
-                        )
-                    tc_th = body[p]
-                    bits = list(body[p + 1 : p + 17])
-                    n = sum(bits)
-                    vals = list(body[p + 17 : p + 17 + n])
-                    if len(vals) != n:
-                        raise ValueError(
-                            "undecodable JPEG payload: truncated DHT"
-                        )
-                    huffs[tc_th] = _HuffTable(bits, vals)
-                    p += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended
-                prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-                if prec != 8:
-                    raise ValueError(
-                        f"undecodable JPEG payload: {prec}-bit precision"
-                        " (8-bit baseline only)"
-                    )
-                comps = []
-                for i in range(nc):
-                    cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
-                    comps.append((cid, hv >> 4, hv & 0x0F, qid))
-                sof = (fh, fw, comps)
-            elif marker == 0xC2:
-                raise ValueError(
-                    "undecodable JPEG payload: progressive (SOF2) not"
-                    " supported (baseline sequential only)"
-                )
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                            0xCD, 0xCE, 0xCF):
-                raise ValueError(
-                    f"undecodable JPEG payload: frame type 0xC{marker & 0xF:X}"
-                    " not supported (baseline sequential only)"
-                )
-            elif marker == 0xDD:  # DRI
-                (restart,) = struct.unpack_from(">H", body, 0)
-            # APPn/COM ignored
-        if sof is None:
-            raise ValueError("undecodable JPEG payload: missing SOF")
-        fh, fw, comps = sof
-        if fh == 0 or fw == 0:
-            raise ValueError("undecodable JPEG payload: zero dimension")
-        if len(comps) not in (1, 3):
-            raise ValueError(
-                f"undecodable JPEG payload: {len(comps)} components"
-                " (grayscale or YCbCr only)"
-            )
-
-        # scan header: component -> (dc table, ac table)
-        ns = sos[0]
-        if ns != len(comps):
-            raise ValueError(
-                "undecodable JPEG payload: non-interleaved scans not"
-                " supported (single interleaved baseline scan only)"
-            )
-        scan_tbl = {}
-        for i in range(ns):
-            cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
-            scan_tbl[cs] = (tda >> 4, tda & 0x0F)
-
-        max_h = max(c[1] for c in comps)
-        max_v = max(c[2] for c in comps)
-        for _, ch_, cv, _ in comps:
-            if ch_ < 1 or cv < 1:
-                raise ValueError(
-                    "undecodable JPEG payload: zero sampling factor"
-                )
-            if max_h % ch_ or max_v % cv:
-                raise ValueError(
-                    "undecodable JPEG payload: fractional sampling ratio"
-                )
-        mcus_x = -(-fw // (8 * max_h))
-        mcus_y = -(-fh // (8 * max_v))
-
-        # split entropy data on restart markers, unstuff 0xFF00
-        segments: list[bytearray] = [bytearray()]
-        p = epos
-        while p < len(data):
-            b = data[p]
-            if b != 0xFF:
-                segments[-1].append(b)
-                p += 1
-                continue
-            m = data[p + 1] if p + 1 < len(data) else 0xD9
-            if m == 0x00:
-                segments[-1].append(0xFF)
-                p += 2
-            elif 0xD0 <= m <= 0xD7:
-                segments.append(bytearray())
-                p += 2
-            elif m == 0xD9:
-                break
-            elif m == 0xFF:
-                p += 1  # fill byte
-            else:
-                break  # next real marker ends the scan
-
-        coef = [
-            np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
-            for _, ch_, cv, _ in comps
-        ]
-        for _, _, _, qid in comps:
-            if qid not in qts:
-                raise ValueError(
-                    f"undecodable JPEG payload: missing DQT {qid}"
-                )
-
-        # per-component table resolution hoisted out of the MCU loop
-        comp_tables = []
-        for cid, ch_, cv, qid in comps:
-            if cid not in scan_tbl:
-                raise ValueError(
-                    "undecodable JPEG payload: scan names unknown"
-                    f" component {cid}"
-                )
-            td, ta = scan_tbl[cid]
-            try:
-                dc_tbl = huffs[0x00 | td]
-                ac_tbl = huffs[0x10 | ta]
-            except KeyError as ex:
-                raise ValueError(
-                    f"undecodable JPEG payload: missing DHT {ex}"
-                ) from ex
-            comp_tables.append((dc_tbl.lut, dc_tbl, ac_tbl.lut, ac_tbl))
-
-        # The entropy loop keeps the bit-reader state (acc/nbits/pos)
-        # in LOCALS and inlines the 8-bit-LUT Huffman fast path: the
-        # method-call formulation measured ~2x slower (profile in
-        # SCALE.md round-14) and this loop is the whole per-payload
-        # cost model for the seam. Zero-fill past the segment end is
-        # spec behavior (T.81 F.2.2.5 pads with 1-bits; any value
-        # works because a well-formed stream never reads them, and a
-        # corrupt one hits the invalid-code/run-past-end refusals).
-        seg_i = 0
-        data = segments[0]
-        dlen = len(data)
-        pos = acc = nbits = 0
-        dc_pred = [0] * len(comps)
-        ncomp = len(comps)
-        for mcu in range(mcus_x * mcus_y):
-            if restart and mcu and mcu % restart == 0:
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise ValueError(
-                        "undecodable JPEG payload: missing restart segment"
-                    )
-                data = segments[seg_i]
-                dlen = len(data)
-                pos = acc = nbits = 0
-                dc_pred = [0] * ncomp
-            my, mx = divmod(mcu, mcus_x)
-            for ci in range(ncomp):
-                dc_lut, dc_tbl, ac_lut, ac_tbl = comp_tables[ci]
-                _, ch_, cv, _ = comps[ci]
-                cplane = coef[ci]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        blk = cplane[my * cv + by, mx * ch_ + bx]
-                        # DC symbol
+                    blk[0] = dc_pred[ci]
+                    # AC coefficients
+                    k = 1
+                    while k < 64:
                         while nbits < 8:
                             if pos < dlen:
                                 acc = (acc << 8) | data[pos]
@@ -679,13 +656,13 @@ def jpeg_decoder():
                             else:
                                 acc <<= 8
                             nbits += 8
-                        hit = dc_lut[(acc >> (nbits - 8)) & 0xFF]
+                        hit = ac_lut[(acc >> (nbits - 8)) & 0xFF]
                         if hit is not None:
-                            size = hit[0]
+                            rs = hit[0]
                             nbits -= hit[1]
                             acc &= (1 << nbits) - 1
                         else:
-                            size = -1
+                            rs = -1
                             for ln in range(9, 17):
                                 while nbits < ln:
                                     if pos < dlen:
@@ -694,115 +671,473 @@ def jpeg_decoder():
                                     else:
                                         acc <<= 8
                                     nbits += 8
-                                code = (acc >> (nbits - ln)) & ((1 << ln) - 1)
-                                if dc_tbl.maxcode[ln] >= code >= dc_tbl.mincode[ln]:
-                                    size = dc_tbl.vals[
-                                        dc_tbl.valptr[ln]
+                                code = (acc >> (nbits - ln)) & (
+                                    (1 << ln) - 1
+                                )
+                                if (
+                                    ac_tbl.maxcode[ln]
+                                    >= code
+                                    >= ac_tbl.mincode[ln]
+                                ):
+                                    rs = ac_tbl.vals[
+                                        ac_tbl.valptr[ln]
                                         + code
-                                        - dc_tbl.mincode[ln]
+                                        - ac_tbl.mincode[ln]
                                     ]
                                     nbits -= ln
                                     acc &= (1 << nbits) - 1
                                     break
-                            if size < 0:
+                            if rs < 0:
                                 raise ValueError(
                                     "undecodable JPEG payload: invalid"
                                     " Huffman code"
                                 )
-                        if size:
-                            if size > 11:
-                                raise ValueError(
-                                    f"undecodable JPEG payload: DC size {size}"
-                                )
-                            while nbits < size:
-                                if pos < dlen:
-                                    acc = (acc << 8) | data[pos]
-                                    pos += 1
-                                else:
-                                    acc <<= 8
-                                nbits += 8
-                            v = (acc >> (nbits - size)) & ((1 << size) - 1)
-                            nbits -= size
-                            acc &= (1 << nbits) - 1
-                            dc_pred[ci] += (
-                                v
-                                if v >= (1 << (size - 1))
-                                else v - (1 << size) + 1
+                        s = rs & 0x0F
+                        if s == 0:
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError(
+                                "undecodable JPEG payload: AC run past"
+                                " block end"
                             )
-                        blk[0] = dc_pred[ci]
-                        # AC coefficients
-                        k = 1
-                        while k < 64:
-                            while nbits < 8:
-                                if pos < dlen:
-                                    acc = (acc << 8) | data[pos]
-                                    pos += 1
-                                else:
-                                    acc <<= 8
-                                nbits += 8
-                            hit = ac_lut[(acc >> (nbits - 8)) & 0xFF]
-                            if hit is not None:
-                                rs = hit[0]
-                                nbits -= hit[1]
-                                acc &= (1 << nbits) - 1
+                        while nbits < s:
+                            if pos < dlen:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
                             else:
-                                rs = -1
-                                for ln in range(9, 17):
-                                    while nbits < ln:
-                                        if pos < dlen:
-                                            acc = (acc << 8) | data[pos]
-                                            pos += 1
-                                        else:
-                                            acc <<= 8
-                                        nbits += 8
-                                    code = (acc >> (nbits - ln)) & (
-                                        (1 << ln) - 1
-                                    )
-                                    if (
-                                        ac_tbl.maxcode[ln]
-                                        >= code
-                                        >= ac_tbl.mincode[ln]
-                                    ):
-                                        rs = ac_tbl.vals[
-                                            ac_tbl.valptr[ln]
-                                            + code
-                                            - ac_tbl.mincode[ln]
-                                        ]
-                                        nbits -= ln
-                                        acc &= (1 << nbits) - 1
-                                        break
-                                if rs < 0:
-                                    raise ValueError(
-                                        "undecodable JPEG payload: invalid"
-                                        " Huffman code"
-                                    )
-                            s = rs & 0x0F
-                            if s == 0:
-                                if rs == 0xF0:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError(
-                                    "undecodable JPEG payload: AC run past"
-                                    " block end"
-                                )
-                            while nbits < s:
-                                if pos < dlen:
-                                    acc = (acc << 8) | data[pos]
-                                    pos += 1
-                                else:
-                                    acc <<= 8
-                                nbits += 8
-                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
-                            nbits -= s
-                            acc &= (1 << nbits) - 1
-                            blk[k] = (
-                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                            )
-                            k += 1
+                                acc <<= 8
+                            nbits += 8
+                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        acc &= (1 << nbits) - 1
+                        blk[k] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                        k += 1
 
+
+def _decode_progressive_scan(
+    sos, segments, comps, coef, huffs, restart,
+    mcus_x, mcus_y, max_h, max_v, fw, fh,
+):
+    """One progressive (SOF2) scan — spectral selection [Ss..Se] at
+    successive-approximation level Ah→Al (T.81 G.2 semantics, the
+    same algorithms libjpeg implements): DC first is diff-coded like
+    baseline on the point-transformed value, DC refinement appends
+    one raw bit per block, AC first adds EOB-run coding across
+    blocks, AC refinement interleaves correction bits for
+    already-significant coefficients with newly-significant ±1
+    insertions. Non-interleaved scans (Ns=1) walk the component's own
+    block raster, not the MCU grid. Fills ``coef`` in place; a later
+    scan refines what an earlier one wrote."""
+    ns = sos[0]
+    if len(sos) < 4 + 2 * ns:
+        raise ValueError("undecodable JPEG payload: truncated SOS")
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    scan = []
+    for i in range(ns):
+        cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+        if cs not in comp_idx:
+            raise ValueError(
+                f"undecodable JPEG payload: scan names unknown component {cs}"
+            )
+        scan.append((comp_idx[cs], tda >> 4, tda & 0x0F))
+    ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "undecodable JPEG payload: DC scan with Se != 0"
+            )
+    else:
+        if ns != 1 or not ss <= se <= 63:
+            raise ValueError(
+                "undecodable JPEG payload: bad AC spectral band"
+            )
+    if ah and ah != al + 1:
+        raise ValueError(
+            "undecodable JPEG payload: successive approximation"
+            f" Ah={ah} Al={al}"
+        )
+
+    def table(tc, tid):
+        try:
+            return huffs[(tc << 4) | tid]
+        except KeyError as ex:
+            raise ValueError(
+                f"undecodable JPEG payload: missing DHT {ex}"
+            ) from ex
+
+    # scan geometry: interleaved -> MCU grid; Ns=1 -> the component's
+    # own block raster (ceil(comp_dim/8)), which is NARROWER than the
+    # MCU-padded coef array for subsampled/multi-block components
+    if ns > 1:
+        n_units = mcus_x * mcus_y
+    else:
+        ci0 = scan[0][0]
+        _, ch0, cv0, _ = comps[ci0]
+        bw_ni = -(-(-(-fw * ch0 // max_h)) // 8)
+        bh_ni = -(-(-(-fh * cv0 // max_v)) // 8)
+        n_units = bw_ni * bh_ni
+
+    # closure bit reader (progressive scans are cold relative to the
+    # baseline loop; clarity wins here)
+    state = {"seg": 0, "pos": 0, "acc": 0, "nbits": 0}
+    data = segments[0]
+
+    def getbits(n):
+        if n == 0:
+            return 0
+        acc, nbits, pos = state["acc"], state["nbits"], state["pos"]
+        while nbits < n:
+            if pos < len(data):
+                acc = (acc << 8) | data[pos]
+                pos += 1
+            else:
+                acc <<= 8
+            nbits += 8
+        v = (acc >> (nbits - n)) & ((1 << n) - 1)
+        nbits -= n
+        state["acc"], state["nbits"], state["pos"] = (
+            acc & ((1 << nbits) - 1), nbits, pos,
+        )
+        return v
+
+    def huff(tbl):
+        acc, nbits, pos = state["acc"], state["nbits"], state["pos"]
+        while nbits < 8:
+            if pos < len(data):
+                acc = (acc << 8) | data[pos]
+                pos += 1
+            else:
+                acc <<= 8
+            nbits += 8
+        state["acc"], state["nbits"], state["pos"] = acc, nbits, pos
+        hit = tbl.lut[(acc >> (nbits - 8)) & 0xFF]
+        if hit is not None:
+            state["nbits"] = nbits - hit[1]
+            state["acc"] = acc & ((1 << state["nbits"]) - 1)
+            return hit[0]
+        for ln in range(9, 17):
+            code = None
+            acc, nbits, pos = state["acc"], state["nbits"], state["pos"]
+            while nbits < ln:
+                if pos < len(data):
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            state["acc"], state["nbits"], state["pos"] = acc, nbits, pos
+            code = (acc >> (nbits - ln)) & ((1 << ln) - 1)
+            if tbl.maxcode[ln] >= code >= tbl.mincode[ln]:
+                state["nbits"] = nbits - ln
+                state["acc"] = acc & ((1 << state["nbits"]) - 1)
+                return tbl.vals[tbl.valptr[ln] + code - tbl.mincode[ln]]
+        raise ValueError("undecodable JPEG payload: invalid Huffman code")
+
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    for unit in range(n_units):
+        if restart and unit and unit % restart == 0:
+            state["seg"] += 1
+            if state["seg"] >= len(segments):
+                raise ValueError(
+                    "undecodable JPEG payload: missing restart segment"
+                )
+            data = segments[state["seg"]]
+            state["pos"] = state["acc"] = state["nbits"] = 0
+            dc_pred = [0] * len(comps)
+            eobrun = 0
+        if ss == 0:
+            # DC scan: interleaved MCU walk or single-comp raster
+            if ns > 1:
+                my, mx = divmod(unit, mcus_x)
+                blocks = []
+                for ci, td, ta in scan:
+                    _, ch_, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            blocks.append(
+                                (ci, coef[ci][my * cv + by, mx * ch_ + bx])
+                            )
+            else:
+                ci0 = scan[0][0]
+                by, bx = divmod(unit, bw_ni)
+                blocks = [(ci0, coef[ci0][by, bx])]
+            if ah == 0:
+                for ci, blk in blocks:
+                    td = scan[[s[0] for s in scan].index(ci)][1]
+                    dc_tbl = table(0, td)
+                    size = huff(dc_tbl)
+                    if size > 11:
+                        raise ValueError(
+                            f"undecodable JPEG payload: DC size {size}"
+                        )
+                    if size:
+                        v = getbits(size)
+                        diff = (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        )
+                    else:
+                        diff = 0
+                    dc_pred[ci] += diff
+                    blk[0] = dc_pred[ci] << al
+            else:
+                for ci, blk in blocks:
+                    if getbits(1):
+                        blk[0] = int(blk[0]) | p1
+        else:
+            # AC scan (always Ns == 1)
+            ci0, td0, ta0 = scan[0]
+            ac_tbl = table(1, ta0)
+            by, bx = divmod(unit, bw_ni)
+            blk = coef[ci0][by, bx]
+            if ah == 0:
+                # AC first pass with EOB-run coding
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = huff(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += getbits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "undecodable JPEG payload: AC run past band end"
+                        )
+                    v = getbits(s)
+                    blk[k] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    ) << al
+                    k += 1
+            else:
+                # AC refinement (T.81 G.2 / the libjpeg algorithm):
+                # correction bits for already-nonzero coefficients are
+                # interleaved positionally with run skips and ±1
+                # insertions
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = huff(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += getbits(r)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "undecodable JPEG payload: AC"
+                                    f" refinement size {s}"
+                                )
+                            newval = p1 if getbits(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if getbits(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if getbits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def jpeg_decoder():
+    """JPEG → the shared 8-lane image feature vector
+    (``multimodal.PNG_FEATURE_NAMES`` layout; bit_depth reports 8).
+    Exposes ``.pixels(payload)`` → uint8 (H, W, {1|3}).
+
+    Supports: SOF0/SOF1 Huffman sequential AND SOF2 Huffman
+    PROGRESSIVE (spectral selection + successive approximation, DC
+    and AC refinement scans, EOB runs — the script libjpeg emits by
+    default), 1 or 3 components, any integer sampling-ratio grid
+    (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), 8-bit and 16-bit DQT precision,
+    restart intervals, tables redefined between scans. Rejects with a
+    named ``ValueError``: lossless/hierarchical frame types,
+    arithmetic coding, 12-bit precision, fractional sampling grids,
+    truncated or corrupt streams."""
+
+    def _decode_planes(payload: bytes):
+        data = bytes(payload or b"")
+        if data[:3] != b"\xff\xd8\xff":
+            raise ValueError("undecodable JPEG payload: bad magic")
+        events = _parse_stream(data)
+
+        qts: dict[int, np.ndarray] = {}
+        huffs: dict[int, _HuffTable] = {}
+        sof = None
+        progressive = False
+        restart = 0
+        coef = None
+        geometry = None
+        scans_seen = 0
+        for ev in events:
+            if ev[0] == "seg":
+                marker, body = ev[1], ev[2]
+                if marker == 0xDB:  # DQT (possibly several tables)
+                    p = 0
+                    while p < len(body):
+                        pq, tq = body[p] >> 4, body[p] & 0x0F
+                        p += 1
+                        if pq == 0:
+                            qts[tq] = np.frombuffer(
+                                body, dtype=np.uint8, count=64, offset=p
+                            ).astype(np.int64)
+                            p += 64
+                        elif pq == 1:
+                            qts[tq] = np.frombuffer(
+                                body, dtype=">u2", count=64, offset=p
+                            ).astype(np.int64)
+                            p += 128
+                        else:
+                            raise ValueError(
+                                "undecodable JPEG payload: DQT precision"
+                                f" {pq}"
+                            )
+                elif marker == 0xC4:  # DHT
+                    p = 0
+                    while p < len(body):
+                        if p + 17 > len(body):
+                            raise ValueError(
+                                "undecodable JPEG payload: truncated DHT"
+                            )
+                        tc_th = body[p]
+                        bits = list(body[p + 1 : p + 17])
+                        n = sum(bits)
+                        vals = list(body[p + 17 : p + 17 + n])
+                        if len(vals) != n:
+                            raise ValueError(
+                                "undecodable JPEG payload: truncated DHT"
+                            )
+                        huffs[tc_th] = _HuffTable(bits, vals)
+                        p += 17 + n
+                elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 + SOF2
+                    if sof is not None:
+                        raise ValueError(
+                            "undecodable JPEG payload: multiple SOF markers"
+                        )
+                    prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+                    if prec != 8:
+                        raise ValueError(
+                            f"undecodable JPEG payload: {prec}-bit"
+                            " precision (8-bit only)"
+                        )
+                    comps = []
+                    for i in range(nc):
+                        cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
+                        comps.append((cid, hv >> 4, hv & 0x0F, qid))
+                    sof = (fh, fw, comps)
+                    progressive = marker == 0xC2
+                elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                                0xCD, 0xCE, 0xCF):
+                    raise ValueError(
+                        "undecodable JPEG payload: frame type"
+                        f" 0xC{marker & 0xF:X} not supported (baseline or"
+                        " progressive Huffman only)"
+                    )
+                elif marker == 0xDD:  # DRI
+                    (restart,) = struct.unpack_from(">H", body, 0)
+                # APPn/COM ignored
+                continue
+
+            # scan event
+            sos, segments = ev[1], ev[2]
+            if sof is None:
+                raise ValueError(
+                    "undecodable JPEG payload: scan before SOF"
+                )
+            if geometry is None:
+                fh, fw, comps = sof
+                if fh == 0 or fw == 0:
+                    raise ValueError(
+                        "undecodable JPEG payload: zero dimension"
+                    )
+                if len(comps) not in (1, 3):
+                    raise ValueError(
+                        f"undecodable JPEG payload: {len(comps)}"
+                        " components (grayscale or YCbCr only)"
+                    )
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                for _, ch_, cv, _ in comps:
+                    if ch_ < 1 or cv < 1:
+                        raise ValueError(
+                            "undecodable JPEG payload: zero sampling factor"
+                        )
+                    if max_h % ch_ or max_v % cv:
+                        raise ValueError(
+                            "undecodable JPEG payload: fractional sampling"
+                            " ratio"
+                        )
+                mcus_x = -(-fw // (8 * max_h))
+                mcus_y = -(-fh // (8 * max_v))
+                coef = [
+                    np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
+                    for _, ch_, cv, _ in comps
+                ]
+                geometry = (fh, fw, comps, max_h, max_v, mcus_x, mcus_y)
+            fh, fw, comps, max_h, max_v, mcus_x, mcus_y = geometry
+            if progressive:
+                _decode_progressive_scan(
+                    sos, segments, comps, coef, huffs, restart,
+                    mcus_x, mcus_y, max_h, max_v, fw, fh,
+                )
+            else:
+                if scans_seen:
+                    raise ValueError(
+                        "undecodable JPEG payload: multiple scans in a"
+                        " sequential frame not supported"
+                    )
+                _decode_baseline_scan(
+                    sos, segments, comps, coef, huffs, restart,
+                    mcus_x, mcus_y,
+                )
+            scans_seen += 1
+
+        if sof is None:
+            raise ValueError("undecodable JPEG payload: missing SOF")
+        if coef is None:
+            raise ValueError("undecodable JPEG payload: no scan data")
+        fh, fw, comps, max_h, max_v, mcus_x, mcus_y = geometry
+        for _, _, _, qid in comps:
+            if qid not in qts:
+                raise ValueError(
+                    f"undecodable JPEG payload: missing DQT {qid}"
+                )
         planes = []
         for (cid, ch_, cv, qid), blocks in zip(comps, coef):
             bh, bw, _ = blocks.shape
@@ -866,3 +1201,303 @@ def jpeg_decoder():
 
     decode.pixels = _pixels
     return decode
+
+
+# Fixed Huffman table for progressive AC scans: every (run, size)
+# symbol with run 0..15 and size 0..10 — which includes all the EOBn
+# symbols (size 0, run <= 14) the standard Annex-K tables lack — as
+# 8-bit canonical codes (176 symbols < 255, so the table is legal and
+# no code is all-ones). A real encoder would emit per-scan optimal
+# tables; a fixed complete table trades a few percent of size for a
+# one-screen encoder, and the decoder exercises exactly the same
+# paths.
+_PROG_AC_HUFF = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted((r << 4) | s for r in range(16) for s in range(11)),
+)
+
+
+def default_progressive_scans(n_components: int):
+    """The scan script: DC first (interleaved, Al=1), per-component
+    AC first passes split at 5/6 (Al=2), two AC refinement rounds
+    (2→1, 1→0), DC refinement — the same shape as libjpeg's default
+    progressive script, exercising every scan type the decoder
+    implements."""
+    comps = list(range(n_components))
+    scans = [(comps, 0, 0, 0, 1)]
+    for c in comps:
+        scans.append(([c], 1, 5, 0, 2))
+        scans.append(([c], 6, 63, 0, 2))
+    for c in comps:
+        scans.append(([c], 1, 63, 2, 1))
+    scans.append((comps, 0, 0, 1, 0))
+    for c in comps:
+        scans.append(([c], 1, 63, 1, 0))
+    return scans
+
+
+def encode_jpeg_progressive(
+    pixels,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    scans=None,
+) -> bytes:
+    """Encode a uint8 pixel array as a PROGRESSIVE (SOF2) JFIF
+    payload — the fixture-side inverse for the decoder's progressive
+    paths, and a transport-equality oracle: the quantized
+    coefficients serialized here are the SAME arrays
+    :func:`encode_jpeg` serializes, so
+    ``decode(progressive) == decode(baseline)`` exactly, pixel for
+    pixel, for any image/quality/subsampling/script.
+
+    ``scans`` overrides the script: a list of
+    ``(component_indices, Ss, Se, Ah, Al)`` tuples obeying T.81's
+    progression rules (DC scans may interleave components; AC scans
+    are single-component; every coefficient's first pass must precede
+    its refinements, which step Al down by exactly 1). Defaults to
+    :func:`default_progressive_scans`.
+    """
+    (
+        gray, h, w, comps, qts, comp_blocks, mcus_x, mcus_y,
+    ) = _quantize_pixels(pixels, quality, subsampling)
+    if scans is None:
+        scans = default_progressive_scans(len(comps))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, qt in enumerate(qts if not gray else qts[:1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid)
+        out += bytes(int(x) for x in qt)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, ch_, cv, qid in comps:
+        out += bytes([cid, (ch_ << 4) | cv, qid])
+    huff_specs = [(0x00, DC_LUMA_HUFF), (0x10, _PROG_AC_HUFF)]
+    if not gray:
+        huff_specs += [(0x01, DC_CHROMA_HUFF), (0x11, _PROG_AC_HUFF)]
+    enc_tables: dict[int, dict[int, tuple[int, int]]] = {}
+    for tc_th, (bits, vals) in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+        enc_tables[tc_th] = _build_codes(bits, vals)
+
+    for scan_comps, ss, se, ah, al in scans:
+        ns = len(scan_comps)
+        sos = bytearray([ns])
+        for ci in scan_comps:
+            cid = comps[ci][0]
+            dc_id = 0 if (ci == 0 or gray) else 1
+            ac_id = dc_id
+            sos += bytes([cid, (dc_id << 4) | ac_id])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+        writer = _BitWriter()
+        if ss == 0:
+            _emit_dc_scan(
+                writer, scan_comps, comps, comp_blocks, enc_tables,
+                mcus_x, mcus_y, ah, al, gray,
+            )
+        else:
+            ci = scan_comps[0]
+            ac_tbl = enc_tables[0x10 if (ci == 0 or gray) else 0x11]
+            if ah == 0:
+                _emit_ac_first_scan(
+                    writer, comp_blocks[ci], ac_tbl, ss, se, al,
+                    comps[ci], mcus_x, mcus_y, w, h, comps,
+                )
+            else:
+                _emit_ac_refine_scan(
+                    writer, comp_blocks[ci], ac_tbl, ss, se, al,
+                    comps[ci], mcus_x, mcus_y, w, h, comps,
+                )
+        writer.pad_to_byte()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps):
+    """Non-interleaved (Ns=1) scan geometry: the component's OWN
+    block raster — ceil(comp_dim/8), narrower than the MCU-padded
+    coefficient array for subsampled components."""
+    _, ch_, cv, _ = comp
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    bw = -(-(-(-w * ch_ // max_h)) // 8)
+    bh = -(-(-(-h * cv // max_v)) // 8)
+    return bw, bh
+
+
+def _emit_dc_scan(
+    writer, scan_comps, comps, comp_blocks, enc_tables,
+    mcus_x, mcus_y, ah, al, gray,
+):
+    if ah == 0:
+        dc_pred = {ci: 0 for ci in scan_comps}
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci in scan_comps:
+                _, ch_, cv, _ = comps[ci]
+                dc_tbl = enc_tables[0x00 if (ci == 0 or gray) else 0x01]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        v = int(
+                            comp_blocks[ci][my * cv + by, mx * ch_ + bx, 0]
+                        ) >> al  # DC point transform: arithmetic shift
+                        diff = v - dc_pred[ci]
+                        dc_pred[ci] = v
+                        size = _mag_category(diff)
+                        code, length = dc_tbl[size]
+                        writer.write(code, length)
+                        if size:
+                            amp = (
+                                diff if diff > 0 else diff + (1 << size) - 1
+                            )
+                            writer.write(amp, size)
+    else:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci in scan_comps:
+                _, ch_, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        v = int(
+                            comp_blocks[ci][my * cv + by, mx * ch_ + bx, 0]
+                        )
+                        writer.write((v >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(
+    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps
+):
+    bw, bh = _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps)
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, length = ac_tbl[nb << 4]
+            writer.write(code, length)
+            if nb:
+                writer.write(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for unit in range(bw * bh):
+        by, bx = divmod(unit, bw)
+        band = blocks[by, bx, ss : se + 1]
+        # AC point transform truncates toward zero (T.81 G.1.2.2)
+        sign = np.sign(band)
+        vals = sign * (np.abs(band) >> al)
+        nz = np.nonzero(vals)[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        last = int(nz[-1])
+        for k in range(last + 1):
+            v = int(vals[k])
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_tbl[0xF0]
+                writer.write(code, length)
+                r -= 16
+            size = _mag_category(v)
+            code, length = ac_tbl[(r << 4) | size]
+            writer.write(code, length)
+            amp = v if v > 0 else v + (1 << size) - 1
+            writer.write(amp, size)
+            r = 0
+        if last < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine_scan(
+    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps
+):
+    """AC successive-approximation refinement — the mirror of the
+    decoder's walk, kept POSITIONALLY exact: correction bits for
+    already-significant coefficients are emitted in the order the
+    decoder's position walk consumes them, including the split across
+    multiple ZRLs (a correction sitting after the 16th zero of a long
+    run belongs to the NEXT symbol's bit stream, not the first
+    ZRL's)."""
+    bw, bh = _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps)
+    ah = al + 1
+    eobrun = 0
+    eob_bits: list[int] = []  # corrections buffered within an EOB run
+
+    def flush_eob():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, length = ac_tbl[nb << 4]
+            writer.write(code, length)
+            if nb:
+                writer.write(eobrun - (1 << nb), nb)
+            for b in eob_bits:
+                writer.write(b, 1)
+            eob_bits = []
+            eobrun = 0
+
+    for unit in range(bw * bh):
+        by, bx = divmod(unit, bw)
+        band = blocks[by, bx, ss : se + 1]
+        absb = np.abs(band)
+        t = absb >> al  # 0: still zero; 1: newly significant; >1: history
+        # pending events since the last emitted symbol, positional:
+        # True = zero-history position, int = correction bit
+        pending: list = []
+        n_zero = 0
+        for k in range(len(band)):
+            tk = int(t[k])
+            if tk == 0:
+                pending.append(True)
+                n_zero += 1
+                continue
+            if tk > 1:
+                pending.append(int((absb[k] >> al) & 1))
+                continue
+            # newly significant: emit run/ZRLs with positionally
+            # split correction bits, then the (r<<4)|1 symbol + sign
+            while n_zero > 15:
+                flush_eob()
+                code, length = ac_tbl[0xF0]
+                writer.write(code, length)
+                zc = 0
+                while zc < 16:
+                    ev = pending.pop(0)
+                    if ev is True:
+                        zc += 1
+                    else:
+                        writer.write(ev, 1)
+                n_zero -= 16
+            flush_eob()
+            code, length = ac_tbl[(n_zero << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if band[k] > 0 else 0, 1)
+            for ev in pending:
+                if ev is not True:
+                    writer.write(ev, 1)
+            pending = []
+            n_zero = 0
+        # block remainder joins the EOB run (corrections buffered)
+        if pending:
+            eobrun += 1
+            eob_bits.extend(ev for ev in pending if ev is not True)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()

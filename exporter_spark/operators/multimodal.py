@@ -13,7 +13,8 @@ Netpbm PGM/PPM (:func:`ppm_decoder`, plain + binary variants),
 Windows BMP (:func:`bmp_decoder`, BI_RGB 8/24/32-bit incl. palette
 and top-down), and baseline JPEG
 (:mod:`exporter_spark.operators.jpeg` — SOF0/SOF1 Huffman
-sequential, 4:4:4/4:2:2/4:2:0, restart markers) — each with a
+sequential AND SOF2 progressive incl. successive approximation,
+4:4:4/4:2:2/4:2:0, restart markers) — each with a
 fixture-side inverse (:func:`encode_wav`, :func:`encode_png`,
 :func:`encode_ppm`, :func:`encode_bmp`, ``jpeg.encode_jpeg``), and
 :func:`auto_decoder` dispatches on payload magic for mixed-format
@@ -1167,9 +1168,10 @@ def probe_media(
                 return ("image", "bmp", int(w), abs(int(h)), None)
             if head[:3] == b"\xff\xd8\xff":
                 # marker walk to the first SOFn (no entropy decode):
-                # a probe CLASSIFIES, so progressive/arithmetic
-                # frames — which jpeg_decoder refuses — still report
-                # their dimensions here
+                # a probe CLASSIFIES, so even arithmetic/lossless
+                # frames — which jpeg_decoder refuses — report their
+                # dimensions here (baseline AND progressive also
+                # fully decode)
                 pos = 2
                 while pos + 4 <= len(data):
                     if data[pos] != 0xFF:

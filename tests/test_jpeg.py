@@ -157,10 +157,16 @@ def test_corruption_contract_named_refusals():
             continue
         with pytest.raises(ValueError, match="undecodable JPEG"):
             dec.pixels(payload)
-    # progressive and other non-baseline frame types refuse by name
+    # non-Huffman/non-DCT frame types refuse by name (progressive is
+    # DECODED as of round 14 — see test_progressive_*); a baseline
+    # SOS header under an SOF2 frame is itself invalid and refuses
     golden = _dc_golden_fixture()
     sof0 = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    for marker, match in ((0xC2, "progressive"), (0xC9, "frame type")):
+    for marker, match in (
+        (0xC9, "frame type"),
+        (0xC3, "frame type"),
+        (0xC2, "DC scan with Se"),
+    ):
         mutated = golden.replace(
             sof0,
             _seg(marker, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])),
@@ -235,8 +241,9 @@ def test_image_resizer_routes_jpeg():
 
 def test_probe_media_jpeg_dimensions(spark):
     """probe_media reports JPEG dims from the SOF marker without
-    entropy decode — including PROGRESSIVE payloads, which the
-    decoder refuses (a probe classifies; decode must fail loudly)."""
+    entropy decode — including frame types it never decodes (the
+    fabricated SOF2-with-baseline-scan payload below is undecodable
+    but still classifiable)."""
     img = np.zeros((12, 34, 3), np.uint8)
     base = jpeg.encode_jpeg(img, quality=90)
     sof0 = struct.pack(">BHHB", 8, 12, 34, 3)
@@ -321,3 +328,111 @@ def test_extract_features_jpeg_through_spark(spark):
         f = dict(zip(multimodal.PNG_FEATURE_NAMES, r["features"]))
         assert f["width"] == 10.0 and 8.0 <= f["height"] <= 13.0
         assert 0.0 <= f["mean_luma"] <= 1.0
+
+
+def test_progressive_equals_baseline_default_script():
+    """Progressive transport is a lossless re-encoding of the same
+    quantized coefficients, so decode(progressive) must equal
+    decode(baseline) EXACTLY — any defect in the EOB-run, refinement,
+    or spectral-band logic on either side breaks byte equality."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(21)
+    for trial in range(10):
+        hw = (rng.randint(1, 50), rng.randint(1, 50))
+        q = int(rng.choice([10, 40, 75, 95]))
+        sub = str(rng.choice(["444", "422", "420"]))
+        gray = trial % 3 == 0
+        img = rng.randint(0, 256, hw if gray else (*hw, 3), dtype=np.uint8)
+        base = dec.pixels(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+        prog = dec.pixels(
+            jpeg.encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (trial, hw, q, sub)
+
+
+def test_progressive_equals_baseline_custom_scripts():
+    """Custom scan scripts: deeper Al ladders and different spectral
+    splits drive the refinement walks through long-run ZRL/correction
+    interleavings the default script rarely produces."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(5)
+    # sparse impulses on flat gray: isolated coefficients, huge zero
+    # runs — the adversarial case for positional correction-bit
+    # ordering across split ZRLs
+    img = np.full((48, 64, 3), 128, np.uint8)
+    for _ in range(6):
+        img[rng.randint(48), rng.randint(64)] = rng.randint(0, 256)
+    cs = [0, 1, 2]
+    for al_top, split in ((3, 1), (2, 20), (1, 63)):
+        scans = [(cs, 0, 0, 0, al_top)]
+        for c in cs:
+            if split < 63:
+                scans.append(([c], 1, split, 0, al_top))
+                scans.append(([c], split + 1, 63, 0, al_top))
+            else:
+                scans.append(([c], 1, 63, 0, al_top))
+        for a in range(al_top, 0, -1):
+            for c in cs:
+                scans.append(([c], 1, 63, a, a - 1))
+            scans.append((cs, 0, 0, a, a - 1))
+        base = dec.pixels(jpeg.encode_jpeg(img, quality=12, subsampling="420"))
+        prog = dec.pixels(
+            jpeg.encode_jpeg_progressive(
+                img, quality=12, subsampling="420", scans=scans
+            )
+        )
+        assert np.array_equal(base, prog), (al_top, split)
+
+
+def test_progressive_hand_built_dc_golden():
+    """Decoder-independent progressive golden: 8x8 gray, qt all-16s,
+    a DC-first scan at Al=1 coding diff=+1 (coefficient becomes
+    1 << 1 = 2) and a DC-refinement scan appending bit 1 (coefficient
+    3).  T.81 math: 3 * 16 = 48 dequantized, DC-only IDCT = 48/8 = 6,
+    level shift +128 → every pixel exactly 134 — the same value as
+    the baseline golden, reached through the successive-approximation
+    path with no help from encode_jpeg_progressive."""
+    fix = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        # DC table: one code '0' -> category 1
+        + _seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([1]))
+        # scan 1: DC first, Ah=0 Al=1; bits: '0' (cat 1) + '1' (amp=+1)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x00, 0x01]))
+        + bytes([0b01111111])
+        # scan 2: DC refine, Ah=1 Al=0; bits: '1' (zero-padded — a
+        # spec-faithful 1-padded byte would be 0xFF and need
+        # stuffing; pad bits are never read, so 0x80 keeps the
+        # fixture hand-checkable)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x00, 0x10]))
+        + bytes([0b10000000])
+        + b"\xff\xd9"
+    )
+    px = jpeg.jpeg_decoder().pixels(fix)
+    assert px.shape == (8, 8, 1)
+    assert np.unique(px).tolist() == [134]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    pos=st.integers(min_value=2, max_value=5000),
+    val=st.integers(min_value=0, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_progressive_corruption_fuzz_no_raw_leaks(pos, val, seed):
+    """The corruption contract extends to progressive payloads: a
+    mutated byte either decodes cleanly or raises ValueError — never
+    a raw IndexError/struct.error/numpy error."""
+    rng = np.random.RandomState(seed % 5)
+    img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    payload = bytearray(
+        jpeg.encode_jpeg_progressive(img, quality=70, subsampling="420")
+    )
+    payload[pos % len(payload)] = val
+    dec = jpeg.jpeg_decoder()
+    try:
+        px = dec.pixels(bytes(payload))
+        assert px.dtype == np.uint8 and px.ndim == 3
+    except ValueError:
+        pass
