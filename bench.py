@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     # driver oracle) — one concat projection over display strings, so
     # its number tracks the tostring/display pipeline
     "html_rows_events",
+    # round 14: the real-media-codec pillar's perf observable —
+    # encode PNG/BMP/PPM/WAV payloads executor-side, decode back
+    # through extract_features + auto_decoder (the driver-gated
+    # media_decode_stats entry; per-payload Python codec cost is the
+    # whole number, so a codec regression moves it directly)
+    "media_decode_stats",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The
