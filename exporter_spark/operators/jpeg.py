@@ -1242,6 +1242,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsampling: str = "444",
     scans=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 pixel array as a PROGRESSIVE (SOF2) JFIF
     payload — the fixture-side inverse for the decoder's progressive
@@ -1256,7 +1257,11 @@ def encode_jpeg_progressive(
     progression rules (DC scans may interleave components; AC scans
     are single-component; every coefficient's first pass must precede
     its refinements, which step Al down by exactly 1). Defaults to
-    :func:`default_progressive_scans`.
+    :func:`default_progressive_scans`.  ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs/blocks in EVERY
+    scan (EOB runs flushed at each boundary per spec — a run cannot
+    span a restart), exercising the decoder's progressive resync
+    paths.
     """
     (
         gray, h, w, comps, qts, comp_blocks, mcus_x, mcus_y,
@@ -1284,6 +1289,8 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
         enc_tables[tc_th] = _build_codes(bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     for scan_comps, ss, se, ah, al in scans:
         ns = len(scan_comps)
@@ -1300,7 +1307,7 @@ def encode_jpeg_progressive(
         if ss == 0:
             _emit_dc_scan(
                 writer, scan_comps, comps, comp_blocks, enc_tables,
-                mcus_x, mcus_y, ah, al, gray,
+                mcus_x, mcus_y, ah, al, gray, restart_interval,
             )
         else:
             ci = scan_comps[0]
@@ -1309,11 +1316,13 @@ def encode_jpeg_progressive(
                 _emit_ac_first_scan(
                     writer, comp_blocks[ci], ac_tbl, ss, se, al,
                     comps[ci], mcus_x, mcus_y, w, h, comps,
+                    restart_interval,
                 )
             else:
                 _emit_ac_refine_scan(
                     writer, comp_blocks[ci], ac_tbl, ss, se, al,
                     comps[ci], mcus_x, mcus_y, w, h, comps,
+                    restart_interval,
                 )
         writer.pad_to_byte()
         out += writer.out
@@ -1333,13 +1342,25 @@ def _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps):
     return bw, bh
 
 
+def _emit_restart(writer, n_rst):
+    """Byte-align, emit RSTn (cycling modulo 8). The caller resets
+    whatever per-segment state its scan type carries."""
+    writer.pad_to_byte()
+    writer.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+
+
 def _emit_dc_scan(
     writer, scan_comps, comps, comp_blocks, enc_tables,
-    mcus_x, mcus_y, ah, al, gray,
+    mcus_x, mcus_y, ah, al, gray, restart_interval=0,
 ):
+    n_rst = 0
     if ah == 0:
         dc_pred = {ci: 0 for ci in scan_comps}
         for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(writer, n_rst)
+                n_rst += 1
+                dc_pred = {ci: 0 for ci in scan_comps}
             my, mx = divmod(mcu, mcus_x)
             for ci in scan_comps:
                 _, ch_, cv, _ = comps[ci]
@@ -1361,6 +1382,9 @@ def _emit_dc_scan(
                             writer.write(amp, size)
     else:
         for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(writer, n_rst)
+                n_rst += 1
             my, mx = divmod(mcu, mcus_x)
             for ci in scan_comps:
                 _, ch_, cv, _ = comps[ci]
@@ -1373,10 +1397,12 @@ def _emit_dc_scan(
 
 
 def _emit_ac_first_scan(
-    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps
+    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps,
+    restart_interval=0,
 ):
     bw, bh = _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps)
     eobrun = 0
+    n_rst = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -1389,6 +1415,10 @@ def _emit_ac_first_scan(
             eobrun = 0
 
     for unit in range(bw * bh):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()  # an EOB run may not span a restart
+            _emit_restart(writer, n_rst)
+            n_rst += 1
         by, bx = divmod(unit, bw)
         band = blocks[by, bx, ss : se + 1]
         # AC point transform truncates toward zero (T.81 G.1.2.2)
@@ -1426,7 +1456,8 @@ def _emit_ac_first_scan(
 
 
 def _emit_ac_refine_scan(
-    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps
+    writer, blocks, ac_tbl, ss, se, al, comp, mcus_x, mcus_y, w, h, comps,
+    restart_interval=0,
 ):
     """AC successive-approximation refinement — the mirror of the
     decoder's walk, kept POSITIONALLY exact: correction bits for
@@ -1438,6 +1469,7 @@ def _emit_ac_refine_scan(
     bw, bh = _ni_block_grid(comp, mcus_x, mcus_y, w, h, comps)
     ah = al + 1
     eobrun = 0
+    n_rst = 0
     eob_bits: list[int] = []  # corrections buffered within an EOB run
 
     def flush_eob():
@@ -1454,6 +1486,10 @@ def _emit_ac_refine_scan(
             eobrun = 0
 
     for unit in range(bw * bh):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()  # an EOB run may not span a restart
+            _emit_restart(writer, n_rst)
+            n_rst += 1
         by, bx = divmod(unit, bw)
         band = blocks[by, bx, ss : se + 1]
         absb = np.abs(band)

@@ -436,3 +436,22 @@ def test_progressive_corruption_fuzz_no_raw_leaks(pos, val, seed):
         assert px.dtype == np.uint8 and px.ndim == 3
     except ValueError:
         pass
+
+
+def test_progressive_restart_resync():
+    """DRI + RSTn inside progressive scans: every scan type (DC
+    first/refine, AC first, AC refine) resyncs — EOB runs flushed at
+    each boundary per spec — and the result stays EXACTLY equal to
+    the no-restart baseline decode of the same source."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = dec.pixels(jpeg.encode_jpeg(img, quality=40, subsampling="420"))
+    for interval in (1, 2, 5):
+        prog = dec.pixels(
+            jpeg.encode_jpeg_progressive(
+                img, quality=40, subsampling="420",
+                restart_interval=interval,
+            )
+        )
+        assert np.array_equal(prog, base), interval
