@@ -18,13 +18,14 @@ sequential AND SOF2 progressive incl. successive approximation,
 fixture-side inverse (:func:`encode_wav`, :func:`encode_png`,
 :func:`encode_ppm`, :func:`encode_bmp`, ``jpeg.encode_jpeg``), and
 :func:`auto_decoder` dispatches on payload magic for mixed-format
-frames. VIDEO frame decode remains STUBBED — the runtime container
-has no cv2/imageio and an honest stub beats a fake (MP4 *metadata*
-probing is real: :func:`probe_media` walks the box structure) —
-behind the same ``decoder=`` hooks; the default deterministic fake
-derives features from the payload bytes so pipelines are testable
-end-to-end. Swap in a real codec (cv2/torchvision/...) via the
-``decoder`` argument in production.
+frames. VIDEO frame decode is the one dependency-gated seam — the
+runtime container has no cv2/imageio and an honest stub beats a fake
+(MP4 *metadata* probing is real: :func:`probe_media` walks the box
+structure). :func:`video_frame_decoder` is the ready-made swap-in: a
+working cv2 frame sampler when cv2 is installed, a
+``NotImplementedError`` naming the dependency at factory time
+otherwise; the default deterministic fake (:func:`stub_decoder`)
+keeps pipelines testable end-to-end without it.
 """
 
 from __future__ import annotations
