@@ -2850,7 +2850,9 @@ def _media_decode_oracle() -> str:
     decoders op-for-op (luma weights applied to v/255.0, two-pass
     population variance, signbit zero-crossings); the ::FLOAT::DOUBLE
     casts replicate the decoders' float32 lane quantization before
-    the shared round-6."""
+    the shared round-6. The probed_* columns are format CONSTANTS
+    (fixture geometry / 15 ms wav duration) stated here independently
+    of probe_media's marker/header walks."""
     h, w, n = _MEDIA_H, _MEDIA_W, _MEDIA_N_SAMP
     v = "((doc_id*11 + r.r*31 + c.c*7 + {k}) % 256)/255.0"
     luma = (
@@ -2876,6 +2878,10 @@ def _media_decode_oracle() -> str:
       SELECT s.doc_id AS media_id,
              CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                   ELSE 'ppm' END AS format,
+             CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  ELSE 'ppm' END AS probed_format,
+             {w}::INTEGER AS probed_w, {h}::INTEGER AS probed_h,
+             NULL::BIGINT AS probed_ms,
              {w}.0::DOUBLE AS lane0, {h}.0::DOUBLE AS lane1,
              3.0::DOUBLE AS lane2, 8.0::DOUBLE AS lane3,
              round(s.mu::FLOAT::DOUBLE, 6) AS lane4,
@@ -2906,6 +2912,9 @@ def _media_decode_oracle() -> str:
     ),
     wavrows AS (
       SELECT w.doc_id AS media_id, 'wav' AS format,
+             'wav' AS probed_format,
+             NULL::INTEGER AS probed_w, NULL::INTEGER AS probed_h,
+             ({n}*1000/8000)::BIGINT AS probed_ms,
              1.0::DOUBLE AS lane0, 8000.0::DOUBLE AS lane1,
              {n}.0::DOUBLE AS lane2,
              ({n}.0*1000.0/8000.0)::FLOAT::DOUBLE AS lane3,
@@ -2925,13 +2934,17 @@ def media_decode_stats(spark, sf_dir):
     every documents row becomes a deterministic formula-generated
     payload in one of the four zero-dependency formats by doc_id % 4
     (PNG / BMP / binary PPM / 16-bit PCM WAV), encoded executor-side
-    in an Arrow-batched mapInPandas, then decoded back through the
-    production extract_features + auto_decoder seam. The output is
-    the raw 8-lane feature vector per doc (images:
+    in an Arrow-batched mapInPandas, then PROBED (probe_media derives
+    format/width/height/duration_ms from the payload bytes — gated
+    because the expected values are format constants the oracle
+    states independently) and decoded back through the production
+    extract_features + auto_decoder seam. The output is the probed
+    meta plus the raw 8-lane feature vector per doc (images:
     PNG_FEATURE_NAMES layout, wav: WAV_FEATURE_NAMES layout —
     generic lane names because the driver compares by column). The
     oracle recomputes expected lanes from the generator formulas, so
-    encoder AND decoder must both be pixel/sample-exact to pass."""
+    encoder, prober AND decoder must all be byte/pixel/sample-exact
+    to pass."""
     import numpy as np
     import pandas as pd
 
@@ -2967,11 +2980,27 @@ def media_decode_stats(spark, sf_dir):
                         multimodal.encode_wav(s.tolist(), framerate=8000)
                     )
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [None] * len(payloads),
+                }
             )
 
-    media = d.mapInPandas(encode, "media_id long, payload binary")
+    media = d.mapInPandas(encode, multimodal.media_schema())
+    probed = multimodal.probe_media(media)
     feats = extract_features(media, decoder=multimodal.auto_decoder())
+    # meta branch + feature branch both consume the encoded frame;
+    # the probe side carries only (id, meta) into a broadcast join,
+    # so the combine is shuffle-free on the feature side
+    meta = probed.select(
+        "media_id",
+        F.col("meta.format").alias("probed_format"),
+        F.col("meta.width").alias("probed_w"),
+        F.col("meta.height").alias("probed_h"),
+        F.col("meta.duration_ms").alias("probed_ms"),
+    )
+    feats = feats.join(F.broadcast(meta), "media_id")
     lanes = [
         F.round(F.col("features")[i].cast("double"), 6).alias(f"lane{i}")
         for i in range(8)
@@ -2982,6 +3011,10 @@ def media_decode_stats(spark, sf_dir):
             "CASE CAST(media_id % 4 AS INT) WHEN 0 THEN 'png'"
             " WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' ELSE 'wav' END"
         ).alias("format"),
+        "probed_format",
+        "probed_w",
+        "probed_h",
+        "probed_ms",
         *lanes,
     )
 
