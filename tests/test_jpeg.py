@@ -455,3 +455,28 @@ def test_progressive_restart_resync():
             )
         )
         assert np.array_equal(prog, base), interval
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hseed=st.integers(min_value=1, max_value=45),
+    wseed=st.integers(min_value=1, max_value=45),
+    q=st.sampled_from([8, 30, 60, 90, 100]),
+    sub=st.sampled_from(["444", "422", "420"]),
+    gray=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_progressive_transport_equality_property(hseed, wseed, q, sub, gray, seed):
+    """Durable form of the 120-trial offline sweep: for ANY image,
+    quality and subsampling, the progressive transport of the same
+    quantized coefficients must decode byte-identically to the
+    baseline transport."""
+    rng = np.random.RandomState(seed)
+    shape = (hseed, wseed) if gray else (hseed, wseed, 3)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    dec = jpeg.jpeg_decoder()
+    base = dec.pixels(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+    prog = dec.pixels(
+        jpeg.encode_jpeg_progressive(img, quality=q, subsampling=sub)
+    )
+    assert np.array_equal(base, prog)
