@@ -63,6 +63,12 @@ ZIGZAG = np.array(
 )
 _UNZIGZAG = np.argsort(ZIGZAG)
 
+# Decode-side cap on declared frame pixels (64 MP). int32 coefficient
+# planes cost pixels*ncomp*4 bytes, so the cap bounds one payload's
+# decode memory at ~0.75 GB worst-case; raise it consciously for
+# genuinely larger frames.
+MAX_PIXELS = 1 << 26
+
 STD_LUMA_QT = np.array(
     [
         16, 11, 10, 16, 24, 40, 51, 61,
@@ -166,15 +172,22 @@ _A = _dct_matrix()
 
 
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """IJG quality → scaled Annex-K tables (zigzag order), clamped to
-    [1, 255] so they fit 8-bit DQT precision."""
+    """IJG quality → scaled Annex-K tables in ZIGZAG order (the DQT
+    wire order), clamped to [1, 255] so they fit 8-bit precision.
+    The base constants above are written in the spec's natural
+    row-major layout for readability; the ``[ZIGZAG]`` gather here is
+    what makes the emitted DQT body actually BE the Annex-K matrix —
+    round 14 review caught the tables being emitted natural-order
+    under a zigzag interpretation (self-consistent round trips, but a
+    scrambled effective quantization: frequency (0,2) got step 40
+    instead of 10, costing ~1.7 dB PSNR at q=50)."""
     if not 1 <= quality <= 100:
         raise ValueError(f"JPEG quality {quality} out of range [1, 100]")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     out = []
     for base in (STD_LUMA_QT, STD_CHROMA_QT):
         q = (base * scale + 50) // 100
-        out.append(np.clip(q, 1, 255))
+        out.append(np.clip(q, 1, 255)[ZIGZAG])
     return out[0], out[1]
 
 
@@ -308,6 +321,36 @@ def _quantize_pixels(pixels, quality: int, subsampling: str):
     return gray, h, w, comps, qts, comp_blocks, mcus_x, mcus_y
 
 
+def _emit_headers(
+    gray, h, w, comps, qts, huff_specs, sof_marker, restart_interval
+):
+    """Shared SOI/JFIF/DQT/SOF/DHT/DRI emission for both transports
+    (round-14 review: the two near-verbatim copies were exactly where
+    a table-ordering fix could have been applied to one transport and
+    missed in the other). Returns (header bytes, built encode
+    tables)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, qt in enumerate(qts if not gray else qts[:1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid)
+        out += bytes(int(x) for x in qt)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, ch_, cv, qid in comps:
+        out += bytes([cid, (ch_ << 4) | cv, qid])
+    enc_tables = {}
+    for tc_th, (bits, vals) in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+        enc_tables[tc_th] = _build_codes(bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out, enc_tables
+
+
 def encode_jpeg(
     pixels,
     *,
@@ -329,28 +372,12 @@ def encode_jpeg(
     ) = _quantize_pixels(pixels, quality, subsampling)
 
     # --- headers ---
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for qid, qt in enumerate(qts if not gray else qts[:1]):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, qid)
-        out += bytes(int(x) for x in qt)
-    out += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
-    )
-    for cid, ch_, cv, qid in comps:
-        out += bytes([cid, (ch_ << 4) | cv, qid])
-    huffs = [(0x00, DC_LUMA_HUFF), (0x10, AC_LUMA_HUFF)]
+    huff_specs = [(0x00, DC_LUMA_HUFF), (0x10, AC_LUMA_HUFF)]
     if not gray:
-        huffs += [(0x01, DC_CHROMA_HUFF), (0x11, AC_CHROMA_HUFF)]
-    enc_tables: dict[int, dict[int, tuple[int, int]]] = {}
-    for tc_th, (bits, vals) in huffs:
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-        enc_tables[tc_th] = _build_codes(bits, vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        huff_specs += [(0x01, DC_CHROMA_HUFF), (0x11, AC_CHROMA_HUFF)]
+    out, enc_tables = _emit_headers(
+        gray, h, w, comps, qts, huff_specs, 0xC0, restart_interval
+    )
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
     for i, (cid, *_rest) in enumerate(comps):
         dc_id = 0 if i == 0 else 1
@@ -462,11 +489,15 @@ def _entropy_segments(data: bytes, pos: int):
     of the next marker or end of data)."""
     segments: list[bytearray] = [bytearray()]
     while pos < len(data):
-        b = data[pos]
-        if b != 0xFF:
-            segments[-1].append(b)
-            pos += 1
-            continue
+        if data[pos] != 0xFF:
+            # bulk-copy the whole non-0xFF run (measured 8% of decode
+            # when appending per byte — this is the hot seam)
+            nxt = data.find(0xFF, pos)
+            if nxt < 0:
+                segments[-1] += data[pos:]
+                break
+            segments[-1] += data[pos:nxt]
+            pos = nxt
         m = data[pos + 1] if pos + 1 < len(data) else 0xD9
         if m == 0x00:
             segments[-1].append(0xFF)
@@ -498,6 +529,9 @@ def _parse_stream(data: bytes):
                 f"undecodable JPEG payload: expected marker at {pos}"
             )
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte before a marker (T.81 B.1.1.2)
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
@@ -844,6 +878,9 @@ def _decode_progressive_scan(
     eobrun = 0
     p1 = 1 << al
     m1 = -1 << al
+    # loop-invariant per component (round-14 review: this was
+    # re-resolved per block inside the unit loop)
+    dc_tables = {ci: table(0, td) for ci, td, _ta in scan} if ss == 0 else {}
 
     for unit in range(n_units):
         if restart and unit and unit % restart == 0:
@@ -874,9 +911,7 @@ def _decode_progressive_scan(
                 blocks = [(ci0, coef[ci0][by, bx])]
             if ah == 0:
                 for ci, blk in blocks:
-                    td = scan[[s[0] for s in scan].index(ci)][1]
-                    dc_tbl = table(0, td)
-                    size = huff(dc_tbl)
+                    size = huff(dc_tables[ci])
                     if size > 11:
                         raise ValueError(
                             f"undecodable JPEG payload: DC size {size}"
@@ -1105,8 +1140,34 @@ def jpeg_decoder():
                         )
                 mcus_x = -(-fw // (8 * max_h))
                 mcus_y = -(-fh // (8 * max_v))
+                # decompression-bomb guard (round-14 review): a
+                # ~120-byte payload can declare 65535x65535x3 and
+                # would otherwise force a multi-GB coefficient
+                # allocation BEFORE any scan data is read —
+                # MemoryError escaping the ValueError contract and
+                # OOMing an executor from one malicious row. Two
+                # independent bounds: an absolute pixel cap, and a
+                # structural floor (each coded block needs >= 2 bits
+                # of entropy data even under degenerate tables, so
+                # the first scan's byte count bounds the block count
+                # a REAL image of the declared size would need).
+                if fh * fw > MAX_PIXELS:
+                    raise ValueError(
+                        f"undecodable JPEG payload: declared {fw}x{fh}"
+                        f" exceeds the {MAX_PIXELS}-pixel decode cap"
+                    )
+                n_blocks = sum(
+                    mcus_y * cv * mcus_x * ch_ for _, ch_, cv, _ in comps
+                )
+                scan_bytes = sum(len(s) for s in segments)
+                if n_blocks > 8 * max(scan_bytes, 1) + 64:
+                    raise ValueError(
+                        "undecodable JPEG payload: declared geometry"
+                        f" needs {n_blocks} blocks but the scan carries"
+                        f" only {scan_bytes} entropy bytes"
+                    )
                 coef = [
-                    np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
+                    np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int32)
                     for _, ch_, cv, _ in comps
                 ]
                 geometry = (fh, fw, comps, max_h, max_v, mcus_x, mcus_y)
@@ -1269,28 +1330,12 @@ def encode_jpeg_progressive(
     if scans is None:
         scans = default_progressive_scans(len(comps))
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for qid, qt in enumerate(qts if not gray else qts[:1]):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, qid)
-        out += bytes(int(x) for x in qt)
-    out += b"\xff\xc2" + struct.pack(
-        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
-    )
-    for cid, ch_, cv, qid in comps:
-        out += bytes([cid, (ch_ << 4) | cv, qid])
     huff_specs = [(0x00, DC_LUMA_HUFF), (0x10, _PROG_AC_HUFF)]
     if not gray:
         huff_specs += [(0x01, DC_CHROMA_HUFF), (0x11, _PROG_AC_HUFF)]
-    enc_tables: dict[int, dict[int, tuple[int, int]]] = {}
-    for tc_th, (bits, vals) in huff_specs:
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-        enc_tables[tc_th] = _build_codes(bits, vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out, enc_tables = _emit_headers(
+        gray, h, w, comps, qts, huff_specs, 0xC2, restart_interval
+    )
 
     for scan_comps, ss, se, ah, al in scans:
         ns = len(scan_comps)
@@ -1307,7 +1352,7 @@ def encode_jpeg_progressive(
         if ss == 0:
             _emit_dc_scan(
                 writer, scan_comps, comps, comp_blocks, enc_tables,
-                mcus_x, mcus_y, ah, al, gray, restart_interval,
+                mcus_x, mcus_y, ah, al, gray, w, h, restart_interval,
             )
         else:
             ci = scan_comps[0]
@@ -1349,51 +1394,82 @@ def _emit_restart(writer, n_rst):
     writer.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
 
 
+def _dc_scan_blocks(scan_comps, comps, comp_blocks, mcus_x, mcus_y, w, h):
+    """Yield (ci, block) in the scan's coded order: interleaved MCU
+    walk for Ns > 1, the component's OWN block raster for Ns == 1
+    (round-14 review: the MCU-grid walk for single-component DC
+    scans silently corrupted T.81-legal per-component DC scripts on
+    subsampled non-MCU-aligned images — the decoder reads
+    ceil(dim/8) raster order there, exactly like AC scans)."""
+    if len(scan_comps) > 1:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci in scan_comps:
+                _, ch_, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        yield ci, comp_blocks[ci][
+                            my * cv + by, mx * ch_ + bx
+                        ]
+    else:
+        ci = scan_comps[0]
+        bw, bh = _ni_block_grid(comps[ci], mcus_x, mcus_y, w, h, comps)
+        for unit in range(bw * bh):
+            by, bx = divmod(unit, bw)
+            yield ci, comp_blocks[ci][by, bx]
+
+
 def _emit_dc_scan(
     writer, scan_comps, comps, comp_blocks, enc_tables,
-    mcus_x, mcus_y, ah, al, gray, restart_interval=0,
+    mcus_x, mcus_y, ah, al, gray, w, h, restart_interval=0,
 ):
     n_rst = 0
+    per_mcu = (
+        sum(
+            comps[ci][1] * comps[ci][2] for ci in scan_comps
+        )
+        if len(scan_comps) > 1
+        else 1
+    )
     if ah == 0:
         dc_pred = {ci: 0 for ci in scan_comps}
-        for mcu in range(mcus_x * mcus_y):
-            if restart_interval and mcu and mcu % restart_interval == 0:
+        for i, (ci, blk) in enumerate(
+            _dc_scan_blocks(scan_comps, comps, comp_blocks, mcus_x, mcus_y, w, h)
+        ):
+            unit = i // per_mcu
+            if (
+                restart_interval
+                and unit
+                and unit % restart_interval == 0
+                and i % per_mcu == 0
+            ):
                 _emit_restart(writer, n_rst)
                 n_rst += 1
-                dc_pred = {ci: 0 for ci in scan_comps}
-            my, mx = divmod(mcu, mcus_x)
-            for ci in scan_comps:
-                _, ch_, cv, _ = comps[ci]
-                dc_tbl = enc_tables[0x00 if (ci == 0 or gray) else 0x01]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        v = int(
-                            comp_blocks[ci][my * cv + by, mx * ch_ + bx, 0]
-                        ) >> al  # DC point transform: arithmetic shift
-                        diff = v - dc_pred[ci]
-                        dc_pred[ci] = v
-                        size = _mag_category(diff)
-                        code, length = dc_tbl[size]
-                        writer.write(code, length)
-                        if size:
-                            amp = (
-                                diff if diff > 0 else diff + (1 << size) - 1
-                            )
-                            writer.write(amp, size)
+                dc_pred = {ci_: 0 for ci_ in scan_comps}
+            v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+            diff = v - dc_pred[ci]
+            dc_pred[ci] = v
+            dc_tbl = enc_tables[0x00 if (ci == 0 or gray) else 0x01]
+            size = _mag_category(diff)
+            code, length = dc_tbl[size]
+            writer.write(code, length)
+            if size:
+                amp = diff if diff > 0 else diff + (1 << size) - 1
+                writer.write(amp, size)
     else:
-        for mcu in range(mcus_x * mcus_y):
-            if restart_interval and mcu and mcu % restart_interval == 0:
+        for i, (ci, blk) in enumerate(
+            _dc_scan_blocks(scan_comps, comps, comp_blocks, mcus_x, mcus_y, w, h)
+        ):
+            unit = i // per_mcu
+            if (
+                restart_interval
+                and unit
+                and unit % restart_interval == 0
+                and i % per_mcu == 0
+            ):
                 _emit_restart(writer, n_rst)
                 n_rst += 1
-            my, mx = divmod(mcu, mcus_x)
-            for ci in scan_comps:
-                _, ch_, cv, _ = comps[ci]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        v = int(
-                            comp_blocks[ci][my * cv + by, mx * ch_ + bx, 0]
-                        )
-                        writer.write((v >> al) & 1, 1)
+            writer.write((int(blk[0]) >> al) & 1, 1)
 
 
 def _emit_ac_first_scan(

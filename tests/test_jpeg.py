@@ -480,3 +480,78 @@ def test_progressive_transport_equality_property(hseed, wseed, q, sub, gray, see
         jpeg.encode_jpeg_progressive(img, quality=q, subsampling=sub)
     )
     assert np.array_equal(base, prog)
+
+
+def test_review_r14_decompression_bomb_guard():
+    """A ~120-byte payload declaring 65535x65535x3 must raise the
+    named refusal BEFORE allocating coefficient planes (round-14
+    review: MemoryError escaped the ValueError contract and could
+    OOM an executor from one malicious row). Both guards fire: the
+    absolute pixel cap, and the entropy-bytes structural floor for a
+    large-but-under-cap declaration."""
+    dec = jpeg.jpeg_decoder()
+    def fixture(w, h):
+        return (
+            b"\xff\xd8"
+            + _seg(0xDB, bytes([0]) + bytes([16] * 64))
+            + _seg(
+                0xC0,
+                struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            )
+            + _seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0]))
+            + _seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+            + _seg(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 0x3F, 0]))
+            + bytes(20)
+            + b"\xff\xd9"
+        )
+    with pytest.raises(ValueError, match="pixel decode cap"):
+        dec.pixels(fixture(65535, 65535))
+    with pytest.raises(ValueError, match="entropy bytes"):
+        dec.pixels(fixture(7000, 7000))  # under cap, over the bit floor
+
+
+def test_review_r14_fill_bytes_before_markers():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker; the
+    header walk must skip them (round-14 review: a single legal fill
+    byte made a valid stream refuse as 'truncated segment')."""
+    dec = jpeg.jpeg_decoder()
+    img = np.full((8, 8, 3), 99, np.uint8)
+    good = jpeg.encode_jpeg(img, quality=90)
+    filled = good[:2] + b"\xff\xff" + good[2:]
+    assert np.array_equal(dec.pixels(filled), dec.pixels(good))
+
+
+def test_review_r14_single_component_dc_scans():
+    """Per-component (Ns=1) DC scans on a subsampled NON-MCU-aligned
+    image: the encoder must walk the component's own block raster,
+    not the MCU grid (round-14 review: silent corruption / 'missing
+    restart segment' on T.81-legal scripts)."""
+    dec = jpeg.jpeg_decoder()
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (33, 37, 3), dtype=np.uint8)
+    cs = [0, 1, 2]
+    scans = [([c], 0, 0, 0, 1) for c in cs]
+    for c in cs:
+        scans += [([c], 1, 63, 0, 1), ([c], 1, 63, 1, 0)]
+    scans += [([c], 0, 0, 1, 0) for c in cs]
+    base = dec.pixels(jpeg.encode_jpeg(img, quality=40, subsampling="420"))
+    for ri in (0, 2):
+        prog = dec.pixels(
+            jpeg.encode_jpeg_progressive(
+                img, quality=40, subsampling="420", scans=scans,
+                restart_interval=ri,
+            )
+        )
+        assert np.array_equal(base, prog), ri
+
+
+def test_review_r14_quant_tables_are_annex_k():
+    """quality_tables returns ZIGZAG order (the DQT wire order);
+    de-zigzagged at quality 50 it must equal the Annex-K natural
+    matrices exactly (round-14 review: the tables were emitted
+    natural-order under a zigzag interpretation — self-consistent
+    but a scrambled effective quantization costing ~1.7 dB)."""
+    luma, chroma = jpeg.quality_tables(50)
+    assert np.array_equal(luma[jpeg._UNZIGZAG], jpeg.STD_LUMA_QT)
+    assert np.array_equal(chroma[jpeg._UNZIGZAG], jpeg.STD_CHROMA_QT)
