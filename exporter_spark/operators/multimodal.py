@@ -894,8 +894,21 @@ def bmp_decoder() -> Callable[[bytes], np.ndarray]:
         if not top_down:
             rows = rows[::-1]
         if bits == 8:
-            n_pal = clr_used or 256
             pal_off = 14 + hsize
+            if clr_used:
+                n_pal = clr_used
+            else:
+                # clr_used == 0 means "full palette", but some writers
+                # store fewer entries than 256 with the pixel offset
+                # right after them — clamp to what physically fits
+                # before the pixel data (round-14 review: the r14
+                # overrun guard had started refusing such files)
+                n_pal = min(256, max(0, (min(offset, len(data)) - pal_off) // 4))
+            if n_pal < 1:
+                raise ValueError(
+                    "undecodable BMP payload: no palette storage before"
+                    " the pixel-data offset"
+                )
             # An 8-bit palette has at most 256 entries, and the table
             # must fit between the header and the pixel offset — a
             # forged clr_used would otherwise read header/pixel bytes
@@ -968,7 +981,25 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     must fail the row loudly, never fall back to fake features.
     Self-contained closure — pickles by value (the component
     closures it captures do too)."""
+    from exporter_spark.operators import jpeg as _jpeg_mod
     from exporter_spark.operators.jpeg import jpeg_decoder
+
+    # the JPEG closures reference their module's tables/helpers, which
+    # cloudpickle serializes BY REFERENCE for importable modules —
+    # breaking this closure's documented "executors don't need the
+    # package" contract (round-14 review, confirmed by a cloudpickle
+    # round-trip in a package-less process). Registering the module
+    # for by-value pickling with Spark's vendored cloudpickle restores
+    # the contract: the whole jpeg module ships inside the task blob.
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_jpeg_mod)
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover - older pyspark fallback
+        pass
 
     wav = wav_decoder()
     png = png_decoder()
@@ -1046,7 +1077,20 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     Unknown magic raises ``ValueError`` (same contract as
     :func:`auto_decoder`). Pickles by value; composes with
     :func:`resize_media`."""
+    from exporter_spark.operators import jpeg as _jpeg_mod
     from exporter_spark.operators.jpeg import encode_jpeg, jpeg_decoder
+
+    try:  # by-value pickling for the captured jpeg closures AND the
+        # module-level encode_* helpers this closure references (see
+        # auto_decoder) — keeps this closure package-independent
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_jpeg_mod)
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
 
     png = png_decoder()
     ppm = ppm_decoder()
@@ -1178,6 +1222,9 @@ def probe_media(
                     if data[pos] != 0xFF:
                         raise ValueError("bad JPEG marker stream")
                     m = data[pos + 1]
+                    if m == 0xFF:
+                        pos += 1  # fill byte (T.81 B.1.1.2)
+                        continue
                     if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                         pos += 2
                         continue
@@ -1349,16 +1396,20 @@ def video_frame_decoder(
             cap = _cv2.VideoCapture(path)
             if not cap.isOpened():
                 raise ValueError("undecodable video payload: cv2 open failed")
-            frames = []
-            t = 0.0
-            while len(frames) < max_frames:
-                cap.set(_cv2.CAP_PROP_POS_MSEC, t)
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                frames.append(frame[:, :, ::-1])  # BGR -> RGB
-                t += every_ms
-            cap.release()
+            try:
+                frames = []
+                t = 0.0
+                while len(frames) < max_frames:
+                    cap.set(_cv2.CAP_PROP_POS_MSEC, t)
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    frames.append(frame[:, :, ::-1])  # BGR -> RGB
+                    t += every_ms
+            finally:
+                # a cv2.error mid-loop must not leak the demuxer/file
+                # handles — executors decode many rows per process
+                cap.release()
             if not frames:
                 raise ValueError(
                     "undecodable video payload: no frames decoded"

@@ -2990,9 +2990,14 @@ def media_decode_stats(spark, sf_dir):
     media = d.mapInPandas(encode, multimodal.media_schema())
     probed = multimodal.probe_media(media)
     feats = extract_features(media, decoder=multimodal.auto_decoder())
-    # meta branch + feature branch both consume the encoded frame;
-    # the probe side carries only (id, meta) into a broadcast join,
-    # so the combine is shuffle-free on the feature side
+    # meta branch + feature branch both consume the encoded frame
+    # (the cheap encode deliberately recomputes per branch — caching
+    # corpus-sized binary payloads would cost more than re-encoding);
+    # the combine is a plain equi-join with NO broadcast hint: the
+    # meta side is per-document cardinality, so a forced broadcast is
+    # a driver-memory cliff at scale (round-14 review) — AQE converts
+    # it at runtime exactly when it is actually small, per the
+    # repo-wide broadcast policy
     meta = probed.select(
         "media_id",
         F.col("meta.format").alias("probed_format"),
@@ -3000,7 +3005,7 @@ def media_decode_stats(spark, sf_dir):
         F.col("meta.height").alias("probed_h"),
         F.col("meta.duration_ms").alias("probed_ms"),
     )
-    feats = feats.join(F.broadcast(meta), "media_id")
+    feats = feats.join(meta, "media_id")
     lanes = [
         F.round(F.col("features")[i].cast("double"), 6).alias(f"lane{i}")
         for i in range(8)

@@ -1552,3 +1552,35 @@ def test_exact_substring_xxhash64_family_same_spans(spark, sf_dir):
         ).collect()
     }
     assert md5_spans == xxh_spans and md5_spans
+
+
+def test_bmp_clr_used_zero_short_palette():
+    """clr_used == 0 means 'full palette', but writers may store
+    fewer entries with the pixel offset right after them — the r14
+    overrun guard must clamp to what physically fits, not refuse
+    (round-14 review)."""
+    import struct
+
+    import numpy as np
+
+    dec = multimodal.bmp_decoder()
+    # build an 8-bit BMP with only 16 stored palette entries and
+    # clr_used = 0; all pixel indexes < 16
+    gray = (np.arange(12, dtype=np.uint8) % 16).reshape(3, 4)
+    full = bytearray(multimodal.encode_bmp(gray))
+    (old_off,) = struct.unpack_from("<I", full, 10)
+    pal_off = 14 + 40
+    pixels = bytes(full[old_off:])
+    short = bytearray(full[:pal_off])              # headers
+    short += bytes(full[pal_off : pal_off + 16 * 4])  # 16 entries only
+    short += pixels
+    struct.pack_into("<I", short, 10, pal_off + 16 * 4)  # new offset
+    struct.pack_into("<I", short, 2, len(short))
+    struct.pack_into("<I", short, 46, 0)  # clr_used = 0
+    back = dec.pixels(bytes(short))
+    assert np.array_equal(back, np.repeat(gray[:, :, None], 3, axis=2))
+    # an index beyond the stored entries still refuses by name
+    bad = bytearray(short)
+    bad[-1] = 200  # pixel index 200 >= 16 stored entries
+    with pytest.raises(ValueError, match="palette index out of range"):
+        dec.pixels(bytes(bad))

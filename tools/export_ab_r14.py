@@ -130,6 +130,8 @@ def main() -> None:
     ref = REF_COMMIT
     if "--ref" in args:
         i = args.index("--ref")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: export_ab_r14.py [iterations] [--ref <commit>]")
         ref = args[i + 1]
         del args[i : i + 2]
     iterations = int(args[0]) if args else 3
@@ -149,6 +151,16 @@ def main() -> None:
             capture_output=True,
             text=True,
         ).stdout.strip(),
+        # the B side times the WORKING TREE — a binding artifact must
+        # say so when that tree differs from the recorded commit
+        "head_tree_dirty": bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+        ),
         "iterations": iterations,
         "canary_open": canary(),
         "runs": {"ref": [], "head": []},
@@ -180,6 +192,12 @@ def main() -> None:
             cwd=REPO,
             capture_output=True,
         )
+        # preserve whatever completed even if a late worker/canary
+        # died — the runs are multi-minute Spark sessions and the
+        # partial evidence is the expensive part
+        partial = os.path.join(HERE, "audits", "r14_export_ab_partial.json")
+        with open(partial, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
 
     summary = {}
     for e in ENTRIES:
