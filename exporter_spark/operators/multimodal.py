@@ -24,13 +24,17 @@ runtime container has no cv2/imageio and an honest stub beats a fake
 structure). :func:`video_frame_decoder` is the ready-made swap-in: a
 working cv2 frame sampler when cv2 is installed, a
 ``NotImplementedError`` naming the dependency at factory time
-otherwise; the default deterministic fake (:func:`stub_decoder`)
-keeps pipelines testable end-to-end without it.
+otherwise. Fakes are EXPLICIT opt-ins only (:func:`stub_decoder`,
+:func:`stub_resizer`) — since round 15 the ``extract_features`` /
+``resize_media`` defaults are the real :func:`auto_decoder` /
+:func:`image_resizer`, which fail loudly on unrecognized magic
+instead of fabricating plausible-looking data.
 """
 
 from __future__ import annotations
 
 import hashlib
+import warnings
 from typing import Callable, Iterator
 
 import numpy as np
@@ -73,14 +77,16 @@ def _fake_features(payload: bytes, n: int) -> np.ndarray:
 
 
 def stub_decoder(n_features: int = 8) -> Callable[[bytes], np.ndarray]:
-    """Default decoder: raises for empty payloads (a real decoder
-    would), else deterministic fake features. This stub stands in for
-    VIDEO-frame decode only (no cv2/imageio in this container); WAV
-    audio and PNG/PPM/BMP/JPEG images have REAL decoders —
-    :func:`wav_decoder`, :func:`png_decoder`, :func:`ppm_decoder`,
-    :func:`bmp_decoder`, ``jpeg.jpeg_decoder``. Self-contained
-    closure — pickles by value, so executors don't need this package
-    installed."""
+    """EXPLICIT-OPT-IN fake decoder: raises for empty payloads (a
+    real decoder would), else deterministic digest-seeded features.
+    Since round 15 this is no longer any default — passing no
+    ``decoder=`` to :func:`extract_features` routes through the REAL
+    :func:`auto_decoder` (WAV/PNG/PPM/BMP/JPEG), which raises on
+    unrecognized magic rather than fabricating numbers. Use this stub
+    only to exercise pipeline PLUMBING with payloads that are not
+    decodable media (its output is fake data, never features).
+    Self-contained closure — pickles by value, so executors don't
+    need this package installed."""
     import hashlib as _hashlib
 
     import numpy as _np
@@ -965,6 +971,42 @@ def bmp_decoder() -> Callable[[bytes], np.ndarray]:
     return decode
 
 
+_PICKLE_BY_VALUE_DONE = False
+
+
+def _ensure_pickle_by_value() -> None:
+    """Idempotent by-value pickle registration for this module and the
+    jpeg module (round-15 ADVICE: the former per-factory registration
+    was a repeated process-global side effect with a silent failure
+    path). cloudpickle keeps registrations in a module-level set, so
+    one successful call covers every later closure pickle; on failure
+    (older pyspark without ``register_pickle_by_value``) the factories
+    still work, but executors then need the package importable — warn
+    loudly instead of degrading the documented contract silently."""
+    global _PICKLE_BY_VALUE_DONE
+    if _PICKLE_BY_VALUE_DONE:
+        return
+    import sys as _sys
+
+    from exporter_spark.operators import jpeg as _jpeg_mod
+
+    try:
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_jpeg_mod)
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+        _PICKLE_BY_VALUE_DONE = True
+    except Exception as ex:  # pragma: no cover - older pyspark fallback
+        warnings.warn(
+            "by-value pickle registration failed"
+            f" ({type(ex).__name__}: {ex}); multimodal/jpeg closures"
+            " will pickle BY REFERENCE — executors must have"
+            " exporter_spark importable",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def auto_decoder() -> Callable[[bytes], np.ndarray]:
     """Magic-byte dispatcher over the real decoders — the
     production-shaped ``decoder=`` for frames whose payload column
@@ -981,25 +1023,16 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     must fail the row loudly, never fall back to fake features.
     Self-contained closure — pickles by value (the component
     closures it captures do too)."""
-    from exporter_spark.operators import jpeg as _jpeg_mod
     from exporter_spark.operators.jpeg import jpeg_decoder
 
     # the JPEG closures reference their module's tables/helpers, which
     # cloudpickle serializes BY REFERENCE for importable modules —
     # breaking this closure's documented "executors don't need the
     # package" contract (round-14 review, confirmed by a cloudpickle
-    # round-trip in a package-less process). Registering the module
+    # round-trip in a package-less process). Registering the modules
     # for by-value pickling with Spark's vendored cloudpickle restores
-    # the contract: the whole jpeg module ships inside the task blob.
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_jpeg_mod)
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:  # pragma: no cover - older pyspark fallback
-        pass
+    # the contract: the whole module ships inside the task blob.
+    _ensure_pickle_by_value()
 
     wav = wav_decoder()
     png = png_decoder()
@@ -1041,8 +1074,28 @@ def extract_features(
     boundaries (and therefore parallelism) are inherited from the
     source, so a repartition on ``id_col`` upstream controls task
     sizing for heavy decodes.
+
+    **BEHAVIOR (round 15):** the default ``decoder`` is the REAL
+    :func:`auto_decoder` (WAV/PNG/PPM/BMP/JPEG by payload magic,
+    8 lanes, ``ValueError`` on unrecognized magic). The old default
+    silently emitted digest-seeded FAKE features for any payload —
+    an API trap once real codecs existed. Pass
+    ``decoder=stub_decoder(n)`` explicitly to exercise plumbing with
+    non-media payloads. ``n_features`` only configures that legacy
+    stub width; combining a non-8 value with the default decoder is
+    refused loudly rather than ignored.
     """
-    decode = decoder or stub_decoder(n_features)
+    if decoder is None:
+        if n_features != 8:
+            raise ValueError(
+                "extract_features: n_features is only meaningful for a"
+                " custom decoder; the default is the real auto_decoder"
+                " (8 lanes). Pass decoder=stub_decoder(n_features) for"
+                " the old fake-feature behavior."
+            )
+        decode = auto_decoder()
+    else:
+        decode = decoder
     schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -1077,20 +1130,12 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     Unknown magic raises ``ValueError`` (same contract as
     :func:`auto_decoder`). Pickles by value; composes with
     :func:`resize_media`."""
-    from exporter_spark.operators import jpeg as _jpeg_mod
     from exporter_spark.operators.jpeg import encode_jpeg, jpeg_decoder
 
-    try:  # by-value pickling for the captured jpeg closures AND the
-        # module-level encode_* helpers this closure references (see
-        # auto_decoder) — keeps this closure package-independent
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_jpeg_mod)
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:  # pragma: no cover
-        pass
+    # by-value pickling for the captured jpeg closures AND the
+    # module-level encode_* helpers this closure references (see
+    # auto_decoder) — keeps this closure package-independent
+    _ensure_pickle_by_value()
 
     png = png_decoder()
     ppm = ppm_decoder()
@@ -1137,6 +1182,28 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
             )
         out = px[_grid(px.shape[0], h)][:, _grid(px.shape[1], w)]
         return enc(np.ascontiguousarray(out))
+
+    return resize
+
+
+def stub_resizer() -> Callable[[bytes, int, int], bytes]:
+    """EXPLICIT-OPT-IN fake resizer (the pre-round-15 default of
+    :func:`resize_media`): deterministic digest-seeded bytes, sized
+    width·height/64 so output sizes scale plausibly. Stands in for
+    formats :func:`image_resizer` cannot decode (e.g. GIF, video
+    posters) in plumbing tests — its output is NOT image data. Raises
+    for empty payloads like a real resizer would. Self-contained
+    closure — pickles by value."""
+    import hashlib as _hashlib
+
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        if payload is None or len(payload) == 0:
+            raise NotImplementedError(
+                "media resize is stubbed for this payload; payload empty"
+            )
+        n = max(1, (w * h) // 64)
+        seed = _hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+        return (seed * (n // len(seed) + 1))[:n]
 
     return resize
 
@@ -1317,24 +1384,17 @@ def resize_media(
 ) -> DataFrame:
     """Resize plumbing: payload → resized payload + updated metadata,
     via Arrow-batched mapInPandas (full-row pass-through, so it
-    composes anywhere in a pipeline). Pass
-    ``resizer=image_resizer()`` for REAL nearest-neighbor resampling
-    of PNG/PGM/PPM payloads; the default remains the deterministic
-    digest-seeded fake (emits width·height/64 bytes so sizes scale
-    plausibly) standing in for formats this container cannot decode —
-    swap in PIL ``Image.resize`` → bytes for those in production.
-    Self-contained closure — pickles by value."""
-    if resizer is None:
-        import hashlib as _hashlib
+    composes anywhere in a pipeline).
 
-        def resizer(payload: bytes, w: int, h: int) -> bytes:
-            if payload is None or len(payload) == 0:
-                raise NotImplementedError(
-                    "media resize is stubbed in this environment; payload empty"
-                )
-            n = max(1, (w * h) // 64)
-            seed = _hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
-            return (seed * (n // len(seed) + 1))[:n]
+    **BEHAVIOR (round 15):** the default ``resizer`` is the REAL
+    :func:`image_resizer` (nearest-neighbor resampling + same-family
+    re-encode for PNG/PGM/PPM/BMP/JPEG, ``ValueError`` on
+    unrecognized magic). The old default fabricated digest-seeded
+    bytes for ANY payload; use :func:`stub_resizer` explicitly for
+    plumbing tests over non-media payloads. Self-contained closure —
+    pickles by value."""
+    if resizer is None:
+        resizer = image_resizer()
 
     out_schema = df.schema
 

@@ -469,13 +469,44 @@ def test_banded_near_dup_recall_and_plan(spark, sf_dir):
 
 
 def test_extract_features_deterministic(spark):
+    # explicit stub opt-in: the fake decoder is for plumbing tests
+    # over non-media payloads (round-15 behavior change)
     rows = [(1, bytearray(b"payload-one"), ("image", "png", 8, 8, None))]
     df = spark.createDataFrame(rows * 2, multimodal.media_schema())
-    out = multimodal.extract_features(df, n_features=4).collect()
+    out = multimodal.extract_features(
+        df, decoder=multimodal.stub_decoder(4)
+    ).collect()
     assert len(out) == 2
     assert out[0]["features"] == out[1]["features"]
     assert len(out[0]["features"]) == 4
     assert all(0.0 <= v < 1.0 for v in out[0]["features"])
+
+
+def test_extract_features_default_is_real_auto_decoder(spark):
+    """Round-15 behavior: no decoder= -> the REAL auto_decoder. Valid
+    media decodes to its true lanes; garbage payloads FAIL the row
+    loudly instead of yielding fabricated features; the legacy
+    n_features knob is refused with the default decoder."""
+    import numpy as np
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    rows = [(1, bytearray(multimodal.encode_png(px)), None)]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = multimodal.extract_features(df).collect()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert len(feats) == 8
+    assert feats[:4] == [5.0, 4.0, 3.0, 8.0]  # w, h, channels, depth
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"GIF89a-not-decodable"), None)],
+        multimodal.media_schema(),
+    )
+    with pytest.raises(Exception, match="no decoder for payload magic"):
+        multimodal.extract_features(bad).collect()
+
+    with pytest.raises(ValueError, match="n_features"):
+        multimodal.extract_features(df, n_features=4)
 
 
 def test_wav_decoder_golden():
@@ -1121,27 +1152,55 @@ def test_sample_frames(spark):
 
 
 def test_resize_media_plumbing(spark):
+    # explicit stub opt-in (round-15): fake payloads need stub_resizer
     rows = [
         (1, bytearray(b"img-one-bytes"), ("image", "png", 640, 480, None)),
         (2, bytearray(b"img-two-bytes"), ("image", "png", 1024, 768, None)),
     ]
     df = spark.createDataFrame(rows, multimodal.media_schema())
-    out = multimodal.resize_media(df, 64, 64).collect()
+    stub = multimodal.stub_resizer()
+    out = multimodal.resize_media(df, 64, 64, resizer=stub).collect()
     assert len(out) == 2
     for r in out:
         assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
         assert r["meta"]["media_type"] == "image"  # rest of meta preserved
         assert len(r["payload"]) == 64 * 64 // 64
     # deterministic: same payload + target dims -> same bytes
-    again = multimodal.resize_media(df, 64, 64).collect()
+    again = multimodal.resize_media(df, 64, 64, resizer=stub).collect()
     assert sorted(bytes(r["payload"]) for r in out) == sorted(
         bytes(r["payload"]) for r in again
     )
     # different target dims -> different bytes (the stub varies by size)
-    other = multimodal.resize_media(df, 32, 32).collect()
+    other = multimodal.resize_media(df, 32, 32, resizer=stub).collect()
     assert sorted(bytes(r["payload"]) for r in out) != sorted(
         bytes(r["payload"]) for r in other
     )
+
+
+def test_resize_media_default_is_real_image_resizer(spark):
+    """Round-15 behavior: no resizer= -> the REAL image_resizer; the
+    output payload is a decodable same-family image at the target
+    grid, and non-media payloads fail the row loudly."""
+    import numpy as np
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [(1, bytearray(multimodal.encode_png(px)), ("image", "png", 8, 6, None))]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    out = multimodal.resize_media(df, 4, 3).collect()
+    assert len(out) == 1
+    resized = bytes(out[0]["payload"])
+    assert resized[:8] == b"\x89PNG\r\n\x1a\n"  # same family out
+    dec = multimodal.auto_decoder()
+    lanes = dec(resized)
+    assert (lanes[0], lanes[1], lanes[2]) == (4.0, 3.0, 3.0)
+    assert out[0]["meta"]["width"] == 4 and out[0]["meta"]["height"] == 3
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not-an-image"), ("image", "gif", 8, 6, None))],
+        multimodal.media_schema(),
+    )
+    with pytest.raises(Exception, match="no resizer for payload magic"):
+        multimodal.resize_media(bad, 4, 3).collect()
 
 
 def test_resize_media_custom_resizer(spark):
