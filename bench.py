@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     # media_decode_stats entry; per-payload Python codec cost is the
     # whole number, so a codec regression moves it directly)
     "media_decode_stats",
+    # round 15: the JPEG codec's perf observable — eight fixture
+    # variants (baseline + progressive, all chroma grids, restarts)
+    # encoded and fully entropy-decoded per document batch; the
+    # Huffman loop is the dominant per-payload Python cost, so a
+    # decoder-efficiency change moves this entry directly
+    "jpeg_decode_stats",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The
@@ -178,6 +184,20 @@ def main() -> None:
     io_canary = _io_canary(spark, REPEAT)
     print(f"[bench] io_canary: {io_canary}s", file=sys.stderr)
 
+    # Per-family io brackets (round 15, VERDICT r14 #8): the r13/r14
+    # export-entry forensics both ended at "the session's io regime
+    # moved between families" — adjudicated only by after-the-fact
+    # isolated re-runs. Each family boundary now records a single
+    # (unrepeated — it is a regime indicator, not a record) io-canary
+    # reading, so every BENCH_rN carries the disk-path regime AT the
+    # moment each family ran and cross-round comparisons stop needing
+    # forensics. Excluded from the corpus total.
+    io_brackets: dict[str, float] = {"start": io_canary}
+
+    def _bracket(tag: str) -> None:
+        io_brackets[tag] = _io_canary(spark, 1)
+        print(f"[bench] io_bracket {tag}: {io_brackets[tag]}s", file=sys.stderr)
+
     # Scale observable (round 9): connected-components rounds-to-
     # converge for the dedup flagship. Diameter growth on a future
     # corpus shows up here before it shows up in wall time. The CC
@@ -214,6 +234,7 @@ def main() -> None:
     print(f"[bench] q1_fast: {timings['q1_fast']}s", file=sys.stderr)
 
     # Export benches: lineitem through each distributed sink.
+    _bracket("pre_export")
     li = load_table(spark, SF_DIR, "lineitem")
     out_root = tempfile.mkdtemp(prefix="exporter_spark_bench_")
     try:
@@ -252,6 +273,7 @@ def main() -> None:
         print(f"[bench] export_json_array: {timings['export_json_array']}s", file=sys.stderr)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+    _bracket("post_export")
 
     # Distributed-CC convergence observable (VERDICT r10 wrong #2):
     # since the round-10 size gate, the flagship's cc_rounds reads
@@ -295,6 +317,12 @@ def main() -> None:
                 # the canary comments above): CPU and disk-path
                 "host_canary_sec": host_canary,
                 "io_canary_sec": io_canary,
+                # disk-path regime at each family boundary (round 15):
+                # "start" is the headline io_canary above;
+                # "pre_export"/"post_export" are single-shot readings
+                # bracketing the export family, so an export number
+                # can be read against ITS regime, not the session's
+                "io_brackets": io_brackets,
                 # scale observables: CC strategy + rounds for the
                 # dedup flagship. Since round 10 the mode is
                 # runtime-size-gated — "driver" (union-find on a

@@ -1011,6 +1011,38 @@ def _decode_progressive_scan(
                     eobrun -= 1
 
 
+def _first_scan_blocks(
+    sos, comps, mcus_x, mcus_y, max_h, max_v, fw, fh
+) -> int:
+    """Lower bound on the 8x8 blocks the FIRST scan entropy-codes,
+    for the decompression-bomb floor: interleaved scans walk the MCU
+    grid over their components; a single-component (Ns=1) scan walks
+    that component's own non-MCU-padded block grid (T.81 A.2.2).
+    Every coded unit needs >= 1 bit even under a degenerate 1-bit
+    Huffman table, so scan bytes bound this count for any real file.
+    Falls back to the whole-frame count if the SOS header is too
+    short to parse — the scan decoder raises its own named error for
+    that malformation right after."""
+    whole_frame = sum(
+        mcus_y * cv * mcus_x * ch_ for _, ch_, cv, _ in comps
+    )
+    if len(sos) < 1:
+        return whole_frame
+    ns = sos[0]
+    if ns < 1 or len(sos) < 1 + 2 * ns:
+        return whole_frame
+    scan_ids = {sos[1 + 2 * i] for i in range(ns)}
+    scan_comps = [c for c in comps if c[0] in scan_ids]
+    if not scan_comps:
+        return whole_frame
+    if ns == 1:
+        _, ch_, cv, _ = scan_comps[0]
+        bw = -(-(-(-fw * ch_ // max_h)) // 8)
+        bh = -(-(-(-fh * cv // max_v)) // 8)
+        return bw * bh
+    return sum(mcus_y * cv * mcus_x * ch_ for _, ch_, cv, _ in scan_comps)
+
+
 def jpeg_decoder():
     """JPEG → the shared 8-lane image feature vector
     (``multimodal.PNG_FEATURE_NAMES`` layout; bit_depth reports 8).
@@ -1156,15 +1188,26 @@ def jpeg_decoder():
                         f"undecodable JPEG payload: declared {fw}x{fh}"
                         f" exceeds the {MAX_PIXELS}-pixel decode cap"
                     )
-                n_blocks = sum(
-                    mcus_y * cv * mcus_x * ch_ for _, ch_, cv, _ in comps
+                # the floor counts only blocks THIS first scan codes
+                # (round-15 ADVICE): a spec-legal progressive first
+                # scan may be a single-component DC scan, which codes
+                # far fewer units than the whole frame — the old
+                # whole-frame count falsely refused such files over
+                # large flat images with degenerate 1-bit DC tables.
+                # A bomb still trips it: every component's block grid
+                # scales with the declared pixel count, so the first
+                # scan of a huge declared frame needs a huge block
+                # count no matter which components it covers.
+                n_blocks = _first_scan_blocks(
+                    sos, comps, mcus_x, mcus_y, max_h, max_v, fw, fh
                 )
                 scan_bytes = sum(len(s) for s in segments)
                 if n_blocks > 8 * max(scan_bytes, 1) + 64:
                     raise ValueError(
                         "undecodable JPEG payload: declared geometry"
-                        f" needs {n_blocks} blocks but the scan carries"
-                        f" only {scan_bytes} entropy bytes"
+                        f" needs {n_blocks} blocks in the first scan"
+                        f" but it carries only {scan_bytes} entropy"
+                        " bytes"
                     )
                 coef = [
                     np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int32)

@@ -1,0 +1,181 @@
+"""Text analysis (operators/text.py over documents).
+
+Split out of the monolithic queries.py in round 15; registration
+order within this module is unchanged (see queries/__init__.py for
+the cross-module order and the driver-window contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exporter_spark.operators import dedup, sampling, text
+from exporter_spark.queries._registry import _dsum, _register
+from exporter_spark.sources.files import load_table
+
+# =====================================================================
+# Text analysis (operators/text.py over documents)
+# =====================================================================
+
+_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+# DuckDB replica of text.quality_score (length / word-length /
+# punctuation penalties, round(6))
+_QUALITY_SQL = f"""ROUND(greatest(0.0, 1.0
+          - CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.0 ELSE 0.4 END
+          - CASE WHEN ({_TOKENS_SQL}) > 0
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) >= 3
+                  AND (length(text) - (({_TOKENS_SQL}) - 1)) / ({_TOKENS_SQL}) <= 12
+                 THEN 0.0 ELSE 0.3 END
+          - CASE WHEN length(text) = 0 OR
+                      (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                      / length(text) <= 0.1
+                 THEN 0.0 ELSE 0.3 END), 6)"""
+
+
+@_register(
+    "token_stats_by_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+           MIN({_TOKENS_SQL}) AS min_tokens,
+           MAX({_TOKENS_SQL}) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.min(toks).cast("long").alias("min_tokens"),
+        F.max(toks).cast("long").alias("max_tokens"),
+    )
+
+
+# the same pattern literal, with the SQL-quote escape for the
+# contraction apostrophe
+_BPE_SQL = "len(regexp_extract_all(text, '" + text.BPE_PATTERN.replace("'", "''") + "'))"
+
+
+@_register(
+    "bpe_token_stats_by_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM({_BPE_SQL}) AS BIGINT) AS total_bpe_tokens,
+           CAST(MIN({_BPE_SQL}) AS BIGINT) AS min_bpe_tokens,
+           CAST(MAX({_BPE_SQL}) AS BIGINT) AS max_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def bpe_token_stats_by_lang(spark, sf_dir):
+    """LLM-context-cost proxy: GPT-2-flavored pre-tokenizer counts
+    (same regex literal in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.bpe_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_bpe_tokens"),
+        F.min(toks).alias("min_bpe_tokens"),
+        F.max(toks).alias("max_bpe_tokens"),
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of operators.text.lang_id, generated from
+    LANG_MARKERS so both dialects stay in sync."""
+    score = {
+        lang: " + ".join(
+            f"len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = '{w}'))"
+            for w in words
+        )
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    first_max = " ".join(f"WHEN s_{l} = __mx THEN '{l}'" for l in langs)
+    scores_sel = ", ".join(f"{score[l]} AS s_{l}" for l in langs)
+    return f"""
+    WITH scored AS (SELECT lang, {scores_sel} FROM documents),
+    best AS (SELECT lang, CASE WHEN __mx <= 0 THEN 'und' {first_max} END AS lang_guess
+             FROM (SELECT *, {mx} AS __mx FROM scored))
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM best GROUP BY lang, lang_guess
+    """
+
+
+@_register("lang_id_confusion", _lang_id_sql())
+def lang_id_confusion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", text.lang_id(F.col("text")).alias("lang_guess")).groupBy(
+        "lang", "lang_guess"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@_register(
+    "quality_by_source",
+    f"""
+    WITH q AS (SELECT source, {_QUALITY_SQL} AS quality FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+    FROM q GROUP BY source
+    """,
+)
+def quality_by_source(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    return d.select("source", q.alias("quality")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        _dsum(F.col("quality"), 6).alias("total_quality"),
+    )
+
+
+@_register(
+    "curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text, lang, n_chars, {_QUALITY_SQL} AS quality
+      FROM documents),
+    kept AS (SELECT * FROM q WHERE quality >= 0.7),
+    ded AS (SELECT * FROM kept
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    samp AS (SELECT * FROM ded
+             WHERE ('0x' || substr(md5('curate' || doc_id), 1, 8))::BIGINT
+                   < {int(0.5 * 2**32)})
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM samp GROUP BY lang
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition — the shape of a real training
+    -data job: quality gate → exact dedup → deterministic downsample →
+    per-language stats. Each stage is one of this repo's operators;
+    the whole chain stays declarative, so Catalyst runs the quality
+    filter and hash-sample in the scan stage and the only exchanges
+    are the dedup window and the final aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(text.quality_score(F.col("text")) >= 0.7)
+    ded = dedup.exact_dedup(kept, ["text"], "doc_id")
+    samp = sampling.deterministic_sample(ded, "doc_id", 0.5, salt="curate")
+    return samp.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+

@@ -34,10 +34,14 @@ def test_bench_emits_one_json_line_with_all_entries():
     d = json.loads(out)
     assert set(d) == {
         "metric", "value", "unit", "queries", "sf",
-        "host_canary_sec", "io_canary_sec", "cc_rounds", "cc_mode",
-        "cc_n_edges", "cc_dist_rounds", "spilled_disk_bytes",
+        "host_canary_sec", "io_canary_sec", "io_brackets", "cc_rounds",
+        "cc_mode", "cc_n_edges", "cc_dist_rounds", "spilled_disk_bytes",
         "spilled_memory_bytes",
     }
+    # per-family disk-regime brackets (round 15): the export family's
+    # numbers must carry the io regime they actually ran under
+    assert set(d["io_brackets"]) == {"start", "pre_export", "post_export"}
+    assert all(v > 0 for v in d["io_brackets"].values())
     assert d["metric"] == "corpus_total_wall_sec" and d["unit"] == "sec"
     # host-speed canaries: pure-CPU (round 7) and disk-path (round 8),
     # carried in the record but excluded from the engine total

@@ -618,3 +618,69 @@ def test_probe_media_jpeg_fill_bytes(spark):
     meta = multimodal.probe_media(df).collect()[0]["meta"]
     assert meta["format"] == "jpeg"
     assert (meta["width"], meta["height"]) == (13, 6)
+
+
+def test_bomb_guard_floor_counts_first_scan_blocks_only():
+    """Round-15 ADVICE regression: a spec-legal progressive file whose
+    FIRST scan is a single-component DC scan under a degenerate 1-bit
+    DC table over a large flat image must decode — the old floor
+    compared the first scan's bytes against the WHOLE FRAME's block
+    count (all components) and falsely refused exactly this shape."""
+    import numpy as np
+
+    from exporter_spark.operators import jpeg as J
+
+    px = np.full((256, 256, 3), 128, dtype=np.uint8)  # flat mid-gray
+    scans = [
+        ([0], 0, 0, 0, 1),  # luma-only DC first pass: 1024 blocks
+        ([1], 0, 0, 0, 1),
+        ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0, 1, 2], 0, 0, 1, 0),  # DC refinement
+    ]
+    degenerate_dc = ([1] + [0] * 15, [0])  # one 1-bit code: category 0
+    orig = J.DC_LUMA_HUFF
+    J.DC_LUMA_HUFF = degenerate_dc
+    try:
+        payload = J.encode_jpeg_progressive(
+            px, quality=90, subsampling="420", scans=scans
+        )
+    finally:
+        J.DC_LUMA_HUFF = orig
+    dec = J.jpeg_decoder()
+    out = dec.pixels(payload)
+    assert out.shape == (256, 256, 3)
+    # flat image round-trips exactly at any quality
+    base = dec.pixels(J.encode_jpeg(px, quality=90, subsampling="420"))
+    assert np.array_equal(out, base)
+    # the guard itself still fires on an actual bomb: tiny payload,
+    # huge declared dims (cap + floor are independent bounds)
+    bomb = bytearray(J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = bomb.find(b"\xff\xc0")
+    bomb[sof + 5 : sof + 9] = (4000).to_bytes(2, "big") + (4000).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="entropy|pixel"):
+        dec(bytes(bomb))
+
+
+def test_first_scan_blocks_helper():
+    from exporter_spark.operators.jpeg import _first_scan_blocks
+
+    # 4:2:0 three-component frame, 32x32 px: mcus 2x2, luma 2x2
+    # blocks/MCU, chroma 1 each -> whole frame 2*2*(4+1+1) = 24
+    comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    args = dict(mcus_x=2, mcus_y=2, max_h=2, max_v=2, fw=32, fh=32)
+    whole = 24
+    # interleaved 3-component scan: all 24
+    sos3 = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01])
+    assert _first_scan_blocks(sos3, comps, **args) == whole
+    # Ns=1 luma: non-padded grid ceil(32/8)^2 = 16
+    sos1 = bytes([1, 1, 0x00, 0, 0, 0x01])
+    assert _first_scan_blocks(sos1, comps, **args) == 16
+    # Ns=1 chroma: component dims 16x16 -> 4 blocks
+    sos_c = bytes([1, 2, 0x00, 0, 0, 0x01])
+    assert _first_scan_blocks(sos_c, comps, **args) == 4
+    # malformed/truncated SOS falls back to the whole-frame count
+    assert _first_scan_blocks(b"", comps, **args) == whole
+    assert _first_scan_blocks(bytes([3, 1]), comps, **args) == whole

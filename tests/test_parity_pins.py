@@ -41,3 +41,25 @@ def test_parity_pins_are_fresh_for_family_and_kernel_sources():
         " tools/pin_production_families.py at sf0.1 and add the fresh"
         " PIN lines + source-sha to PARITY.md"
     )
+
+
+def test_jpeg_pins_match_live_recompute():
+    """The jpeg_decode_stats oracle replays pinned decode(encode(x))
+    literals (JPEG is lossy, so no formula oracle can recompute them
+    independently). This test is the freshness guard: every pin row —
+    dims, decoded-pixel sha256, and the 8 Spark-rounded lanes — is
+    recomputed live from the committed codec, so any encoder/decoder
+    change fails HERE before the driver gate can go stale. Refresh
+    with: python tools/gen_jpeg_pins.py"""
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_jpeg_pins import compute_pins
+
+    from exporter_spark.queries.multimodal import _JPEG_PINS, _JPEG_VARIANTS
+
+    live = compute_pins()
+    assert len(_JPEG_PINS) == len(_JPEG_VARIANTS) == len(live)
+    for committed, fresh in zip(_JPEG_PINS, live):
+        assert tuple(committed) == tuple(fresh), (
+            f"variant {committed[0]}: committed pin != live recompute —"
+            " run python tools/gen_jpeg_pins.py"
+        )

@@ -14,21 +14,25 @@ window, so the driver gate always checks the current code, never the
 pre-change version it already verified.
 
 Round-12 arithmetic change: the registry outgrew 100 entries, so two
-consecutive 50-slot windows can no longer cover it exactly — one
-entry pair must sit out each round.  The carryover set is pinned
-explicitly (``_R14_CARRYOVER``): it must stay tiny, consist only of
+consecutive 50-slot windows can no longer cover it exactly — some
+entries must sit out each round.  The carryover set is pinned
+explicitly (``_R15_CARRYOVER``): it must stay small, consist only of
 thin derivatives of operators whose flagship entries ARE in-window,
 and rotate back in the following round (each member's absence is
 bounded meanwhile by the committed full-registry sf0.01 replay + the
 pytest oracle gate, both of which cover the WHOLE registry every
-round).
+round).  Round 15: five carryovers — the touched-code rule forced
+three multimodal entries into the relational-half window (the round
+changed the extract_features/resize_media defaults and added
+jpeg_decode_stats), displacing two extra relational entries on top of
+the structural three.
 """
 
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R13_WINDOW,
-    _R14_CARRYOVER,
+    _R14_WINDOW,
+    _R15_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -44,12 +48,12 @@ def test_window_is_the_first_50_entries():
 def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
-    round it is registered.  The explicit carryover pair is the one
-    sanctioned exception (102 entries, 100 slots across two rounds);
-    its members were driver-green in CORRECTNESS_r12 with unchanged
+    round it is registered.  The explicit carryover set is the one
+    sanctioned exception (103 entries, 100 slots across two rounds);
+    its members were driver-green in CORRECTNESS_r13 with unchanged
     plans since."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R13_WINDOW - _R14_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R14_WINDOW - _R15_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
@@ -64,49 +68,56 @@ def test_window_has_no_duplicates_or_unknowns():
 
 
 def test_window_pair_covers_all_but_the_pinned_carryovers():
-    """At 102 registered queries the window pair covers everything
-    except the pinned carryover pair.  Round 14 has NO window overlap:
-    the one r13 overlap entry (incremental_minhash_survivors) was
-    verified on its current code in the r13 window and its module is
-    untouched this round.  The carryover set itself must stay a pair
-    of thin derivatives — growth here would mean the rotation
-    contract is eroding."""
-    assert len(QUERIES) == 102
-    assert set(DRIVER_WINDOW) | _R13_WINDOW | _R14_CARRYOVER == set(QUERIES)
-    assert not (set(DRIVER_WINDOW) & _R13_WINDOW)
-    assert _R14_CARRYOVER == {"cosine_topk_scan", "exact_substring_strip"}
-    assert not (_R14_CARRYOVER & set(DRIVER_WINDOW))
-    assert not (_R14_CARRYOVER & _R13_WINDOW)
-    # the carryovers' flagship parents ARE in-window
-    assert {"cosine_topk", "exact_substring_spans"} <= set(DRIVER_WINDOW)
-    # the q1/q3 canaries alternate with the flagship half (IN this
-    # round, riding the flagship block)
-    assert {"q1_pricing_summary", "q3_top_orders"} <= set(DRIVER_WINDOW)
+    """At 103 registered queries the window pair covers everything
+    except the pinned carryovers.  Round 15 has THREE window-overlap
+    entries (media_decode_stats, multimodal_feature_stats were
+    verified in the r14 window AND ride again because this round
+    changed the extract_features/auto_decoder defaults they execute;
+    jpeg_decode_stats is new), so five relational-half members sit
+    out — each a thin derivative of an in-window flagship. Growth of
+    this set beyond what the touched-code rule forces would mean the
+    rotation contract is eroding."""
+    assert len(QUERIES) == 103
+    assert set(DRIVER_WINDOW) | _R14_WINDOW | _R15_CARRYOVER == set(QUERIES)
+    overlap = set(DRIVER_WINDOW) & _R14_WINDOW
+    assert overlap == {"media_decode_stats", "multimodal_feature_stats"}
+    assert _R15_CARRYOVER == {
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "quality_by_source",
+        "docs_sample_deterministic",
+    }
+    assert not (_R15_CARRYOVER & set(DRIVER_WINDOW))
+    # the carryovers' flagship parents ARE in-window: the three
+    # formatter framings derive from tostring_events; the two
+    # curation components compose inside curation_pipeline
+    assert {"tostring_events", "curation_pipeline"} <= set(DRIVER_WINDOW)
+    # the q1/q3 canaries alternate with the flagship half (OUT this
+    # round, riding the r14 flagship window)
+    assert {"q1_pricing_summary", "q3_top_orders"} <= _R14_WINDOW
 
 
-def test_round14_window_holds_the_new_code():
+def test_round15_window_holds_the_new_code():
     """The standing rule: code a round touches sits in-window that
-    round.  Round 14 leads with the r13 carryover pair (the rotation
-    contract bounds their absence to one round-pair) followed by the
-    new media_decode_stats — the entry that finally puts the real
-    PNG/BMP/PPM/WAV codecs under the driver gate (VERDICT r13 #1).
-    Round 14 also touches the IVF defaults, so both IVF entries must
-    ride."""
+    round.  Round 15 leads with the r14 carryover pair, then the new
+    jpeg_decode_stats (the JPEG codec under the driver gate via
+    pinned decode(encode(x)) literals), then the two multimodal
+    entries whose executed defaults this round changed."""
     first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[0] == "bpe_token_stats_by_lang"
-    assert DRIVER_WINDOW[1] == "cube_order_stats"
-    assert DRIVER_WINDOW[2] == "media_decode_stats"
-    assert {"ivf_fixed_topk", "ivf_ann_topk"} <= first_50
-    # the changed multimodal module's other entry rides too
-    assert "multimodal_feature_stats" in first_50
-    # spot-check the flagship families rotated back in
+    assert DRIVER_WINDOW[0] == "cosine_topk_scan"
+    assert DRIVER_WINDOW[1] == "exact_substring_strip"
+    assert DRIVER_WINDOW[2] == "jpeg_decode_stats"
+    assert DRIVER_WINDOW[3] == "media_decode_stats"
+    assert DRIVER_WINDOW[4] == "multimodal_feature_stats"
+    # spot-check the relational/formatter families rotated back in
     assert {
-        "dedup_exact_docs",
-        "minhash_near_dup_pairs",
-        "cosine_topk",
-        "gopher_quality_signals",
-        "dsir_importance_weights",
-        "retention_cohorts",
+        "tostring_events",
+        "q2_min_cost_supplier",
+        "events_sessions",
+        "incremental_exact_survivors",
+        "token_stats_by_lang",
+        "approx_distinct_events",
     } <= first_50
 
 
