@@ -988,12 +988,14 @@ def _ensure_pickle_by_value() -> None:
         return
     import sys as _sys
 
+    from exporter_spark.operators import avi as _avi_mod
     from exporter_spark.operators import jpeg as _jpeg_mod
 
     try:
         from pyspark import cloudpickle as _cp
 
         _cp.register_pickle_by_value(_jpeg_mod)
+        _cp.register_pickle_by_value(_avi_mod)
         _cp.register_pickle_by_value(_sys.modules[__name__])
         _PICKLE_BY_VALUE_DONE = True
     except Exception as ex:  # pragma: no cover - older pyspark fallback
@@ -1237,6 +1239,8 @@ def probe_media(
         data = bytes(payload or b"")
         head = data[:12]
         try:
+            if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                return _avi_probe(data)
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                 with wave.open(io.BytesIO(data), "rb") as wv:
                     rate = wv.getframerate()
@@ -1361,6 +1365,43 @@ def probe_media(
                             w, h = tw >> 16, th >> 16
         return ("video", "mp4", w, h, dur_ms)
 
+    def _avi_probe(data: bytes):
+        import struct
+
+        def chunks(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                tag = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if body + size > hi:
+                    raise ValueError("bad AVI chunk size")
+                if tag in (b"RIFF", b"LIST"):
+                    yield data[body : body + 4], body + 4, body + size
+                else:
+                    yield tag, body, body + size
+                pos = body + size + (size & 1)
+
+        w = h = None
+        us_per_frame = total = 0
+        (riff_size,) = struct.unpack_from("<I", data, 4)
+        for tag, lo, end in chunks(12, min(len(data), 8 + riff_size)):
+            if tag != b"hdrl":
+                continue
+            for t2, l2, e2 in chunks(lo, end):
+                if t2 == b"avih" and e2 - l2 >= 40:
+                    (us_per_frame,) = struct.unpack_from("<I", data, l2)
+                    (total,) = struct.unpack_from("<I", data, l2 + 16)
+                    w, h = struct.unpack_from("<II", data, l2 + 32)
+        if w is None:
+            raise ValueError("AVI without avih header")
+        dur = (
+            int(us_per_frame * total / 1000)
+            if us_per_frame and total
+            else None
+        )
+        return ("video", "avi", int(w) or None, int(h) or None, dur)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ("media_type", "format", "width", "height", "duration_ms")
         for pdf in batches:
@@ -1417,32 +1458,71 @@ def resize_media(
 def video_frame_decoder(
     every_ms: int = 1000, max_frames: int = 64
 ) -> Callable[[bytes], np.ndarray]:
-    """Real video FRAME decode — the one media path that genuinely
-    needs an external codec (H.264/VP9/AV1 entropy decode is far
-    beyond a stdlib+numpy reimplementation, unlike the five formats
-    that decode for real here). Dependency-gated: with ``cv2``
-    installed this returns a working sampler (payload → uint8
-    ``(n_frames, H, W, 3)`` RGB, one frame per ``every_ms``, capped
-    at ``max_frames``); without it, it raises ``NotImplementedError``
-    AT FACTORY TIME naming the missing dependency — per the
-    do-not-fake rule, no digest-derived pretend frames on this seam.
-    MP4 *metadata* probing (:func:`probe_media`) and frame-timestamp
-    fan-out (:func:`sample_frames`) work without cv2.
+    """Real video FRAME decode (payload → uint8 ``(n_frames, H, W,
+    3)`` RGB, one frame per ``every_ms``, capped at ``max_frames``).
 
-    The cv2 branch is real, committed, and exercised by a
-    ``skipif(no cv2)`` test (tests/test_jpeg.py) so the seam
-    activates the day the runtime gains the dependency."""
+    Two real paths, no fakes (round 15):
+
+    * **MJPEG-in-AVI decodes with ZERO external deps** — the RIFF
+      container walk (:mod:`exporter_spark.operators.avi`) feeds each
+      '##dc' frame to the committed :mod:`jpeg` decoder, including
+      frames that omit their DHT per the MJPEG convention (the Annex
+      K tables are spliced in, exactly as libjpeg players do).
+    * Every other container/codec (H.264/VP9/AV1 entropy decode is
+      far beyond a stdlib+numpy reimplementation) uses ``cv2`` when
+      installed. Without cv2 such payloads raise
+      ``NotImplementedError`` AT DECODE TIME naming the dependency —
+      per the do-not-fake rule, no digest-derived pretend frames.
+      (Pre-r15 this factory raised at FACTORY time when cv2 was
+      absent; now that MJPEG-AVI decodes for real, the refusal moved
+      to the rows that actually need cv2.)
+
+    The cv2 branch reads SEQUENTIALLY and selects frames by comparing
+    ``CAP_PROP_POS_MSEC`` timestamps against the next tick (round-15
+    ADVICE: per-frame ``cap.set(POS_MSEC)`` seeks duplicate or skip
+    frames on VFR/poorly-indexed streams, and are seek-per-frame
+    slow). MP4 *metadata* probing (:func:`probe_media`) and
+    frame-timestamp fan-out (:func:`sample_frames`) need neither
+    path."""
+    _ensure_pickle_by_value()
+    # bound at factory time so the closure CAPTURES the (by-value
+    # registered) avi functions instead of importing the package on
+    # the executor
+    from exporter_spark.operators.avi import (
+        _MJPEG_FOURCC,
+        parse_avi,
+        sample_mjpeg_frames,
+    )
+
     try:
         import cv2  # noqa: F401
-    except ImportError as ex:
-        raise NotImplementedError(
-            "video frame decode needs cv2 (opencv-python); it is not"
-            " installed in this environment. MP4 metadata probing"
-            " (probe_media) and frame fan-out (sample_frames) work"
-            " without it; swap in this decoder when cv2 is available."
-        ) from ex
+
+        have_cv2 = True
+    except ImportError:
+        have_cv2 = False
 
     def decode(payload: bytes) -> np.ndarray:
+        data = bytes(payload or b"")
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            fourcc = parse_avi(data)[5]
+            if fourcc in _MJPEG_FOURCC:
+                return sample_mjpeg_frames(
+                    data, every_ms=every_ms, max_frames=max_frames
+                )
+            if not have_cv2:
+                raise NotImplementedError(
+                    f"AVI video stream {fourcc!r} needs cv2"
+                    " (opencv-python), which is not installed;"
+                    " MJPEG-in-AVI decodes without it"
+                )
+        elif not have_cv2:
+            raise NotImplementedError(
+                "video frame decode for non-MJPEG-AVI payloads needs"
+                " cv2 (opencv-python), which is not installed."
+                " MJPEG-in-AVI decodes for real without it; MP4"
+                " metadata probing (probe_media) and frame fan-out"
+                " (sample_frames) also work without it."
+            )
         import os
         import tempfile
 
@@ -1452,20 +1532,24 @@ def video_frame_decoder(
         fd, path = tempfile.mkstemp(suffix=".mp4")
         try:
             with os.fdopen(fd, "wb") as f:
-                f.write(bytes(payload or b""))
+                f.write(data)
             cap = _cv2.VideoCapture(path)
             if not cap.isOpened():
                 raise ValueError("undecodable video payload: cv2 open failed")
             try:
                 frames = []
-                t = 0.0
+                next_t = 0.0
                 while len(frames) < max_frames:
-                    cap.set(_cv2.CAP_PROP_POS_MSEC, t)
+                    # timestamp of the frame about to be decoded
+                    ts = cap.get(_cv2.CAP_PROP_POS_MSEC)
                     ok, frame = cap.read()
                     if not ok:
                         break
+                    if ts + 1e-9 < next_t:
+                        continue
                     frames.append(frame[:, :, ::-1])  # BGR -> RGB
-                    t += every_ms
+                    while next_t <= ts + 1e-9:
+                        next_t += every_ms
             finally:
                 # a cv2.error mid-loop must not leak the demuxer/file
                 # handles — executors decode many rows per process

@@ -1,0 +1,163 @@
+"""MJPEG-in-AVI: the zero-dependency real video frame path (r15).
+
+The RIFF walk + the committed JPEG decoder make video_frame_decoder
+REAL for MJPEG AVIs with no external codec; these tests pin the
+container walk, the omitted-DHT MJPEG convention, the sampling
+contract (shared with the cv2 branch), the corruption contract, and
+the Spark/pickle plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from exporter_spark.operators import avi, multimodal
+from exporter_spark.operators.jpeg import jpeg_decoder
+
+
+def _frames(n=6, h=24, w=32, gray=False):
+    out = []
+    for i in range(n):
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        px = ((i * 41 + 29 * r + 5 * c + 11 * k) % 256).astype(np.uint8)
+        out.append(px[:, :, 0] if gray else px)
+    return out
+
+
+def test_mjpeg_avi_roundtrip_exact():
+    """Frames decoded from the container are EXACTLY the jpeg
+    round-trip of each embedded payload — the container walk adds no
+    loss on top of the codec's."""
+    frames = _frames(4)
+    payload = avi.encode_avi_mjpeg(frames, fps=10, quality=90)
+    dec = multimodal.video_frame_decoder(every_ms=100, max_frames=64)
+    out = dec(payload)
+    assert out.shape == (4, 24, 32, 3) and out.dtype == np.uint8
+    jd = jpeg_decoder()
+    from exporter_spark.operators.jpeg import encode_jpeg
+
+    for i, f in enumerate(frames):
+        expect = jd.pixels(encode_jpeg(f, quality=90, subsampling="420"))
+        assert np.array_equal(out[i], expect)
+
+
+def test_mjpeg_avi_sampling_contract():
+    """Sequential tick selection: fps=10 (100 ms/frame), every 250 ms
+    -> frames 0, 3, 5, 8 (a frame is kept when its timestamp reaches
+    the next tick; the tick then advances past it — no duplicates)."""
+    frames = _frames(10)
+    payload = avi.encode_avi_mjpeg(frames, fps=10)
+    dec = multimodal.video_frame_decoder(every_ms=250, max_frames=64)
+    out = dec(payload)
+    jd = jpeg_decoder()
+    from exporter_spark.operators.jpeg import encode_jpeg
+
+    expect_idx = [0, 3, 5, 8]
+    assert out.shape[0] == len(expect_idx)
+    for got, i in zip(out, expect_idx):
+        expect = jd.pixels(
+            encode_jpeg(frames[i], quality=90, subsampling="420")
+        )
+        assert np.array_equal(got, expect)
+    # max_frames caps the output
+    capped = multimodal.video_frame_decoder(every_ms=100, max_frames=3)(
+        payload
+    )
+    assert capped.shape[0] == 3
+
+
+def test_mjpeg_omitted_dht_convention():
+    """MJPEG frames may omit DHT (players supply the Annex K tables);
+    the stripped container must decode IDENTICALLY to the unstripped
+    one."""
+    frames = _frames(3)
+    full = avi.encode_avi_mjpeg(frames, fps=5)
+    bare = avi.encode_avi_mjpeg(frames, fps=5, strip_dht=True)
+    assert len(bare) < len(full)  # tables really were dropped
+    dec = multimodal.video_frame_decoder(every_ms=200, max_frames=8)
+    assert np.array_equal(dec(full), dec(bare))
+
+
+def test_mjpeg_gray_frames_broadcast_to_rgb():
+    frames = _frames(2, gray=True)
+    payload = avi.encode_avi_mjpeg(frames, fps=4)
+    out = multimodal.video_frame_decoder(every_ms=250)(payload)
+    assert out.shape == (2, 24, 32, 3)
+    assert np.array_equal(out[0][:, :, 0], out[0][:, :, 1])
+
+
+def test_avi_corruption_contract():
+    frames = _frames(2)
+    payload = avi.encode_avi_mjpeg(frames, fps=4)
+    dec = multimodal.video_frame_decoder()
+    # truncation inside movi -> named refusal, not a numpy error
+    with pytest.raises(ValueError, match="undecodable"):
+        dec(payload[: len(payload) // 2])
+    # a non-MJPEG vids stream: zero-dep path refuses by name; without
+    # cv2 the decoder raises NotImplementedError naming the dependency
+    h264 = bytearray(payload)
+    idx = h264.find(b"vids" + b"MJPG")
+    assert idx > 0
+    h264[idx + 4 : idx + 8] = b"H264"
+    try:
+        import cv2  # noqa: F401
+
+        have_cv2 = True
+    except ImportError:
+        have_cv2 = False
+    if not have_cv2:
+        with pytest.raises(NotImplementedError, match="cv2"):
+            dec(bytes(h264))
+        # non-AVI, non-MJPEG payloads also name the missing dependency
+        with pytest.raises(NotImplementedError, match="cv2"):
+            dec(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    # AVI with no video stream at all
+    with pytest.raises(ValueError, match="no video stream"):
+        avi.parse_avi(b"RIFF" + (12).to_bytes(4, "little") + b"AVI " + b"JUNK" + (0).to_bytes(4, "little"))
+
+
+def test_probe_media_classifies_avi(spark):
+    frames = _frames(5)
+    payload = avi.encode_avi_mjpeg(frames, fps=10)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), None)], multimodal.media_schema()
+    )
+    row = multimodal.probe_media(df).collect()[0]
+    m = row["meta"]
+    assert (m["media_type"], m["format"]) == ("video", "avi")
+    assert (m["width"], m["height"]) == (32, 24)
+    assert m["duration_ms"] == 500  # 5 frames at 100 ms
+
+
+def test_video_decoder_through_spark(spark):
+    """The decoder closure ships to executor workers and samples
+    frames from a payload column (Arrow-batched)."""
+    import pandas as pd
+
+    frames = _frames(4)
+    payload = avi.encode_avi_mjpeg(frames, fps=10)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), None), (2, bytearray(payload), None)],
+        multimodal.media_schema(),
+    )
+    dec = multimodal.video_frame_decoder(every_ms=100, max_frames=8)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": [
+                        dec(bytes(p)).shape[0] for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    out = df.mapInPandas(run, "media_id long, n_frames int").collect()
+    assert sorted((r["media_id"], r["n_frames"]) for r in out) == [
+        (1, 4),
+        (2, 4),
+    ]

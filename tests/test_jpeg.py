@@ -273,14 +273,17 @@ def _has_cv2() -> bool:
         return False
 
 
-@pytest.mark.skipif(_has_cv2(), reason="cv2 installed: stub inactive")
-def test_video_frame_decoder_honest_stub_without_cv2():
-    """The video seam refuses AT FACTORY TIME with the dependency
-    named — never digest-derived fake frames (the do-not-fake rule).
-    This test self-retires when the sandbox gains cv2 and the skipif
-    twin below takes over (VERDICT r13 next #8)."""
+@pytest.mark.skipif(_has_cv2(), reason="cv2 installed: gate inactive")
+def test_video_frame_decoder_row_level_gate_without_cv2():
+    """Round 15: the factory always succeeds now that MJPEG-in-AVI
+    decodes for real with zero deps (tests/test_avi.py); the
+    dependency refusal moved to the ROWS that actually need cv2 —
+    named NotImplementedError, never digest-derived fake frames (the
+    do-not-fake rule). This test self-retires when the sandbox gains
+    cv2 and the skipif twin below takes over."""
+    dec = multimodal.video_frame_decoder()
     with pytest.raises(NotImplementedError, match="cv2"):
-        multimodal.video_frame_decoder()
+        dec(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)  # MP4 magic
 
 
 @pytest.mark.skipif(not _has_cv2(), reason="cv2 not installed")
@@ -573,24 +576,32 @@ def test_auto_decoder_pickles_by_value_without_package():
 
     from pyspark import cloudpickle
 
+    from exporter_spark.operators.avi import encode_avi_mjpeg
+
     dec = multimodal.auto_decoder()
     rz = multimodal.image_resizer()
+    vdec = multimodal.video_frame_decoder(every_ms=100)
     payload = jpeg.encode_jpeg(np.full((8, 8, 3), 77, np.uint8), quality=95)
+    clip = encode_avi_mjpeg(
+        [np.full((8, 8, 3), i * 30, np.uint8) for i in range(3)], fps=10
+    )
     with tempfile.TemporaryDirectory() as td:
         blob = os.path.join(td, "blob.pkl")
         with open(blob, "wb") as f:
-            cloudpickle.dump((dec, rz, payload), f)
+            cloudpickle.dump((dec, rz, vdec, payload, clip), f)
         script = f"""
 import sys
 sys.path = [p for p in sys.path if "repo" not in p]
 sys.modules.pop("exporter_spark", None)
 import pickle
 with open({blob!r}, "rb") as f:
-    dec, rz, payload = pickle.load(f)
+    dec, rz, vdec, payload, clip = pickle.load(f)
 feats = dec(payload)
 assert feats.shape == (8,), feats
 out = rz(payload, 4, 4)
 assert out[:3] == b"\\xff\\xd8\\xff"
+frames = vdec(clip)
+assert frames.shape == (3, 8, 8, 3), frames.shape
 print("PICKLE_BY_VALUE_OK")
 """
         proc = subprocess.run(
