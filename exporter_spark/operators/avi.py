@@ -87,7 +87,11 @@ def parse_avi(payload: bytes):
                 elif t2 == b"strl":
                     is_vids = False
                     for t3, l3, e3 in _riff_chunks(data, l2, e2):
-                        if t3 == b"strh" and e3 - l3 >= 32:
+                        # 36: the unpack below reads l3+20..l3+36
+                        # (round-15 review: >=32 read 4 bytes of the
+                        # next chunk's header into n_frames, or raised
+                        # an uncontracted struct.error at buffer end)
+                        if t3 == b"strh" and e3 - l3 >= 36:
                             if data[l3 : l3 + 4] == b"vids":
                                 is_vids = True
                                 if stream_no is None:
@@ -112,9 +116,19 @@ def parse_avi(payload: bytes):
                             height = abs(height)
         elif tag == b"movi" and stream_no is not None:
             want = b"%02d" % stream_no
-            for t2, l2, e2 in _riff_chunks(data, lo, end):
-                if t2[:2] == want and t2[2:4] in (b"dc", b"db"):
-                    frame_spans.append((l2, e2))
+
+            def walk_movi(lo2: int, hi2: int) -> None:
+                for t2, l2, e2 in _riff_chunks(data, lo2, hi2):
+                    if t2 == b"rec ":
+                        # interleave grouping LIST (AVI spec; emitted
+                        # by VirtualDub-style muxers) — frames live
+                        # one level down (round-15 review, confirmed
+                        # by repro)
+                        walk_movi(l2, e2)
+                    elif t2[:2] == want and t2[2:4] in (b"dc", b"db"):
+                        frame_spans.append((l2, e2))
+
+            walk_movi(lo, end)
     if stream_no is None:
         raise ValueError("undecodable AVI payload: no video stream")
     if not frame_spans:
@@ -167,16 +181,27 @@ def _ensure_dht(frame: bytes) -> bytes:
 
 
 def sample_mjpeg_frames(
-    payload: bytes, every_ms: int = 1000, max_frames: int = 64
+    payload: bytes,
+    every_ms: int = 1000,
+    max_frames: int = 64,
+    parsed=None,
 ) -> np.ndarray:
     """Decode MJPEG-in-AVI to uint8 ``(n_frames, H, W, 3)`` RGB, one
     frame per ``every_ms`` (sequential walk: a frame is kept when its
     timestamp reaches the next tick, then the tick advances past it —
     the same no-duplicate selection the cv2 branch uses), capped at
     ``max_frames``. Grayscale MJPEG frames broadcast to 3 channels so
-    the output shape contract is codec-independent."""
+    the output shape contract is codec-independent. ``parsed`` skips
+    the container re-walk when the caller already ran
+    :func:`parse_avi` (video_frame_decoder does, for the fourcc
+    route). A stream with ``rate == 0`` (sloppy muxers) is UNTIMED:
+    tick selection needs timestamps, so every frame is returned up to
+    ``max_frames`` rather than silently collapsing to one frame
+    (round-15 review)."""
     data = bytes(payload or b"")
-    _w, _h, scale, rate, _n, fourcc, spans = parse_avi(data)
+    _w, _h, scale, rate, _n, fourcc, spans = (
+        parsed if parsed is not None else parse_avi(data)
+    )
     if fourcc not in _MJPEG_FOURCC:
         raise ValueError(
             f"AVI video stream is {fourcc!r}, not MJPEG — this payload"
@@ -185,12 +210,13 @@ def sample_mjpeg_frames(
     decode = jpeg_decoder()
     frames = []
     next_t = 0.0
-    ms_per_frame = 1000.0 * scale / rate if rate else 0.0
+    untimed = not rate or not scale
+    ms_per_frame = 1000.0 * scale / rate if not untimed else 0.0
     for i, (lo, hi) in enumerate(spans):
         if len(frames) >= max_frames:
             break
         ts = i * ms_per_frame
-        if ts + 1e-9 < next_t:
+        if not untimed and ts + 1e-9 < next_t:
             continue
         px = decode.pixels(_ensure_dht(data[lo:hi]))
         if px.ndim == 2:

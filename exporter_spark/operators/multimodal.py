@@ -21,10 +21,11 @@ fixture-side inverse (:func:`encode_wav`, :func:`encode_png`,
 frames. VIDEO frame decode is the one dependency-gated seam — the
 runtime container has no cv2/imageio and an honest stub beats a fake
 (MP4 *metadata* probing is real: :func:`probe_media` walks the box
-structure). :func:`video_frame_decoder` is the ready-made swap-in: a
-working cv2 frame sampler when cv2 is installed, a
-``NotImplementedError`` naming the dependency at factory time
-otherwise. Fakes are EXPLICIT opt-ins only (:func:`stub_decoder`,
+structure). :func:`video_frame_decoder` decodes MJPEG-in-AVI for real
+with zero deps (:mod:`exporter_spark.operators.avi`); other video
+codecs use cv2 when installed, else raise ``NotImplementedError``
+naming the dependency at decode time for the rows that need it.
+Fakes are EXPLICIT opt-ins only (:func:`stub_decoder`,
 :func:`stub_resizer`) — since round 15 the ``extract_features`` /
 ``resize_media`` defaults are the real :func:`auto_decoder` /
 :func:`image_resizer`, which fail loudly on unrecognized magic
@@ -1229,6 +1230,13 @@ def probe_media(
     than failing: probing exists to classify, and "none of the known
     formats" is a classification. Arrow-batched mapInPandas,
     full-row pass-through like :func:`resize_media`."""
+    # the AVI probe shares the container walker with operators.avi
+    # (round-15 review: a near-verbatim copy can drift — e.g. the
+    # 'rec ' grouping fix would have missed it); by-value
+    # registration keeps the closure package-independent
+    _ensure_pickle_by_value()
+    from exporter_spark.operators.avi import _riff_chunks
+
     out_schema = df.schema
 
     def probe(payload: bytes):
@@ -1368,27 +1376,14 @@ def probe_media(
     def _avi_probe(data: bytes):
         import struct
 
-        def chunks(lo: int, hi: int):
-            pos = lo
-            while pos + 8 <= hi:
-                tag = data[pos : pos + 4]
-                (size,) = struct.unpack_from("<I", data, pos + 4)
-                body = pos + 8
-                if body + size > hi:
-                    raise ValueError("bad AVI chunk size")
-                if tag in (b"RIFF", b"LIST"):
-                    yield data[body : body + 4], body + 4, body + size
-                else:
-                    yield tag, body, body + size
-                pos = body + size + (size & 1)
-
         w = h = None
         us_per_frame = total = 0
         (riff_size,) = struct.unpack_from("<I", data, 4)
-        for tag, lo, end in chunks(12, min(len(data), 8 + riff_size)):
+        hi = min(len(data), 8 + riff_size)
+        for tag, lo, end in _riff_chunks(data, 12, hi):
             if tag != b"hdrl":
                 continue
-            for t2, l2, e2 in chunks(lo, end):
+            for t2, l2, e2 in _riff_chunks(data, lo, end):
                 if t2 == b"avih" and e2 - l2 >= 40:
                     (us_per_frame,) = struct.unpack_from("<I", data, l2)
                     (total,) = struct.unpack_from("<I", data, l2 + 16)
@@ -1504,17 +1499,34 @@ def video_frame_decoder(
     def decode(payload: bytes) -> np.ndarray:
         data = bytes(payload or b"")
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-            fourcc = parse_avi(data)[5]
-            if fourcc in _MJPEG_FOURCC:
-                return sample_mjpeg_frames(
-                    data, every_ms=every_ms, max_frames=max_frames
-                )
-            if not have_cv2:
-                raise NotImplementedError(
-                    f"AVI video stream {fourcc!r} needs cv2"
-                    " (opencv-python), which is not installed;"
-                    " MJPEG-in-AVI decodes without it"
-                )
+            # one container walk per row: the parse is reused by the
+            # sampler (round-15 review: it ran twice per payload)
+            try:
+                parsed = parse_avi(data)
+                fourcc = parsed[5]
+                if fourcc in _MJPEG_FOURCC:
+                    return sample_mjpeg_frames(
+                        data,
+                        every_ms=every_ms,
+                        max_frames=max_frames,
+                        parsed=parsed,
+                    )
+            except ValueError:
+                # an AVI shape the zero-dep path cannot handle (e.g.
+                # a jpeg feature jpeg_decoder refuses, field-
+                # interlaced MJPA) — with cv2 installed the working
+                # demuxer must get its pre-r15 chance instead of the
+                # row failing (round-15 review); without it the named
+                # refusal stands
+                if not have_cv2:
+                    raise
+            else:
+                if not have_cv2:
+                    raise NotImplementedError(
+                        f"AVI video stream {fourcc!r} needs cv2"
+                        " (opencv-python), which is not installed;"
+                        " MJPEG-in-AVI decodes without it"
+                    )
         elif not have_cv2:
             raise NotImplementedError(
                 "video frame decode for non-MJPEG-AVI payloads needs"
@@ -1540,7 +1552,13 @@ def video_frame_decoder(
                 frames = []
                 next_t = 0.0
                 while len(frames) < max_frames:
-                    # timestamp of the frame about to be decoded
+                    # timestamp of the frame about to be decoded.
+                    # Backend caveat (round-15 review): some OpenCV
+                    # builds report the LAST-decoded frame's pts here,
+                    # shifting selection by one frame; verify against
+                    # the deployed cv2 before relying on exact tick
+                    # indices (the MJPEG-AVI path is exact and
+                    # dependency-free)
                     ts = cap.get(_cv2.CAP_PROP_POS_MSEC)
                     ok, frame = cap.read()
                     if not ok:

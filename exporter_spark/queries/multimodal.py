@@ -105,8 +105,9 @@ def _multimodal_oracle(n_features: int = 4) -> str:
 def multimodal_feature_stats(spark, sf_dir):
     """Decode runs as an Arrow-batched mapInPandas over binary payloads;
     the hex-chain decoder variant keeps the floats SQL-expressible so
-    this path gets a value-level gate (the default byte-chain
-    stub_decoder stays the production default, pytest-covered)."""
+    this path gets a value-level gate (as of r15 the production
+    default is the REAL auto_decoder; stub_decoder is the explicit
+    plumbing-test opt-in)."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),

@@ -161,3 +161,84 @@ def test_video_decoder_through_spark(spark):
         (1, 4),
         (2, 4),
     ]
+
+
+def test_rec_grouped_movi_decodes():
+    """AVI spec allows movi frames wrapped in 'rec ' grouping LISTs
+    (VirtualDub-style interleave); the walk must recurse into them
+    (round-15 review, was a confirmed decode failure)."""
+    import struct
+
+    frames = _frames(3)
+    payload = avi.encode_avi_mjpeg(frames, fps=10)
+    w, h, scale, rate, n, fourcc, spans = avi.parse_avi(payload)
+    data = bytes(payload)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    # rebuild: same headers, movi body with each 00dc inside LIST 'rec '
+    movi_body = b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", data[lo:hi]))
+        for lo, hi in spans
+    )
+    movi_start = data.find(b"LIST", 12)
+    while data[movi_start + 8 : movi_start + 12] != b"movi":
+        movi_start = data.find(b"LIST", movi_start + 1)
+    head = data[12:movi_start]
+    rebuilt_body = b"AVI " + head + chunk(b"LIST", b"movi" + movi_body)
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    out = multimodal.video_frame_decoder(every_ms=100)(rebuilt)
+    plain = multimodal.video_frame_decoder(every_ms=100)(payload)
+    assert np.array_equal(out, plain)
+
+
+def test_short_strh_named_refusal_not_struct_error():
+    """A vids strh shorter than the 36 bytes the parser reads must be
+    skipped (not parsed off the end of the chunk); with no other
+    video stream the payload refuses by name (round-15 review: was a
+    garbage n_frames read, or a raw struct.error at buffer end)."""
+    import struct
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    strh_short = b"vids" + b"MJPG" + b"\x00" * 24  # 32-byte body
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl"
+        + chunk(b"avih", b"\x00" * 56)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh_short)),
+    )
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\xff\xd8\xff\xd9"))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="no video stream"):
+        avi.parse_avi(payload)
+
+
+def test_rate_zero_stream_is_untimed():
+    """dwRate=0 (sloppy muxers): timestamps are unknowable, so every
+    frame returns up to max_frames — never a silent collapse to one
+    frame (round-15 review)."""
+    import struct
+
+    frames = _frames(5)
+    payload = bytearray(avi.encode_avi_mjpeg(frames, fps=10))
+    idx = bytes(payload).find(b"vids" + b"MJPG")
+    # strh body: fcc(8) + flags/prio/init(12) -> scale at +20, rate at +24
+    rate_off = idx + 24
+    assert struct.unpack_from("<I", payload, rate_off)[0] == 10
+    struct.pack_into("<I", payload, rate_off, 0)
+    out = multimodal.video_frame_decoder(every_ms=1000, max_frames=64)(
+        bytes(payload)
+    )
+    assert out.shape[0] == 5
+    capped = multimodal.video_frame_decoder(every_ms=1000, max_frames=2)(
+        bytes(payload)
+    )
+    assert capped.shape[0] == 2
