@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # Huffman loop is the dominant per-payload Python cost, so a
     # decoder-efficiency change moves this entry directly
     "jpeg_decode_stats",
+    # round 15 late: the GIF codec's perf observable — LZW encode +
+    # decode both ways per batch (static + 3-frame animations), probe
+    # walk, auto_decoder dispatch through the r15 default seam
+    "gif_decode_stats",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

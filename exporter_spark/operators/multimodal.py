@@ -990,6 +990,7 @@ def _ensure_pickle_by_value() -> None:
     import sys as _sys
 
     from exporter_spark.operators import avi as _avi_mod
+    from exporter_spark.operators import gif as _gif_mod
     from exporter_spark.operators import jpeg as _jpeg_mod
 
     try:
@@ -997,6 +998,7 @@ def _ensure_pickle_by_value() -> None:
 
         _cp.register_pickle_by_value(_jpeg_mod)
         _cp.register_pickle_by_value(_avi_mod)
+        _cp.register_pickle_by_value(_gif_mod)
         _cp.register_pickle_by_value(_sys.modules[__name__])
         _PICKLE_BY_VALUE_DONE = True
     except Exception as ex:  # pragma: no cover - older pyspark fallback
@@ -1026,6 +1028,7 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     must fail the row loudly, never fall back to fake features.
     Self-contained closure — pickles by value (the component
     closures it captures do too)."""
+    from exporter_spark.operators.gif import gif_decoder
     from exporter_spark.operators.jpeg import jpeg_decoder
 
     # the JPEG closures reference their module's tables/helpers, which
@@ -1042,6 +1045,7 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
     ppm = ppm_decoder()
     bmp = bmp_decoder()
     jpg = jpeg_decoder()
+    gifd = gif_decoder()
 
     def decode(payload: bytes):
         head = bytes(payload or b"")[:12]
@@ -1055,9 +1059,12 @@ def auto_decoder() -> Callable[[bytes], np.ndarray]:
             return bmp(payload)
         if head[:3] == b"\xff\xd8\xff":
             return jpg(payload)
+        if head[:6] in (b"GIF87a", b"GIF89a"):
+            return gifd(payload)
         raise ValueError(
             f"no decoder for payload magic {head[:8]!r}"
-            " (WAV/PNG/PGM/PPM/BMP/JPEG supported without external codecs)"
+            " (WAV/PNG/PGM/PPM/BMP/JPEG/GIF supported without external"
+            " codecs)"
         )
 
     return decode
@@ -1133,6 +1140,7 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     Unknown magic raises ``ValueError`` (same contract as
     :func:`auto_decoder`). Pickles by value; composes with
     :func:`resize_media`."""
+    from exporter_spark.operators.gif import encode_gif, gif_decoder
     from exporter_spark.operators.jpeg import encode_jpeg, jpeg_decoder
 
     # by-value pickling for the captured jpeg closures AND the
@@ -1144,6 +1152,7 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
     ppm = ppm_decoder()
     bmp = bmp_decoder()
     jpg = jpeg_decoder()
+    gifd = gif_decoder()
 
     def _grid(src: int, dst: int) -> np.ndarray:
         idx = np.round((np.arange(dst) + 0.5) * (src / dst) - 0.5)
@@ -1178,10 +1187,17 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
             # image pipeline that round-trips through JPEG
             px = jpg.pixels(payload)
             enc = lambda a: encode_jpeg(a, quality=90)  # noqa: E731
+        elif head[:6] in (b"GIF87a", b"GIF89a"):
+            # first frame; nearest-neighbor keeps the color set a
+            # subset of the source palette, so <=256 is guaranteed
+            # and the re-encode is lossless
+            px = gifd.pixels(payload)
+            enc = encode_gif
         else:
             raise ValueError(
                 f"no resizer for payload magic {head!r}"
-                " (PNG/PGM/PPM/BMP/JPEG supported without external codecs)"
+                " (PNG/PGM/PPM/BMP/JPEG/GIF supported without external"
+                " codecs)"
             )
         out = px[_grid(px.shape[0], h)][:, _grid(px.shape[1], w)]
         return enc(np.ascontiguousarray(out))
@@ -1236,6 +1252,7 @@ def probe_media(
     # registration keeps the closure package-independent
     _ensure_pickle_by_value()
     from exporter_spark.operators.avi import _riff_chunks
+    from exporter_spark.operators.gif import parse_gif as _parse_gif
 
     out_schema = df.schema
 
@@ -1247,6 +1264,14 @@ def probe_media(
         data = bytes(payload or b"")
         head = data[:12]
         try:
+            if head[:6] in (b"GIF87a", b"GIF89a"):
+                w, h, _bg, _gct, images = _parse_gif(data)
+                if len(images) > 1:
+                    # an animated GIF functions as a looping clip —
+                    # classify as video with the summed GCE delays
+                    dur = sum(g[2] * 10 for *_rest, g in images)
+                    return ("video", "gif", int(w), int(h), dur)
+                return ("image", "gif", int(w), int(h), None)
             if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
                 return _avi_probe(data)
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -1488,6 +1513,7 @@ def video_frame_decoder(
         parse_avi,
         sample_mjpeg_frames,
     )
+    from exporter_spark.operators.gif import sample_gif_frames
 
     try:
         import cv2  # noqa: F401
@@ -1498,6 +1524,11 @@ def video_frame_decoder(
 
     def decode(payload: bytes) -> np.ndarray:
         data = bytes(payload or b"")
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: the second zero-dependency video path
+            return sample_gif_frames(
+                data, every_ms=every_ms, max_frames=max_frames
+            )
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             # one container walk per row: the parse is reused by the
             # sampler (round-15 review: it ran twice per payload)

@@ -116,12 +116,17 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            contract) and the NEW jpeg_decode_stats (the round's
 #            headline: the JPEG codec under the driver gate via
 #            pinned decode(encode(x)) literals, VERDICT r14 #2), then
-#            media_decode_stats and multimodal_feature_stats (the
+#            the NEW gif_decode_stats (a sixth zero-dependency codec,
+#            landed mid-round under the strong formula oracle — GIF is
+#            lossless), media_decode_stats and multimodal_feature_stats (the
 #            round CHANGES the extract_features/auto_decoder defaults
 #            those entries execute — same touched-code rule that made
 #            the IVF entries ride in r14). At 103 entries with five
-#            flagship-half riders the carryover set is five —
-#            csv_lines_events, xml_rows_events, ndjson_lines_docs
+#            flagship-half riders the carryover set is six —
+#            csv_lines_events, xml_rows_events, ndjson_lines_docs,
+#            distinct_counts (a thin exact-aggregation sibling of the
+#            in-window mktsegment_stats/part_brand_stats scan+groupBy
+#            shapes)
 #            (framing derivatives of in-window tostring_events: same
 #            display pipeline, with CSV/XML quoting and JSON framing
 #            separately pinned by goldens + dual-path byte-parity
@@ -150,6 +155,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_scan",
     "exact_substring_strip",
     "jpeg_decode_stats",
+    "gif_decode_stats",
     "media_decode_stats",
     "multimodal_feature_stats",
     "dedup_cluster_sizes",
@@ -178,7 +184,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "q22_wealthy_low_activity",
     "top_customers_per_nation",
-    "distinct_counts",
     "mktsegment_stats",
     "customers_without_orders",
     "events_hourly",
@@ -278,6 +283,7 @@ _R14_WINDOW: frozenset[str] = frozenset(
 _R15_CARRYOVER: frozenset[str] = frozenset(
     {
         "csv_lines_events",
+        "distinct_counts",
         "docs_sample_deterministic",
         "ndjson_lines_docs",
         "quality_by_source",

@@ -532,3 +532,152 @@ def jpeg_decode_stats(spark, sf_dir):
         "pixel_sha",
         *lanes,
     )
+
+
+# =====================================================================
+# GIF under the driver gate (round 15). GIF is LOSSLESS for palette
+# frames, so unlike JPEG this codec takes the STRONG oracle: DuckDB
+# recomputes the expected lanes from the pixel formulas, independent
+# of any codec code. Payloads are per-doc (not per-variant): even
+# doc_ids carry a single-frame GIF, odd ones a 3-frame animation
+# (NETSCAPE loop + GCE delays), so the gate covers the LZW round
+# trip, the animation walk, probe classification (image vs video +
+# summed delays) AND the r15 extract_features default (auto_decoder
+# with no decoder= argument).
+# =====================================================================
+
+_GIF_H, _GIF_W, _GIF_COLORS, _GIF_FRAMES, _GIF_DELAY_MS = 11, 13, 32, 3, 150
+
+
+def _gif_fixture_frame(doc_id: int, f: int):
+    """Palette frame: color k = ((k*53)%256, (k*101)%256, (k*197)%256),
+    index(r,c) = (doc_id*13 + f*7 + r*5 + c*3) % 32. Frame 0 is the
+    static fixture, so animated and single-frame docs share one lane
+    formula."""
+    import numpy as np
+
+    k = np.arange(_GIF_COLORS, dtype=np.int64)
+    pal = np.stack(
+        [(k * 53) % 256, (k * 101) % 256, (k * 197) % 256], axis=1
+    ).astype(np.uint8)
+    r = np.arange(_GIF_H).reshape(_GIF_H, 1)
+    c = np.arange(_GIF_W).reshape(1, _GIF_W)
+    idx = (doc_id * 13 + f * 7 + r * 5 + c * 3) % _GIF_COLORS
+    return pal[idx]
+
+
+def _gif_decode_oracle() -> str:
+    h, w, nc = _GIF_H, _GIF_W, _GIF_COLORS
+    dur = (_GIF_FRAMES) * _GIF_DELAY_MS
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             ((doc_id*13 + r.r*5 + c.c*3) % {nc}) AS k
+      FROM documents
+      CROSS JOIN generate_series(0, {h - 1}) r(r)
+      CROSS JOIN generate_series(0, {w - 1}) c(c)
+    ),
+    lum AS (
+      SELECT doc_id,
+             (0.299*((k*53)%256) + 0.587*((k*101)%256)
+              + 0.114*((k*197)%256))/255.0 AS luma
+      FROM px
+    ),
+    stat AS (
+      SELECT doc_id, avg(luma) AS mu, min(luma) AS mn, max(luma) AS mx
+      FROM lum GROUP BY doc_id
+    ),
+    vr AS (
+      SELECT l.doc_id, avg((l.luma - s.mu)*(l.luma - s.mu)) AS v
+      FROM lum l JOIN stat s USING (doc_id) GROUP BY l.doc_id
+    )
+    SELECT s.doc_id AS media_id,
+           CASE WHEN s.doc_id % 2 = 1 THEN 'video' ELSE 'image' END
+             AS probed_type,
+           'gif' AS probed_format,
+           {w}::INTEGER AS probed_w, {h}::INTEGER AS probed_h,
+           (CASE WHEN s.doc_id % 2 = 1 THEN {dur} END)::BIGINT
+             AS probed_ms,
+           {w}.0::DOUBLE AS lane0, {h}.0::DOUBLE AS lane1,
+           3.0::DOUBLE AS lane2, 8.0::DOUBLE AS lane3,
+           round(s.mu::FLOAT::DOUBLE, 6) AS lane4,
+           round(sqrt(v.v)::FLOAT::DOUBLE, 6) AS lane5,
+           round(s.mn::FLOAT::DOUBLE, 6) AS lane6,
+           round(s.mx::FLOAT::DOUBLE, 6) AS lane7
+    FROM stat s JOIN vr v USING (doc_id)
+    """
+
+
+@_register("gif_decode_stats", _gif_decode_oracle())
+def gif_decode_stats(spark, sf_dir):
+    """The GIF codec end-to-end under the STRONG driver gate: every
+    documents row becomes a formula-generated palette GIF (even
+    doc_ids single-frame, odd ones a 3-frame GIF89a animation with
+    NETSCAPE loop + 150 ms GCE delays), encoded executor-side, PROBED
+    (probe_media must classify image-vs-video and sum the animation
+    delays from the container bytes) and decoded through the r15
+    PRODUCTION DEFAULT — extract_features with NO decoder argument,
+    i.e. auto_decoder's magic dispatch into gif_decoder. The oracle
+    recomputes every lane from the pixel formulas (GIF is lossless),
+    so encoder, LZW both ways, animation compositing, prober and
+    decoder must all be pixel-exact to pass."""
+    import pandas as pd
+
+    from exporter_spark.operators.gif import (
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                if doc_id % 2:
+                    payloads.append(
+                        encode_gif_animation(
+                            [
+                                _gif_fixture_frame(doc_id, f)
+                                for f in range(_GIF_FRAMES)
+                            ],
+                            delay_ms=_GIF_DELAY_MS,
+                        )
+                    )
+                else:
+                    payloads.append(encode_gif(_gif_fixture_frame(doc_id, 0)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [None] * len(payloads),
+                }
+            )
+
+    media = d.mapInPandas(encode, multimodal.media_schema())
+    probed = multimodal.probe_media(media)
+    meta = probed.select(
+        "media_id",
+        F.col("meta.media_type").alias("probed_type"),
+        F.col("meta.format").alias("probed_format"),
+        F.col("meta.width").alias("probed_w"),
+        F.col("meta.height").alias("probed_h"),
+        F.col("meta.duration_ms").alias("probed_ms"),
+    )
+    # the r15 default seam on purpose: no decoder= argument
+    feats = extract_features(media)
+    joined = feats.join(meta, "media_id")
+    lanes = [
+        F.round(F.col("features")[i].cast("double"), 6).alias(f"lane{i}")
+        for i in range(8)
+    ]
+    return joined.select(
+        "media_id",
+        "probed_type",
+        "probed_format",
+        "probed_w",
+        "probed_h",
+        "probed_ms",
+        *lanes,
+    )

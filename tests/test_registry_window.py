@@ -69,15 +69,16 @@ def test_window_has_no_duplicates_or_unknowns():
 
 def test_window_pair_covers_all_but_the_pinned_carryovers():
     """At 103 registered queries the window pair covers everything
-    except the pinned carryovers.  Round 15 has THREE window-overlap
+    except the pinned carryovers.  Round 15 has FOUR new/overlap
     entries (media_decode_stats, multimodal_feature_stats were
     verified in the r14 window AND ride again because this round
     changed the extract_features/auto_decoder defaults they execute;
-    jpeg_decode_stats is new), so five relational-half members sit
+    jpeg_decode_stats and gif_decode_stats are new), so six
+    relational-half members sit
     out — each a thin derivative of an in-window flagship. Growth of
     this set beyond what the touched-code rule forces would mean the
     rotation contract is eroding."""
-    assert len(QUERIES) == 103
+    assert len(QUERIES) == 104
     assert set(DRIVER_WINDOW) | _R14_WINDOW | _R15_CARRYOVER == set(QUERIES)
     overlap = set(DRIVER_WINDOW) & _R14_WINDOW
     assert overlap == {"media_decode_stats", "multimodal_feature_stats"}
@@ -87,6 +88,7 @@ def test_window_pair_covers_all_but_the_pinned_carryovers():
         "ndjson_lines_docs",
         "quality_by_source",
         "docs_sample_deterministic",
+        "distinct_counts",
     }
     assert not (_R15_CARRYOVER & set(DRIVER_WINDOW))
     # the carryovers' flagship parents ARE in-window: the three
@@ -108,8 +110,9 @@ def test_round15_window_holds_the_new_code():
     assert DRIVER_WINDOW[0] == "cosine_topk_scan"
     assert DRIVER_WINDOW[1] == "exact_substring_strip"
     assert DRIVER_WINDOW[2] == "jpeg_decode_stats"
-    assert DRIVER_WINDOW[3] == "media_decode_stats"
-    assert DRIVER_WINDOW[4] == "multimodal_feature_stats"
+    assert DRIVER_WINDOW[3] == "gif_decode_stats"
+    assert DRIVER_WINDOW[4] == "media_decode_stats"
+    assert DRIVER_WINDOW[5] == "multimodal_feature_stats"
     # spot-check the relational/formatter families rotated back in
     assert {
         "tostring_events",
