@@ -198,6 +198,8 @@ def sample_mjpeg_frames(
     tick selection needs timestamps, so every frame is returned up to
     ``max_frames`` rather than silently collapsing to one frame
     (round-15 review)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
     data = bytes(payload or b"")
     _w, _h, scale, rate, _n, fourcc, spans = (
         parsed if parsed is not None else parse_avi(data)

@@ -290,8 +290,13 @@ def gif_decoder():
     restore-to-previous) with transparency honored against the
     running canvas — the browser compositing model."""
 
-    def _frames(payload: bytes):
+    def _frames(payload: bytes, first_only: bool = False):
         w, h, bg, gct, images = parse_gif(payload)
+        if first_only:
+            # feature extraction / resize need only frame 0 — skip
+            # the other LZW decodes (round-15 review: a 200-frame
+            # animation cost 200 decodes for 8 first-frame lanes)
+            images = images[:1]
         if gct is not None and bg < len(gct):
             bg_rgb = gct[bg]
         else:
@@ -331,7 +336,7 @@ def gif_decoder():
         return np.stack(out), delays
 
     def _pixels(payload: bytes) -> np.ndarray:
-        frames, _ = _frames(payload)
+        frames, _ = _frames(payload, first_only=True)
         return frames[0]
 
     def decode(payload: bytes) -> np.ndarray:
@@ -485,6 +490,8 @@ def sample_gif_frames(
     past it). Zero-delay frames make the stream UNTIMED per-frame
     (browsers clamp 0 to ~100 ms; this sampler returns every frame up
     to ``max_frames`` instead of guessing a clamp)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
     dec = gif_decoder()
     frames, delays = dec.frames(payload)
     if len(frames) > 1 and all(d == 0 for d in delays):

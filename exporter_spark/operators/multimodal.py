@@ -1188,9 +1188,22 @@ def image_resizer() -> Callable[[bytes, int, int], bytes]:
             px = jpg.pixels(payload)
             enc = lambda a: encode_jpeg(a, quality=90)  # noqa: E731
         elif head[:6] in (b"GIF87a", b"GIF89a"):
-            # first frame; nearest-neighbor keeps the color set a
-            # subset of the source palette, so <=256 is guaranteed
-            # and the re-encode is lossless
+            # nearest-neighbor keeps the color set a subset of the
+            # source palette, so <=256 is guaranteed and the
+            # re-encode is lossless. ANIMATED GIFs refuse by name
+            # (round-15 review: silently flattening to one frame is
+            # data loss, and the pass-through meta would contradict
+            # the payload) — per-frame resize is a policy the caller
+            # must choose explicitly.
+            from exporter_spark.operators.gif import parse_gif
+
+            if len(parse_gif(payload)[4]) > 1:
+                raise ValueError(
+                    "refusing to resize an ANIMATED GIF to a single"
+                    " frame; decode frames explicitly"
+                    " (video_frame_decoder / gif_decoder().frames)"
+                    " and resize per frame"
+                )
             px = gifd.pixels(payload)
             enc = encode_gif
         else:
@@ -1268,9 +1281,11 @@ def probe_media(
                 w, h, _bg, _gct, images = _parse_gif(data)
                 if len(images) > 1:
                     # an animated GIF functions as a looping clip —
-                    # classify as video with the summed GCE delays
+                    # classify as video with the summed GCE delays;
+                    # all-zero delays are UNTIMED -> NULL, matching
+                    # the AVI probe and sample_gif_frames (r15 review)
                     dur = sum(g[2] * 10 for *_rest, g in images)
-                    return ("video", "gif", int(w), int(h), dur)
+                    return ("video", "gif", int(w), int(h), dur or None)
                 return ("image", "gif", int(w), int(h), None)
             if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
                 return _avi_probe(data)
@@ -1449,8 +1464,8 @@ def resize_media(
 
     **BEHAVIOR (round 15):** the default ``resizer`` is the REAL
     :func:`image_resizer` (nearest-neighbor resampling + same-family
-    re-encode for PNG/PGM/PPM/BMP/JPEG, ``ValueError`` on
-    unrecognized magic). The old default fabricated digest-seeded
+    re-encode for PNG/PGM/PPM/BMP/JPEG/static-GIF, ``ValueError`` on
+    unrecognized magic or animated GIFs). The old default fabricated digest-seeded
     bytes for ANY payload; use :func:`stub_resizer` explicitly for
     plumbing tests over non-media payloads. Self-contained closure —
     pickles by value."""
@@ -1504,6 +1519,8 @@ def video_frame_decoder(
     slow). MP4 *metadata* probing (:func:`probe_media`) and
     frame-timestamp fan-out (:func:`sample_frames`) need neither
     path."""
+    if every_ms <= 0:
+        raise ValueError("video_frame_decoder: every_ms must be positive")
     _ensure_pickle_by_value()
     # bound at factory time so the closure CAPTURES the (by-value
     # registered) avi functions instead of importing the package on

@@ -123,14 +123,14 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            those entries execute — same touched-code rule that made
 #            the IVF entries ride in r14). At 103 entries with five
 #            flagship-half riders the carryover set is six —
-#            csv_lines_events, xml_rows_events, ndjson_lines_docs,
-#            distinct_counts (a thin exact-aggregation sibling of the
-#            in-window mktsegment_stats/part_brand_stats scan+groupBy
-#            shapes)
+#            csv_lines_events, xml_rows_events, ndjson_lines_docs
 #            (framing derivatives of in-window tostring_events: same
 #            display pipeline, with CSV/XML quoting and JSON framing
 #            separately pinned by goldens + dual-path byte-parity
-#            tests), plus quality_by_source and
+#            tests), distinct_counts (a thin exact-aggregation
+#            sibling of the in-window mktsegment_stats /
+#            part_brand_stats scan+groupBy shapes), plus
+#            quality_by_source and
 #            docs_sample_deterministic (component derivatives of
 #            in-window curation_pipeline, which composes
 #            quality_score + exact_dedup + deterministic_sample in

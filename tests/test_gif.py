@@ -302,3 +302,72 @@ def test_corruption_fuzz_no_raw_leaks(pos, val, cut):
             assert px.dtype == np.uint8 and px.ndim == 3
         except ValueError as ex:
             assert "undecodable GIF" in str(ex) or "GIF encode" in str(ex)
+
+
+def test_every_ms_guard_and_animated_resize_refusal():
+    """Round-15 second review batch: every_ms <= 0 must raise (was an
+    infinite loop in the tick advance), and image_resizer must refuse
+    ANIMATED GIFs by name instead of silently flattening them to one
+    frame under pass-through video metadata."""
+    anim = gif.encode_gif_animation([_img(seed=i) for i in range(3)], delay_ms=100)
+    with pytest.raises(ValueError, match="every_ms"):
+        multimodal.video_frame_decoder(every_ms=0)
+    with pytest.raises(ValueError, match="every_ms"):
+        gif.sample_gif_frames(anim, every_ms=-5)
+    with pytest.raises(ValueError, match="ANIMATED GIF"):
+        multimodal.image_resizer()(anim, 8, 6)
+    # static GIFs still resize losslessly
+    out = multimodal.image_resizer()(gif.encode_gif(_img()), 8, 6)
+    assert out[:6] == b"GIF89a"
+
+
+def test_zero_delay_animation_probes_null_duration(spark):
+    """All-zero GCE delays are UNTIMED: duration_ms must be NULL (the
+    AVI probe contract), not the misleading 0 of a 'zero-length
+    clip'."""
+    anim = gif.encode_gif_animation([_img(seed=i) for i in range(3)], delay_ms=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim), None)], multimodal.media_schema()
+    )
+    m = multimodal.probe_media(df).collect()[0]["meta"]
+    assert m["media_type"] == "video" and m["duration_ms"] is None
+
+
+def test_first_frame_decode_skips_remaining_lzw():
+    """_pixels/feature decode must not pay for every animation frame
+    (round-15 review): corrupt the SECOND frame's LZW stream — the
+    first-frame path must still decode, the full walk must refuse."""
+    anim = bytearray(
+        gif.encode_gif_animation([_img(seed=i) for i in range(3)], delay_ms=100)
+    )
+    # find the second image separator and trash bytes shortly after
+    first = bytes(anim).find(b"\x2c")
+    second = bytes(anim).find(b"\x2c", first + 1)
+    assert second > first > 0
+    anim[second + 12 : second + 18] = b"\xff\xff\xff\xff\xff\xff"
+    dec = gif.gif_decoder()
+    px = dec.pixels(bytes(anim))  # first frame only -> fine
+    assert px.shape == (23, 31, 3)
+    with pytest.raises(ValueError, match="undecodable GIF"):
+        dec.frames(bytes(anim))
+
+
+def test_lane_vector_parity_across_codecs():
+    """The 8-lane feature block is intentionally replicated inside
+    each self-contained decoder closure (their pickle contract
+    predates by-value registration); this parity pin is the
+    anti-drift guard the round-15 review asked for: the SAME pixel
+    content encoded as PNG, binary PPM, BMP and GIF must produce
+    IDENTICAL lanes through auto_decoder."""
+    img = _img(14, 18, 32)  # <=256 colors so GIF can hold it
+    dec = multimodal.auto_decoder()
+    payloads = {
+        "png": multimodal.encode_png(img),
+        "ppm": multimodal.encode_ppm(img),
+        "bmp": multimodal.encode_bmp(img),
+        "gif": gif.encode_gif(img),
+    }
+    lanes = {k: dec(p) for k, p in payloads.items()}
+    base = lanes["png"]
+    for k, v in lanes.items():
+        assert np.array_equal(v, base), (k, v, base)

@@ -499,7 +499,7 @@ def test_extract_features_default_is_real_auto_decoder(spark):
     assert feats[:4] == [5.0, 4.0, 3.0, 8.0]  # w, h, channels, depth
 
     bad = spark.createDataFrame(
-        [(2, bytearray(b"GIF89a-not-decodable"), None)],
+        [(2, bytearray(b"TIFF-not-decodable"), None)],
         multimodal.media_schema(),
     )
     with pytest.raises(Exception, match="no decoder for payload magic"):
@@ -948,6 +948,10 @@ def test_auto_decoder_dispatch(spark):
     assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[3]))["mean_luma"] == 0.0
     assert dict(zip(multimodal.PNG_FEATURE_NAMES, out[4]))["mean_luma"] == 1.0
     with pytest.raises(ValueError, match="no decoder for payload magic"):
+        multimodal.auto_decoder()(b"II*\x00 tiff...")
+    # GIF is ROUTED as of r15: a truncated GIF gets the GIF codec's
+    # named refusal, not the unknown-magic error
+    with pytest.raises(ValueError, match="undecodable GIF"):
         multimodal.auto_decoder()(b"GIF89a...")
 
 
