@@ -655,6 +655,10 @@ def gif_decode_stats(spark, sf_dir):
                 }
             )
 
+    # probe branch + decode branch both re-run the encode map (same
+    # deliberate choice as media_decode_stats: caching corpus-sized
+    # binary payloads costs more memory than re-encoding costs CPU;
+    # the r15 scale sweep shows the total is sub-linear in rows)
     media = d.mapInPandas(encode, multimodal.media_schema())
     probed = multimodal.probe_media(media)
     meta = probed.select(
