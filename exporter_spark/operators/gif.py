@@ -119,6 +119,11 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
+    if len(indices) and int(indices.max()) >= clear:
+        raise ValueError(
+            f"LZW index {int(indices.max())} out of alphabet for min"
+            f" code size {min_code_size}"
+        )
     table = {bytes([i]): i for i in range(clear)}
     next_code = eoi + 1
     emit(clear)

@@ -371,3 +371,35 @@ def test_lane_vector_parity_across_codecs():
     base = lanes["png"]
     for k, v in lanes.items():
         assert np.array_equal(v, base), (k, v, base)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=1, max_value=4000),
+)
+def test_lzw_roundtrip_property(mcs, seed, n):
+    """Encoder/decoder width-lockstep pinned as a property: ANY index
+    stream within the alphabet round-trips exactly at any min code
+    size, including streams long enough to grow the table through
+    several width bumps."""
+    rng = np.random.RandomState(seed % 2**32)
+    idx = rng.randint(0, 1 << mcs, n).astype(np.uint8)
+    data = gif._lzw_encode(idx, mcs)
+    back = gif._lzw_decode(data, mcs, n)
+    assert np.array_equal(back, idx)
+
+
+def test_lzw_roundtrip_through_full_table_overflow():
+    """A 200k-symbol low-entropy stream drives the table to the
+    12-bit cap repeatedly, forcing overflow clears mid-stream."""
+    rng = np.random.RandomState(11)
+    idx = ((rng.randint(0, 4, 200_000) * rng.randint(1, 3, 200_000)) % 4).astype(
+        np.uint8
+    )
+    data = gif._lzw_encode(idx, mcs := 2)
+    assert np.array_equal(gif._lzw_decode(data, mcs, len(idx)), idx)
+    # out-of-alphabet indices refuse by name, never a raw KeyError
+    with pytest.raises(ValueError, match="out of alphabet"):
+        gif._lzw_encode(np.array([0, 5], np.uint8), 2)
