@@ -4,9 +4,11 @@
 at sf0.001; ``queries``/``oracle_sql`` expose the full corpus from
 exporter_spark.queries — one entry per implemented operator family
 (SURVEY.md §2 + §2.5), each Spark implementation paired with a DuckDB
-oracle except the two genuinely non-portable ones (HLL approx
-distinct, trained-KMeans IVF — the latter has the oracle-paired
-deterministic sibling ``ivf_fixed_topk``).
+oracle except the three genuinely non-portable ones (HLL approx
+distinct, trained-KMeans IVF — with the oracle-paired deterministic
+sibling ``ivf_fixed_topk`` — and the order-dependent greedy SemDeDup,
+with the oracle-paired ``semdedup_survivors``; the latter two are
+pinned at sf0.1 by tools/pin_no_oracle.py).
 """
 
 from __future__ import annotations
