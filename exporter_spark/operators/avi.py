@@ -38,7 +38,13 @@ from exporter_spark.operators.jpeg import (
     jpeg_decoder,
 )
 
-_MJPEG_FOURCC = {b"MJPG", b"mjpg", b"dmb1", b"MJPA", b"AVRn"}
+# Zero-dep-decodable Motion-JPEG variants: each movi chunk is one
+# complete baseline/progressive JPEG (possibly DHT-less). MJPA
+# (QuickTime field-interlaced — two interleaved fields per chunk) and
+# AVRn are deliberately EXCLUDED: decoding an MJPA chunk as one JPEG
+# silently yields half-height field images; those fourccs route to
+# the cv2 seam like any other codec we can't decode honestly.
+_MJPEG_FOURCC = {b"MJPG", b"mjpg", b"dmb1"}
 
 
 def _riff_chunks(data: bytes, lo: int, hi: int):
@@ -75,7 +81,7 @@ def parse_avi(payload: bytes):
     scale, rate, n_frames, fourcc = 1, 0, 0, b""
     stream_no = None
     frame_spans: list[tuple[int, int]] = []
-    vids_seen = 0
+    streams_seen = 0
 
     (riff_size,) = struct.unpack_from("<I", data, 4)
     hi = min(len(data), 8 + riff_size)
@@ -85,6 +91,13 @@ def parse_avi(payload: bytes):
                 if t2 == b"avih" and e2 - l2 >= 40:
                     width, height = struct.unpack_from("<II", data, l2 + 32)
                 elif t2 == b"strl":
+                    # '##dc'/'##db' movi ids index strl LISTs in hdrl
+                    # order regardless of fccType (and regardless of
+                    # whether the strh is well-formed), so the stream
+                    # number is taken where the strl is ENTERED — an
+                    # audio-first file stores video frames as '01dc'
+                    this_stream = streams_seen
+                    streams_seen += 1
                     is_vids = False
                     for t3, l3, e3 in _riff_chunks(data, l2, e2):
                         # 36: the unpack below reads l3+20..l3+36
@@ -95,18 +108,17 @@ def parse_avi(payload: bytes):
                             if data[l3 : l3 + 4] == b"vids":
                                 is_vids = True
                                 if stream_no is None:
-                                    stream_no = vids_seen
+                                    stream_no = this_stream
                                     fourcc = data[l3 + 4 : l3 + 8]
                                     scale, rate, _start, n_frames = (
                                         struct.unpack_from(
                                             "<IIII", data, l3 + 20
                                         )
                                     )
-                            vids_seen += 1
                         elif (
                             t3 == b"strf"
                             and is_vids
-                            and stream_no == vids_seen - 1
+                            and stream_no == this_stream
                             and e3 - l3 >= 12
                             and (width is None or height is None)
                         ):

@@ -29,7 +29,19 @@ import struct
 
 import numpy as np
 
+from exporter_spark.operators.jpeg import MAX_PIXELS
+
 _MAX_CODES = 4096  # 12-bit LZW cap (GIF spec)
+
+# Decompression-bomb guard on the TOTAL decoded output of an animated
+# stream: .frames() materializes one full-canvas copy per frame, so a
+# tiny payload declaring many frames (or a huge logical screen) could
+# otherwise allocate gigabytes from a few hundred declared bytes. The
+# per-canvas cap is jpeg.MAX_PIXELS (same rationale: the header is
+# untrusted); the across-frames cap bounds n_frames*h*w at 4x that
+# (~768 MB of uint8 RGB worst-case). Raise consciously for genuinely
+# larger media.
+MAX_TOTAL_PIXELS = MAX_PIXELS * 4
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
@@ -200,6 +212,14 @@ def parse_gif(payload: bytes):
         raise ValueError("undecodable GIF payload: bad signature")
     try:
         w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+        if w * h > MAX_PIXELS:
+            # bomb guard BEFORE any canvas allocation: 13 declared
+            # header bytes must not be able to command a multi-GB
+            # numpy buffer (mirrors jpeg.py's MAX_PIXELS refusal)
+            raise ValueError(
+                f"undecodable GIF payload: logical screen {w}x{h}"
+                f" exceeds the {MAX_PIXELS}-pixel decode cap"
+            )
         pos = 13
         gct = None
         if packed & 0x80:
@@ -302,6 +322,14 @@ def gif_decoder():
             # the other LZW decodes (round-15 review: a 200-frame
             # animation cost 200 decodes for 8 first-frame lanes)
             images = images[:1]
+        if len(images) * h * w > MAX_TOTAL_PIXELS:
+            # each composited frame is a full-canvas copy; cap the
+            # total before the loop starts allocating
+            raise ValueError(
+                f"undecodable GIF payload: {len(images)} frames of"
+                f" {w}x{h} exceed the {MAX_TOTAL_PIXELS}-pixel"
+                " animation decode cap"
+            )
         if gct is not None and bg < len(gct):
             bg_rgb = gct[bg]
         else:

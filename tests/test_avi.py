@@ -242,3 +242,58 @@ def test_rate_zero_stream_is_untimed():
         bytes(payload)
     )
     assert capped.shape[0] == 2
+
+
+def test_audio_first_stream_indexing():
+    """'##dc' ids index strl LISTs in hdrl order across ALL stream
+    types (ADVICE r16): an MJPEG AVI with an audio stream listed
+    first stores its video frames as '01dc' — the walker must look
+    there, not at '00dc'."""
+    import struct
+
+    frames = _frames(3)
+    plain = avi.encode_avi_mjpeg(frames, fps=10)
+    _w, _h, _s, _r, _n, _f, spans = avi.parse_avi(plain)
+    data = bytes(plain)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    # audio strl first: 56-byte 'auds' strh (format fields zeroed)
+    auds_strh = b"auds" + b"\x00" * 52
+    vids_start = data.find(b"LIST", 12)
+    while data[vids_start + 8 : vids_start + 12] != b"strl":
+        vids_start = data.find(b"LIST", vids_start + 1)
+    (vids_size,) = struct.unpack_from("<I", data, vids_start + 4)
+    vids_strl = data[vids_start : vids_start + 8 + vids_size]
+    avih_start = data.find(b"avih")
+    (avih_size,) = struct.unpack_from("<I", data, avih_start + 4)
+    avih = data[avih_start : avih_start + 8 + avih_size]
+    hdrl = lst(b"hdrl", avih + lst(b"strl", chunk(b"strh", auds_strh)) + vids_strl)
+    movi = lst(b"movi", b"".join(chunk(b"01dc", data[lo:hi]) for lo, hi in spans))
+    body = b"AVI " + hdrl + movi
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = multimodal.video_frame_decoder(every_ms=100)(rebuilt)
+    expect = multimodal.video_frame_decoder(every_ms=100)(plain)
+    assert np.array_equal(out, expect)
+
+
+def test_mjpa_field_interlaced_routes_to_cv2_seam():
+    """QuickTime field-interlaced Motion-JPEG (MJPA) carries two
+    interleaved FIELDS per chunk; decoding a chunk as one baseline
+    JPEG would silently yield half-height images, so the fourcc is
+    excluded from the zero-dep set (ADVICE r16) and routes to the cv2
+    seam with a named refusal — never fake geometry."""
+    payload = avi.encode_avi_mjpeg(_frames(2)).replace(b"MJPG", b"MJPA")
+    with pytest.raises(ValueError, match="not MJPEG"):
+        avi.sample_mjpeg_frames(payload, every_ms=100)
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="cv2"):
+            multimodal.video_frame_decoder(every_ms=100)(payload)

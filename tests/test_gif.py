@@ -403,3 +403,36 @@ def test_lzw_roundtrip_through_full_table_overflow():
     # out-of-alphabet indices refuse by name, never a raw KeyError
     with pytest.raises(ValueError, match="out of alphabet"):
         gif._lzw_encode(np.array([0, 5], np.uint8), 2)
+
+
+def test_decompression_bomb_refused_before_allocation():
+    """A ~12-byte payload declaring a 65535x65535 logical screen must
+    refuse by name BEFORE any canvas allocation (ADVICE r16: jpeg's
+    MAX_PIXELS guard mirrored) — including through the default
+    auto_decoder route, where untrusted payloads arrive."""
+    bomb = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="decode cap"):
+        gif.parse_gif(bomb)
+    with pytest.raises(ValueError, match="decode cap"):
+        gif.gif_decoder()(bomb)
+    with pytest.raises(ValueError, match="decode cap"):
+        multimodal.auto_decoder()(bomb)
+
+
+def test_animation_total_pixel_cap():
+    """Canvas copies are bounded ACROSS frames: n_frames*h*w beyond
+    MAX_TOTAL_PIXELS refuses before the compositing loop allocates
+    (65 declared frames on a 2048x2048 screen = ~786 MB of uint8 RGB
+    from a ~1 KB payload), while the SAME payload's first frame still
+    decodes — feature extraction's first_only path pays one canvas."""
+    table = bytes(range(12))  # 4-color GCT (size_field 1)
+    tiny = np.zeros((1, 1), np.uint8)
+    blocks = [_img_block(tiny, 2) for _ in range(65)]
+    payload = _assemble_animation(blocks, 2048, 2048, table, 1)
+    dec = gif.gif_decoder()
+    with pytest.raises(ValueError, match="animation decode cap"):
+        dec.frames(payload)
+    with pytest.raises(ValueError, match="animation decode cap"):
+        gif.sample_gif_frames(payload, every_ms=100)
+    px = dec.pixels(payload)  # first_only: 1 frame * 4.2M px, in cap
+    assert px.shape == (2048, 2048, 3)
