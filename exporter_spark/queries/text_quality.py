@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from exporter_spark.operators import dedup, sampling, text
+from exporter_spark.operators import bpe, dedup, sampling, text
 from exporter_spark.queries._registry import _dsum, _register
 from exporter_spark.sources.files import load_table
 
@@ -179,3 +179,58 @@ def doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generated k-iteration WITH chain replaying operators/bpe.py in
+    pure SQL: with the double-interior-separator encoding (see the
+    operator's module docstring), one ANSI ``replace`` pass IS the
+    textbook greedy left-to-right merge scan, so DuckDB reproduces
+    the learned table bit-for-bit (counts are exact integers, the
+    top-pair order (cnt DESC, lhs, rhs) is total)."""
+    parts = [
+        """w0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS rep,
+             COUNT(*)::BIGINT AS freq
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS (
+      SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq)::BIGINT AS cnt
+      FROM (SELECT list_filter(str_split(rep, ' '), x -> x <> '') AS syms,
+                   freq FROM w{i}) s,
+           UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2)""")
+        parts.append(
+            f"t{i} AS (SELECT lhs, rhs, cnt FROM p{i}"
+            " ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < n_merges - 1:
+            parts.append(f"""w{i + 1} AS (
+      SELECT replace(rep, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS rep,
+             freq
+      FROM w{i}, t{i})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, lhs, rhs, cnt AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
+        " ORDER BY merge_rank"
+    )
+
+
+@_register("bpe_merges_learned", _bpe_oracle(8))
+def bpe_merges_learned(spark, sf_dir):
+    """Distributed tokenizer training (operators/bpe.py): the first 8
+    BPE merges learned from the documents corpus. One corpus-size pass
+    builds the distinct-word table; every iteration after that
+    shuffles only distinct-pair counts (map-side combined) and
+    rewrites words with a JVM ``replace`` — no Python in the loop;
+    the driver sees one row per merge (the merge itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.learn_bpe(d, "text", n_merges=8).orderBy("merge_rank")

@@ -1,0 +1,144 @@
+"""Distributed BPE merge learning (operators/bpe.py, round 16).
+
+The learned merge table must equal the textbook sequential algorithm
+(Sennrich et al.) exactly: overlapping pair counts for selection,
+left-to-right non-overlapping rewrite, ties broken (count desc, lhs,
+rhs). The Spark loop is JVM expressions end-to-end; the driver sees
+one row per merge.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from exporter_spark.operators import bpe
+
+
+def _reference_bpe(texts, n_merges):
+    """Plain-Python textbook BPE over [a-z]+ words (independent of
+    the Spark implementation's string-replace trick)."""
+    words = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[tuple(w)] += 1
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (lhs, rhs), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        out.append((rank, lhs, rhs, cnt))
+        merged = Counter()
+        for syms, f in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (lhs, rhs):
+                    new.append(lhs + rhs)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            merged[tuple(new)] += f
+        words = merged
+    return out
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the thin cat then sat",
+    "low lower lowest newer newest",
+    "banana bandana ananas",  # overlap-heavy: 'an an an' chains
+    "aaa aaaa aaaaa",  # the non-overlapping-rewrite edge
+]
+
+
+def _learned(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.learn_bpe(df, "text", n_merges=n)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def test_matches_textbook_bpe(spark):
+    assert _learned(spark, TEXTS, 12) == _reference_bpe(TEXTS, 12)
+
+
+def test_nonoverlapping_rewrite_rule(spark):
+    """'aaa' after merging (a, a) is ['aa', 'a'] — left-to-right
+    non-overlapping, so the SECOND merge learned from an all-a corpus
+    is (aa, a), never (a, aa) reconsumed from overlap."""
+    texts = ["aaa aaa aaa"]
+    got = _learned(spark, texts, 2)
+    assert got == _reference_bpe(texts, 2)
+    assert got[0][1:3] == ("a", "a")
+
+
+def test_early_stop_when_alphabet_merges_out(spark):
+    """Fewer learnable pairs than n_merges: the table just ends (no
+    padding rows, no error)."""
+    got = _learned(spark, ["ab ab"], 10)
+    assert got == _reference_bpe(["ab ab"], 10)
+    assert len(got) == 1  # 'a b' -> 'ab' and nothing left to pair
+
+
+def test_checkpoint_path_identical(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    plain = bpe.learn_bpe(df, "text", n_merges=6).collect()
+    ckpt = bpe.learn_bpe(df, "text", n_merges=6, checkpoint_every=2).collect()
+    assert plain == ckpt
+
+
+def test_min_freq_prunes_rare_words(spark):
+    df = spark.createDataFrame(
+        [("zz zz zz qq",)], "text string"
+    )
+    got = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.learn_bpe(df, "text", n_merges=1, min_freq=2).collect()
+    ]
+    assert got == [("z", "z")]  # 'qq' (freq 1) never contributes a pair
+
+
+def test_apply_bpe_roundtrip(spark):
+    """Encoding with the learned table reproduces the reference
+    tokenizer's segmentation, and concatenating tokens per word
+    restores the word."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=8)
+    enc = bpe.apply_bpe(df, merges).select("text", "bpe_tokens").collect()
+    table = [(r["lhs"], r["rhs"]) for r in merges.orderBy("merge_rank").collect()]
+    for row in enc:
+        words = re.findall("[a-z]+", row["text"].lower())
+        expect = []
+        for w in words:
+            syms = list(w)
+            for lhs, rhs in table:
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (lhs, rhs):
+                        new.append(lhs + rhs)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            expect.extend(syms)
+        assert row["bpe_tokens"] == expect
+        assert "".join(row["bpe_tokens"]) == "".join(words)
+
+
+def test_n_merges_validation(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.learn_bpe(df, "text", n_merges=0)
