@@ -106,6 +106,14 @@ BENCH_QUERIES = [
     # decode both ways per batch (static + 3-frame animations), probe
     # walk, auto_decoder dispatch through the r15 default seam
     "gif_decode_stats",
+    # round 16: the zero-dep VIDEO lane's perf observable — RIFF
+    # container walk + tick sampling + real JPEG entropy decode of
+    # the kept frames (pins cached per variant per task, like jpeg)
+    "video_frame_stats",
+    # round 16: distributed BPE merge learning — 1 corpus pass + 8
+    # pair-count iterations over the cached word table (the iteration
+    # lane is job-overhead-bound at this SF; see SCALE.md r16)
+    "bpe_merges_learned",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

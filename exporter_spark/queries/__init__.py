@@ -110,7 +110,7 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            cosine_topk_scan + exact_substring_strip (thin
 #            derivatives of in-window cosine_topk /
 #            exact_substring_spans).
-#   round 15 (below): the relational/formatter half rotates back in,
+#   round 15: the relational/formatter half rotated back in,
 #            LED by the r14 carryovers (cosine_topk_scan,
 #            exact_substring_strip — both rotate back per the pinned
 #            contract) and the NEW jpeg_decode_stats (the round's
@@ -136,8 +136,23 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            quality_score + exact_dedup + deterministic_sample in
 #            one gated entry) — all five green in CORRECTNESS_r13 and
 #            in every committed full-registry replay since.
-# The flagship dedup/similarity/quality half rides the back this
-# round; it remains
+#   round 16 (below): the flagship dedup/similarity/quality half
+#            rotates back in, LED by the six r15 carryovers (the
+#            pinned contract bounds any entry's driver-window
+#            absence), then the round's NEW entries
+#            (bpe_merges_learned — distributed tokenizer training —
+#            and video_frame_stats — the MJPEG-AVI video lane under
+#            pinned-literal gates), then gif_decode_stats (the
+#            touched-code rule: round 16 added the decompression-bomb
+#            guard to operators/gif.py, so its gate must run on the
+#            changed code). media_decode_stats and
+#            multimodal_feature_stats ride the back half this round —
+#            both were r15-window-green and nothing they execute
+#            changed (their fixtures are PNG/PPM/BMP/WAV and the
+#            hex-chain decoder; the gif/avi edits are outside their
+#            paths). At 106 entries with nine forced leads the
+#            carryover set is seven (_R16_CARRYOVER below).
+# The relational/formatter half rides the back this round; it remains
 # covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
 # automated gate — test_queries_oracle.py parametrizes over the WHOLE
 # registry, not the window) and by the round-end full-registry replay
@@ -147,147 +162,156 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-15 leads: the r14 carryover pair rotates back in FIRST
-    # (the rotation contract bounds any entry's driver-window absence),
-    # then the round's new code (the standing rule: new code sits
-    # in-window the round it lands), then the relational/formatter
-    # half in its r13 order minus the three r15 carryovers below
-    "cosine_topk_scan",
-    "exact_substring_strip",
-    "jpeg_decode_stats",
+    # round-16 leads: the six r15 carryovers rotate back in FIRST,
+    # then the round's new code, then the touched-code rider
+    "csv_lines_events",
+    "xml_rows_events",
+    "ndjson_lines_docs",
+    "distinct_counts",
+    "quality_by_source",
+    "docs_sample_deterministic",
+    "bpe_merges_learned",
+    "video_frame_stats",
     "gif_decode_stats",
-    "media_decode_stats",
-    "multimodal_feature_stats",
-    "dedup_cluster_sizes",
-    "dup_rate_by_source",
-    "incremental_exact_survivors",
-    "incremental_minhash_survivors",
-    "tostring_events",
-    "q2_min_cost_supplier",
-    "q4_priority_returns",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supply_gaps",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_low_activity",
-    "top_customers_per_nation",
-    "mktsegment_stats",
-    "customers_without_orders",
-    "events_hourly",
-    "events_sessions",
-    "rollup_pricing",
-    "order_status_setops",
-    "part_brand_stats",
-    "purchase_attribution",
-    "running_customer_revenue",
-    "purchases_near_errors",
-    "lineitem_dispersion",
-    "approx_distinct_events",
-    "token_stats_by_lang",
-    "lang_id_confusion",
-    "curation_pipeline",
-    "doc_fingerprints",
-    "int8_ann_topk",
-    "unigram_lm_scores",
+    # the flagship block in its r14 order (q1/q3 canaries riding it
+    # per the odd/even alternation), minus media_decode_stats and
+    # multimodal_feature_stats (r15-window-verified, unchanged) and
+    # minus the seven r16 carryovers pinned below
+    "bpe_token_stats_by_lang",
+    "cube_order_stats",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "html_rows_events",
+    "dedup_exact_docs",
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup_docs",
+    "dedup_tokens_within_docs",
+    "exact_substring_spans",
+    "ngram_contamination_check",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "ivf_fixed_topk",
+    "semdedup_survivors",
+    "embedding_quantize_stats",
+    "embedding_random_projection",
+    "gopher_quality_signals",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "winnow_fingerprints",
+    "boilerplate_spans",
+    "pii_redaction_check",
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "dsir_importance_weights",
+    "docs_stratified_sample",
+    "docs_capped_per_source",
+    "docs_rebalanced_mixture",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    "lang_token_budget",
+    "value_percentiles",
+    "conversion_funnel",
+    "retention_cohorts",
 )
 
-# The previous round's window (r14: flagship dedup/similarity/quality
-# half + the r13 carryovers + media_decode_stats), kept for the
-# rotation invariant: a query may ride the back half only if the
-# previous round's driver window verified it (CORRECTNESS_r14: 48/50
-# oracle-green plus ivf_ann_topk and semdedup_survivors_greedy,
-# no-oracle by design, both pinned at sf0.1 by tools/pin_no_oracle.py).
-_R14_WINDOW: frozenset[str] = frozenset(
+# The previous round's window (r15: relational/formatter half + the
+# r14 carryovers + the four multimodal gates), kept for the rotation
+# invariant: a query may ride the back half only if the previous
+# round's driver window verified it (CORRECTNESS_r15: 49/50 green +
+# approx_distinct_events, no-oracle by design).
+_R15_WINDOW: frozenset[str] = frozenset(
     {
-        "bigram_lm_scores",
-        "bm25_topk_docs",
-        "boilerplate_spans",
-        "bpe_token_stats_by_lang",
-        "conversion_funnel",
-        "cosine_topk",
-        "cube_order_stats",
-        "dedup_clusters",
-        "dedup_exact_docs",
-        "dedup_tokens_within_docs",
-        "docs_capped_per_source",
-        "docs_rebalanced_mixture",
-        "docs_stratified_sample",
-        "docs_train_test_split",
-        "dsir_importance_weights",
-        "embedding_near_dup",
-        "embedding_near_dup_banded",
-        "embedding_quantize_stats",
-        "embedding_random_projection",
-        "exact_substring_spans",
-        "gopher_filter_stats",
-        "gopher_quality_signals",
-        "html_rows_events",
-        "ivf_ann_topk",
-        "ivf_fixed_topk",
-        "lang_token_budget",
-        "lm_quality_buckets",
-        "lsh_ann_topk",
+        "approx_distinct_events",
+        "cosine_topk_scan",
+        "curation_pipeline",
+        "customers_without_orders",
+        "dedup_cluster_sizes",
+        "doc_fingerprints",
+        "dup_rate_by_source",
+        "events_hourly",
+        "events_sessions",
+        "exact_substring_strip",
+        "gif_decode_stats",
+        "incremental_exact_survivors",
+        "incremental_minhash_survivors",
+        "int8_ann_topk",
+        "jpeg_decode_stats",
+        "lang_id_confusion",
+        "lineitem_dispersion",
         "media_decode_stats",
-        "minhash_dedup_survivors",
-        "minhash_near_dup_pairs",
+        "mktsegment_stats",
         "multimodal_feature_stats",
-        "ngram_contamination_check",
-        "ngram_jaccard_pairs",
-        "pack_chunks_docs",
-        "paragraph_dedup_docs",
-        "pii_redaction_check",
-        "pretraining_mix_stats",
-        "q1_pricing_summary",
-        "q3_top_orders",
-        "retention_cohorts",
-        "semdedup_survivors",
-        "semdedup_survivors_greedy",
-        "simhash_near_dup_pairs",
-        "temperature_mixture_docs",
-        "tfidf_top_terms",
-        "top_tokens",
-        "training_shuffle_docs",
-        "value_percentiles",
-        "winnow_fingerprints",
+        "order_status_setops",
+        "part_brand_stats",
+        "purchase_attribution",
+        "purchases_near_errors",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_order_count_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_brand_supply_gaps",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        "q19_discounted_revenue",
+        "q20_promo_suppliers",
+        "q21_waiting_suppliers",
+        "q22_wealthy_low_activity",
+        "q2_min_cost_supplier",
+        "q4_priority_returns",
+        "q5_region_revenue",
+        "q6_revenue_change",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "rollup_pricing",
+        "running_customer_revenue",
+        "token_stats_by_lang",
+        "top_customers_per_nation",
+        "tostring_events",
+        "unigram_lm_scores",
     }
 )
 
-# The 103-entry/100-slot arithmetic, plus the five flagship-half
-# riders the touched-code rule forces in (three new/changed multimodal
-# entries + the returning r14 carryover pair), makes five window-pair
-# members sit out this round. Each is a derivative of an operator
-# whose flagship entry stays in-window: csv_lines_events,
-# xml_rows_events and ndjson_lines_docs are framings of the SAME
-# display pipeline tostring_events gates (quoting/escaping separately
-# pinned by goldens + dual-path byte-parity tests);
-# quality_by_source and docs_sample_deterministic exercise
-# quality_score / deterministic_sample, both of which in-window
-# curation_pipeline composes (with exact dedup) in a single gated
-# entry. All five were driver-green in CORRECTNESS_r13 with unchanged
-# plans since, and are verified every round by the committed
-# full-registry sf0.01 replay (tools/replay_driver_window.py ... all)
-# and the pytest oracle gate. They rotate back into the r16 window.
-_R15_CARRYOVER: frozenset[str] = frozenset(
+# The 106-entry/100-slot arithmetic, plus the nine forced leads (six
+# returning carryovers + two new entries + one touched-code rider),
+# makes seven flagship-half members sit out this round. Each is a
+# thin derivative or component of an operator whose flagship entry
+# stays in-window:
+#   minhash_near_dup_pairs — the pair-generation component in-window
+#     minhash_dedup_survivors composes (pairs -> CC -> anti-join);
+#   embedding_near_dup_banded — the banded variant of in-window
+#     embedding_near_dup (same signature pipeline plus LSH banding);
+#   ivf_ann_topk / semdedup_survivors_greedy — the no-oracle probe- /
+#     greedy-policy variants of in-window ivf_fixed_topk /
+#     semdedup_survivors, both pinned at sf0.1 every round by
+#     tools/pin_no_oracle.py regardless of window membership;
+#   gopher_filter_stats — the aggregation of the same per-doc signals
+#     in-window gopher_quality_signals emits;
+#   top_tokens — the tokenize+count component of in-window
+#     tfidf_top_terms;
+#   docs_train_test_split — the hash-bucket-assignment sibling of
+#     in-window docs_stratified_sample.
+# All seven were driver-green in CORRECTNESS_r14 with unchanged plans
+# since, are verified every round by the committed full-registry
+# sf0.01 replay and the pytest oracle gate, and rotate back into the
+# r17 window.
+_R16_CARRYOVER: frozenset[str] = frozenset(
     {
-        "csv_lines_events",
-        "distinct_counts",
-        "docs_sample_deterministic",
-        "ndjson_lines_docs",
-        "quality_by_source",
-        "xml_rows_events",
+        "minhash_near_dup_pairs",
+        "embedding_near_dup_banded",
+        "ivf_ann_topk",
+        "semdedup_survivors_greedy",
+        "gopher_filter_stats",
+        "top_tokens",
+        "docs_train_test_split",
     }
 )
 

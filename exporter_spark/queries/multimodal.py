@@ -685,3 +685,210 @@ def gif_decode_stats(spark, sf_dir):
         "probed_ms",
         *lanes,
     )
+
+
+# =====================================================================
+# AVI/MJPEG video under the driver gate (round 16, VERDICT r15 #7):
+# the zero-dependency video frame path gets the same treatment as the
+# image codecs — per-variant fixture payloads, the REAL container
+# walk + sampler + JPEG decode, and pinned decode literals (MJPEG is
+# lossy, so pins rather than formulas — the jpeg_decode_stats
+# pattern; tests/test_parity_pins.py live-recomputes them).
+# =====================================================================
+
+# (n_frames, quality, subsampling, gray, strip_dht, h, w) — covers
+# color + grayscale frames, all three subsamplings, odd dims, and the
+# omitted-DHT MJPEG convention (strip_dht=True forces the Annex-K
+# table splice on decode).
+_AVI_VARIANTS: tuple = (
+    (4, 90, "420", False, False, 24, 32),
+    (5, 85, "422", False, True, 21, 27),
+    (6, 75, "444", True, False, 22, 26),
+    (7, 90, "420", False, True, 25, 33),
+)
+_AVI_FPS = 10  # 100 ms/frame
+_AVI_EVERY_MS = 300  # tick rule keeps frames 0, 3, 6, ...
+
+
+def _avi_fixture_frame(variant: int, f: int):
+    """Deterministic per-(variant, frame) source image, same integer
+    formula family as the other media fixtures."""
+    import numpy as np
+
+    _, _, _, gray, _, h, w = _AVI_VARIANTS[variant]
+    r = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(w).reshape(1, w, 1)
+    k = np.arange(3).reshape(1, 1, 3)
+    px = ((variant * 37 + f * 41 + 29 * r + 5 * c + 11 * k) % 256).astype(
+        "uint8"
+    )
+    return px[:, :, 0] if gray else px
+
+
+def _avi_fixture_payload(variant: int) -> bytes:
+    from exporter_spark.operators.avi import encode_avi_mjpeg
+
+    n, q, sub, _, strip, _, _ = _AVI_VARIANTS[variant]
+    return encode_avi_mjpeg(
+        [_avi_fixture_frame(variant, f) for f in range(n)],
+        fps=_AVI_FPS,
+        quality=q,
+        subsampling=sub,
+        strip_dht=strip,
+    )
+
+
+# Pinned sampler outputs per variant: (variant, n_sampled,
+# sha256-of-sampled-frame-buffer, mean_luma as the Spark-side
+# ROUND(CAST(float32 AS DOUBLE), 6) string). GENERATED by
+# tools/gen_avi_pins.py — do not edit by hand.
+_AVI_PINS: tuple = (
+    (0, 2,
+     "bae33e360f2fa057839f8187b1132f6bbfe7c2ec138d6ba8b1ce7e9febc74668",
+     "0.498558"),
+    (1, 2,
+     "7a57841b698e81f660dfdd87758d7a8cb710ec14055b3f6834343755d8509e6c",
+     "0.502160"),
+    (2, 2,
+     "855c9e5a22b08bc357cca95de4ca577b28f1746c9f184e492516fc0f8e252efc",
+     "0.497885"),
+    (3, 3,
+     "bce5c5ff678571820d7cdfaa9b0e36f44738bed8554bacd7df12281ef20577ec",
+     "0.496894"),
+)  # placeholder; filled by tools/gen_avi_pins.py
+
+
+def _video_frame_oracle() -> str:
+    nv = len(_AVI_VARIANTS)
+    dims = ",\n      ".join(
+        f"({v}, {spec[6]}, {spec[5]}, {spec[0] * 100})"
+        for v, spec in enumerate(_AVI_VARIANTS)
+    )
+    pins = ",\n      ".join(
+        f"({v}, {n}, '{sha}', {luma})" for (v, n, sha, luma) in _AVI_PINS
+    )
+    return f"""
+    SELECT d.doc_id AS media_id,
+           CAST(d.doc_id % {nv} AS INT) AS variant,
+           'video' AS probed_type, 'avi' AS probed_format,
+           g.probed_w, g.probed_h, CAST(g.probed_ms AS BIGINT) AS probed_ms,
+           p.n_sampled, p.pixel_sha,
+           CAST(p.mean_luma AS DOUBLE) AS mean_luma
+    FROM documents d
+    JOIN (VALUES
+      {dims}
+    ) AS g(variant, probed_w, probed_h, probed_ms)
+      ON CAST(d.doc_id % {nv} AS INT) = g.variant
+    JOIN (VALUES
+      {pins}
+    ) AS p(variant, n_sampled, pixel_sha, mean_luma)
+      ON g.variant = p.variant
+    """
+
+
+@_register("video_frame_stats", _video_frame_oracle())
+def video_frame_stats(spark, sf_dir):
+    """The zero-dependency video path end-to-end under the driver
+    gate: every documents row becomes one of four MJPEG-AVI fixture
+    payloads by doc_id % 4 (4-7 frames; 4:4:4/4:2:2/4:2:0; color and
+    grayscale; two variants with DHT STRIPPED so the decoder must
+    splice the Annex-K tables per the MJPEG convention), built
+    executor-side, PROBED (the RIFF walk must report dimensions and
+    avih duration), then frame-sampled through the production
+    video_frame_decoder at 300 ms ticks (10 fps -> frames 0, 3, 6 by
+    the shared tick rule) with the REAL JPEG entropy decode per kept
+    frame. Exact gates: sampled-frame count, sha256 of the sampled
+    uint8 frame buffer, and the mean sampled-frame luma against
+    pinned literals (MJPEG is lossy -> pins, not formulas; the pins
+    are live-recomputed by tests/test_parity_pins.py so codec or
+    sampler drift fails pytest first)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nv = len(_AVI_VARIANTS)
+
+    def encode(batches):
+        cache: dict = {}
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                v = int(raw_id) % nv
+                if v not in cache:
+                    cache[v] = _avi_fixture_payload(v)
+                payloads.append(cache[v])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [None] * len(payloads),
+                }
+            )
+
+    media = d.mapInPandas(encode, multimodal.media_schema())
+    probed = multimodal.probe_media(media)
+    meta = probed.select(
+        "media_id",
+        F.col("meta.media_type").alias("probed_type"),
+        F.col("meta.format").alias("probed_format"),
+        F.col("meta.width").alias("probed_w"),
+        F.col("meta.height").alias("probed_h"),
+        F.col("meta.duration_ms").alias("probed_ms"),
+    )
+
+    out_schema = (
+        "media_id long, n_sampled int, pixel_sha string, mean_luma float"
+    )
+
+    def sample(batches):
+        import numpy as np
+
+        dec = multimodal.video_frame_decoder(
+            every_ms=_AVI_EVERY_MS, max_frames=64
+        )
+        cache: dict = {}
+        for pdf in batches:
+            n_col, sha_col, luma_col = [], [], []
+            for raw_id, p in zip(pdf["media_id"], pdf["payload"]):
+                v = int(raw_id) % nv
+                if v not in cache:
+                    frames = dec(bytes(p))
+                    rgb = frames.astype(np.float64) / 255.0
+                    luma = (
+                        0.299 * rgb[:, :, :, 0]
+                        + 0.587 * rgb[:, :, :, 1]
+                        + 0.114 * rgb[:, :, :, 2]
+                    )
+                    cache[v] = (
+                        int(frames.shape[0]),
+                        hashlib.sha256(frames.tobytes()).hexdigest(),
+                        np.float32(luma.mean()),
+                    )
+                n, sha, lu = cache[v]
+                n_col.append(n)
+                sha_col.append(sha)
+                luma_col.append(lu)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_sampled": n_col,
+                    "pixel_sha": sha_col,
+                    "mean_luma": luma_col,
+                }
+            )
+
+    sampled = media.mapInPandas(sample, out_schema)
+    joined = sampled.join(meta, "media_id")
+    return joined.select(
+        "media_id",
+        F.expr(f"CAST(media_id % {nv} AS INT)").alias("variant"),
+        "probed_type",
+        "probed_format",
+        "probed_w",
+        "probed_h",
+        "probed_ms",
+        "n_sampled",
+        "pixel_sha",
+        F.round(F.col("mean_luma").cast("double"), 6).alias("mean_luma"),
+    )

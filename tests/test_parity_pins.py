@@ -63,3 +63,26 @@ def test_jpeg_pins_match_live_recompute():
             f"variant {committed[0]}: committed pin != live recompute —"
             " run python tools/gen_jpeg_pins.py"
         )
+
+
+def test_avi_pins_match_live_recompute():
+    """The video_frame_stats oracle replays pinned sampler outputs
+    (MJPEG is lossy, so no formula oracle can recompute the decoded
+    frames independently). Freshness guard in the jpeg-pins mold:
+    every pin row — sampled-frame count, frame-buffer sha256, and the
+    Spark-rounded mean luma — is recomputed live from the committed
+    container walk + codec, so any avi.py/jpeg.py change fails HERE
+    before the driver gate can go stale. Refresh with:
+    python tools/gen_avi_pins.py"""
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_avi_pins import compute_pins
+
+    from exporter_spark.queries.multimodal import _AVI_PINS, _AVI_VARIANTS
+
+    live = compute_pins()
+    assert len(_AVI_PINS) == len(_AVI_VARIANTS) == len(live)
+    for committed, fresh in zip(_AVI_PINS, live):
+        assert tuple(committed) == tuple(fresh), (
+            f"variant {committed[0]}: committed pin != live recompute —"
+            " run python tools/gen_avi_pins.py"
+        )

@@ -16,23 +16,22 @@ pre-change version it already verified.
 Round-12 arithmetic change: the registry outgrew 100 entries, so two
 consecutive 50-slot windows can no longer cover it exactly — some
 entries must sit out each round.  The carryover set is pinned
-explicitly (``_R15_CARRYOVER``): it must stay small, consist only of
+explicitly (``_R16_CARRYOVER``): it must stay small, consist only of
 thin derivatives of operators whose flagship entries ARE in-window,
 and rotate back in the following round (each member's absence is
 bounded meanwhile by the committed full-registry sf0.01 replay + the
 pytest oracle gate, both of which cover the WHOLE registry every
-round).  Round 15: five carryovers — the touched-code rule forced
-three multimodal entries into the relational-half window (the round
-changed the extract_features/resize_media defaults and added
-jpeg_decode_stats), displacing two extra relational entries on top of
-the structural three.
+round).  Round 16: seven carryovers — nine
+forced leads (six returning r15 carryovers + two new entries + the
+gif bomb-guard touched-code rider) displaced seven flagship-half
+members, each a thin derivative of an in-window flagship.
 """
 
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R14_WINDOW,
-    _R15_CARRYOVER,
+    _R15_WINDOW,
+    _R16_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -49,11 +48,11 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered.  The explicit carryover set is the one
-    sanctioned exception (103 entries, 100 slots across two rounds);
-    its members were driver-green in CORRECTNESS_r13 with unchanged
+    sanctioned exception (106 entries, 100 slots across two rounds);
+    its members were driver-green in CORRECTNESS_r14 with unchanged
     plans since."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R14_WINDOW - _R15_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R15_WINDOW - _R16_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
@@ -68,59 +67,71 @@ def test_window_has_no_duplicates_or_unknowns():
 
 
 def test_window_pair_covers_all_but_the_pinned_carryovers():
-    """At 103 registered queries the window pair covers everything
-    except the pinned carryovers.  Round 15 has FOUR new/overlap
-    entries (media_decode_stats, multimodal_feature_stats were
-    verified in the r14 window AND ride again because this round
-    changed the extract_features/auto_decoder defaults they execute;
-    jpeg_decode_stats and gif_decode_stats are new), so six
-    relational-half members sit
-    out — each a thin derivative of an in-window flagship. Growth of
-    this set beyond what the touched-code rule forces would mean the
-    rotation contract is eroding."""
-    assert len(QUERIES) == 104
-    assert set(DRIVER_WINDOW) | _R14_WINDOW | _R15_CARRYOVER == set(QUERIES)
-    overlap = set(DRIVER_WINDOW) & _R14_WINDOW
-    assert overlap == {"media_decode_stats", "multimodal_feature_stats"}
-    assert _R15_CARRYOVER == {
+    """At 106 registered queries the window pair covers everything
+    except the pinned carryovers.  Round 16 has nine forced leads
+    (six returning r15 carryovers, the new bpe_merges_learned and
+    video_frame_stats, and gif_decode_stats riding again because this
+    round added the decompression-bomb guard to operators/gif.py), so
+    seven flagship-half members sit out — each a thin derivative or
+    component of an in-window flagship. Growth of this set beyond
+    what the touched-code rule forces would mean the rotation
+    contract is eroding."""
+    assert len(QUERIES) == 106
+    assert set(DRIVER_WINDOW) | _R15_WINDOW | _R16_CARRYOVER == set(QUERIES)
+    overlap = set(DRIVER_WINDOW) & _R15_WINDOW
+    assert overlap == {"gif_decode_stats"}
+    assert _R16_CARRYOVER == {
+        "minhash_near_dup_pairs",
+        "embedding_near_dup_banded",
+        "ivf_ann_topk",
+        "semdedup_survivors_greedy",
+        "gopher_filter_stats",
+        "top_tokens",
+        "docs_train_test_split",
+    }
+    assert not (_R16_CARRYOVER & set(DRIVER_WINDOW))
+    # the carryovers' flagship parents ARE in-window
+    assert {
+        "minhash_dedup_survivors",  # composes minhash_near_dup_pairs
+        "embedding_near_dup",  # banded variant's parent
+        "ivf_fixed_topk",  # deterministic sibling of ivf_ann_topk
+        "semdedup_survivors",  # deterministic sibling of greedy
+        "gopher_quality_signals",  # emits what gopher_filter_stats aggregates
+        "tfidf_top_terms",  # composes top_tokens' tokenize+count
+        "docs_stratified_sample",  # hash-bucket sibling of train_test_split
+    } <= set(DRIVER_WINDOW)
+    # the q1/q3 canaries alternate with the flagship half (IN this
+    # round, riding the returning flagship window)
+    assert {"q1_pricing_summary", "q3_top_orders"} <= set(DRIVER_WINDOW)
+
+
+def test_round16_window_holds_the_new_code():
+    """The standing rule: code a round touches sits in-window that
+    round.  Round 16 leads with the six r15 carryovers, then the new
+    bpe_merges_learned (distributed tokenizer training) and
+    video_frame_stats (the MJPEG-AVI lane under pinned-literal
+    gates), then gif_decode_stats (the r16 bomb-guard rider)."""
+    first_50 = set(list(QUERIES)[:50])
+    assert DRIVER_WINDOW[:9] == (
         "csv_lines_events",
         "xml_rows_events",
         "ndjson_lines_docs",
+        "distinct_counts",
         "quality_by_source",
         "docs_sample_deterministic",
-        "distinct_counts",
-    }
-    assert not (_R15_CARRYOVER & set(DRIVER_WINDOW))
-    # the carryovers' flagship parents ARE in-window: the three
-    # formatter framings derive from tostring_events; the two
-    # curation components compose inside curation_pipeline
-    assert {"tostring_events", "curation_pipeline"} <= set(DRIVER_WINDOW)
-    # the q1/q3 canaries alternate with the flagship half (OUT this
-    # round, riding the r14 flagship window)
-    assert {"q1_pricing_summary", "q3_top_orders"} <= _R14_WINDOW
-
-
-def test_round15_window_holds_the_new_code():
-    """The standing rule: code a round touches sits in-window that
-    round.  Round 15 leads with the r14 carryover pair, then the new
-    jpeg_decode_stats (the JPEG codec under the driver gate via
-    pinned decode(encode(x)) literals), then the two multimodal
-    entries whose executed defaults this round changed."""
-    first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[0] == "cosine_topk_scan"
-    assert DRIVER_WINDOW[1] == "exact_substring_strip"
-    assert DRIVER_WINDOW[2] == "jpeg_decode_stats"
-    assert DRIVER_WINDOW[3] == "gif_decode_stats"
-    assert DRIVER_WINDOW[4] == "media_decode_stats"
-    assert DRIVER_WINDOW[5] == "multimodal_feature_stats"
-    # spot-check the relational/formatter families rotated back in
+        "bpe_merges_learned",
+        "video_frame_stats",
+        "gif_decode_stats",
+    )
+    # spot-check the flagship dedup/similarity families rotated back
     assert {
-        "tostring_events",
-        "q2_min_cost_supplier",
-        "events_sessions",
-        "incremental_exact_survivors",
-        "token_stats_by_lang",
-        "approx_distinct_events",
+        "dedup_exact_docs",
+        "minhash_dedup_survivors",
+        "cosine_topk",
+        "semdedup_survivors",
+        "gopher_quality_signals",
+        "docs_stratified_sample",
+        "q1_pricing_summary",
     } <= first_50
 
 
