@@ -7,14 +7,15 @@ plumbing (schema, partitioning, Arrow batching, pickling) is
 untouched. The contract every adapter honors:
 
 * calling the closure with a payload returns the 8 float32 lanes in
-  ``multimodal.PNG_FEATURE_NAMES`` order: width, height, channels,
-  bit_depth, then mean/std/min/max of the luma plane (Rec. 601
-  weights over pixels/255.0, computed in float64, quantized to
-  float32 per lane — byte-identical discipline to the built-in
-  decoders);
+  ``multimodal.PNG_FEATURE_NAMES`` order, computed by
+  :func:`image_lanes` over the SOURCE-FAITHFUL array (grayscale
+  stays 1-channel, 16-bit stays uint16, RGBA reports 4 channels with
+  alpha excluded from luma) — the exact formula the built-in
+  decoders inline, so swapping a backend in does not change feature
+  rows for gray/16-bit/alpha sources either;
 * ``.pixels(payload)`` returns ``np.uint8 (H, W, 3)`` RGB (grayscale
-  broadcasts; alpha is dropped) — note cv2 decodes BGR, the adapter
-  converts;
+  broadcasts; alpha is dropped; 16-bit quantizes to the high byte) —
+  note cv2 decodes BGR, the adapter converts;
 * malformed payloads raise ``ValueError`` naming the reason, never
   backend-native exceptions and never fake lanes;
 * the factory itself raises ``ImportError`` naming the missing
@@ -38,13 +39,40 @@ import numpy as np
 
 
 def image_lanes(px: np.ndarray) -> np.ndarray:
-    """The shared 8-lane image feature vector from uint8 RGB pixels —
-    the same formula every built-in image decoder inlines."""
-    h, w, c = px.shape
-    rgb = px.astype(np.float64) / 255.0
-    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    """The shared 8-lane image feature vector — the EXACT formula the
+    built-in decoders inline (multimodal.py png/ppm/bmp lane block):
+    channels and bit depth are reported from the SOURCE-FAITHFUL
+    array (uint8 or uint16, (H, W) or (H, W, C)); gray/gray+alpha
+    luma is channel 0, RGB(A) luma is BT.601 with alpha excluded,
+    normalized by the depth's max sample value. Adapters must feed
+    this the faithful array, not an RGB8 conversion, or grayscale /
+    16-bit / RGBA sources silently change lanes when a backend swaps
+    in (round-16 review)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    depth = px.dtype.itemsize * 8
+    scale = float(2**depth - 1)
+    if ch <= 2:  # gray / gray+alpha
+        luma = px[:, :, 0].astype(np.float64) / scale
+    else:  # RGB(A) — BT.601 luma, alpha excluded
+        rgb = px[:, :, :3].astype(np.float64) / scale
+        luma = (
+            0.299 * rgb[:, :, 0]
+            + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        )
     return np.array(
-        [w, h, c, 8, luma.mean(), luma.std(), luma.min(), luma.max()],
+        [
+            w,
+            h,
+            ch,
+            depth,
+            float(luma.mean()),
+            float(luma.std()),
+            float(luma.min()),
+            float(luma.max()),
+        ],
         dtype=np.float32,
     )
 
@@ -82,24 +110,54 @@ def pillow_decoder() -> Callable[[bytes], np.ndarray]:
             " and executors"
         ) from ex
 
-    def _pixels(payload: bytes) -> np.ndarray:
+    def _open(payload: bytes):
         import io
 
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(bytes(payload or b"")))
+        im.seek(0)  # first frame of animated sources
+        return im
+
+    def _faithful(im) -> np.ndarray:
+        # source-faithful array for the lane formula: L/LA/RGB/RGBA
+        # pass through, 16-bit gray stays uint16. Palette and exotic
+        # modes (CMYK, YCbCr, 1-bit) normalize to RGB — same as the
+        # built-in PNG decoder's palette expansion. (Pillow itself
+        # cannot represent 16-bit RGB PNG faithfully; it arrives as
+        # 8-bit 'RGB', so that one source class keeps the normalized
+        # lanes — documented limit, not silent.)
+        if im.mode in ("L", "LA", "RGB", "RGBA"):
+            arr = np.asarray(im)
+        elif im.mode in ("I;16", "I;16L", "I;16B", "I"):
+            arr = np.asarray(im.convert("I;16"), dtype=np.uint16)
+        else:
+            arr = np.asarray(im.convert("RGB"))
+        return arr
+
+    def _guard(fn, payload):
         from PIL import Image, UnidentifiedImageError
 
         try:
-            with Image.open(io.BytesIO(bytes(payload or b""))) as im:
-                im.seek(0)  # first frame of animated sources
-                return _to_rgb_uint8(
-                    np.asarray(im.convert("RGB")), "Pillow"
-                )
-        except UnidentifiedImageError as ex:
-            raise ValueError(f"undecodable payload via Pillow: {ex}") from ex
-        except (OSError, SyntaxError) as ex:
+            with _open(payload) as im:
+                return fn(im)
+        except Image.DecompressionBombError as ex:
+            # Pillow's own bomb guard (MAX_IMAGE_PIXELS) — surface it
+            # under the contract, like the built-ins' MAX_PIXELS caps
+            raise ValueError(
+                f"undecodable payload via Pillow: decode cap — {ex}"
+            ) from ex
+        except (UnidentifiedImageError, OSError, SyntaxError) as ex:
             raise ValueError(f"undecodable payload via Pillow: {ex}") from ex
 
+    def _pixels(payload: bytes) -> np.ndarray:
+        return _guard(
+            lambda im: _to_rgb_uint8(np.asarray(im.convert("RGB")), "Pillow"),
+            payload,
+        )
+
     def decode(payload: bytes) -> np.ndarray:
-        return image_lanes(_pixels(payload))
+        return _guard(lambda im: image_lanes(_faithful(im)), payload)
 
     decode.pixels = _pixels
     return decode
@@ -116,24 +174,37 @@ def cv2_decoder() -> Callable[[bytes], np.ndarray]:
             " on driver and executors"
         ) from ex
 
-    def _pixels(payload: bytes) -> np.ndarray:
+    def _decode_raw(payload: bytes) -> np.ndarray:
         import cv2
 
         buf = np.frombuffer(bytes(payload or b""), np.uint8)
-        arr = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        try:
+            arr = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        except cv2.error as ex:
+            # cv2's own caps (OPENCV_IO_MAX_IMAGE_PIXELS) raise
+            # cv2.error — surface under the contract, never
+            # backend-native (round-16 review)
+            raise ValueError(f"undecodable payload via cv2: {ex}") from ex
         if arr is None:
             raise ValueError(
                 "undecodable payload via cv2: imdecode returned None"
             )
         if arr.ndim == 3 and arr.shape[2] in (3, 4):
-            arr = cv2.cvtColor(
+            import cv2 as _cv2
+
+            arr = _cv2.cvtColor(
                 arr,
-                cv2.COLOR_BGRA2RGB if arr.shape[2] == 4 else cv2.COLOR_BGR2RGB,
+                _cv2.COLOR_BGRA2RGBA
+                if arr.shape[2] == 4
+                else _cv2.COLOR_BGR2RGB,
             )
-        return _to_rgb_uint8(arr, "cv2")
+        return arr  # source-faithful: gray stays 2-D, 16-bit uint16
+
+    def _pixels(payload: bytes) -> np.ndarray:
+        return _to_rgb_uint8(_decode_raw(payload), "cv2")
 
     def decode(payload: bytes) -> np.ndarray:
-        return image_lanes(_pixels(payload))
+        return image_lanes(_decode_raw(payload))
 
     decode.pixels = _pixels
     return decode

@@ -150,6 +150,23 @@ def learn_bpe(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = df.sparkSession
+
+    def _release(d: DataFrame | None) -> None:
+        # a superseded table must leave executor storage NOW, not at
+        # the nondeterministic ContextCleaner: unpersist() handles the
+        # cache-manager entry, and the analyzed-plan RDD unpersist
+        # frees localCheckpoint blocks, which DataFrame.unpersist does
+        # NOT touch (round-16 review: one full word-table copy stayed
+        # pinned per checkpoint interval — ~320 copies at production
+        # sizing. Same hygiene as dedup.connected_components.)
+        if d is None:
+            return
+        d.unpersist()
+        try:
+            d._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — best-effort hygiene
+            pass
+
     words = word_frequencies(df, text_col, min_freq=min_freq).cache()
     prev = None
     rows: list[tuple[int, str, str, int]] = []
@@ -162,18 +179,20 @@ def learn_bpe(
         )
         if prev is not None:
             # this iteration's top-1 job materialized the current
-            # cached table, so the predecessor can go
-            prev.unpersist()
+            # table, so the predecessor can go
+            _release(prev)
+            prev = None
         if not top:
             break  # alphabet fully merged before n_merges
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         rows.append((rank, lhs, rhs, cnt))
         prev, words = words, merge_pair(words, lhs, rhs).cache()
         if checkpoint_every and rank % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
-    words.unpersist()
-    if prev is not None:
-        prev.unpersist()
+            ck = words.localCheckpoint(eager=True)
+            _release(words)
+            words = ck
+    _release(words)
+    _release(prev)
     return spark.createDataFrame(
         rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )

@@ -212,14 +212,6 @@ def parse_gif(payload: bytes):
         raise ValueError("undecodable GIF payload: bad signature")
     try:
         w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
-        if w * h > MAX_PIXELS:
-            # bomb guard BEFORE any canvas allocation: 13 declared
-            # header bytes must not be able to command a multi-GB
-            # numpy buffer (mirrors jpeg.py's MAX_PIXELS refusal)
-            raise ValueError(
-                f"undecodable GIF payload: logical screen {w}x{h}"
-                f" exceeds the {MAX_PIXELS}-pixel decode cap"
-            )
         pos = 13
         gct = None
         if packed & 0x80:
@@ -317,6 +309,19 @@ def gif_decoder():
 
     def _frames(payload: bytes, first_only: bool = False):
         w, h, bg, gct, images = parse_gif(payload)
+        if w * h > MAX_PIXELS:
+            # bomb guard in the DECODER, before any canvas allocation
+            # (mirrors jpeg.py, where the MAX_PIXELS refusal lives in
+            # the decoder too): 13 declared header bytes must not
+            # command a multi-GB numpy buffer. parse_gif stays
+            # permissive on purpose — probe_media must still CLASSIFY
+            # a large-but-valid GIF (dims, image-vs-video), exactly as
+            # the probe's JPEG branch reports dims for payloads
+            # jpeg_decoder refuses (round-16 review).
+            raise ValueError(
+                f"undecodable GIF payload: logical screen {w}x{h}"
+                f" exceeds the {MAX_PIXELS}-pixel decode cap"
+            )
         if first_only:
             # feature extraction / resize need only frame 0 — skip
             # the other LZW decodes (round-15 review: a 200-frame

@@ -408,7 +408,7 @@ _JPEG_PINS: tuple = (
     (7, 32, 8,
      "2e174ea21905146d6b8e52079b2004b3cc85401fcdc200b45d3a1f24ea9dc08e",
      "32.000000", "8.000000", "3.000000", "8.000000", "0.501775", "0.261748", "0.041616", "0.940890"),
-)  # placeholder; filled by tools/gen_jpeg_pins.py
+)  # GENERATED; refresh with tools/gen_jpeg_pins.py
 
 
 def _jpeg_decode_oracle() -> str:
@@ -755,7 +755,7 @@ _AVI_PINS: tuple = (
     (3, 3,
      "bce5c5ff678571820d7cdfaa9b0e36f44738bed8554bacd7df12281ef20577ec",
      "0.496894"),
-)  # placeholder; filled by tools/gen_avi_pins.py
+)  # GENERATED; refresh with tools/gen_avi_pins.py
 
 
 def _video_frame_oracle() -> str:

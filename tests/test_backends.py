@@ -152,3 +152,28 @@ def test_backend_swaps_into_extract_features(spark):
     out = multimodal.extract_features(df, decoder=factory()).collect()
     assert len(out) == 1
     assert out[0]["features"] == backends.image_lanes(px).tolist()
+
+
+def test_image_lanes_faithful_for_gray_and_16bit():
+    """Finding-3 regression (round-16 review): the shared lane
+    formula must report SOURCE channels and bit depth — a grayscale
+    source is (w, h, 1, 8, ...) and a 16-bit gray source is
+    (w, h, 1, 16, ...) with luma normalized by 65535, identically to
+    the built-in png_decoder. An adapter that RGB8-converts before
+    computing lanes would silently change feature rows when a backend
+    swaps in."""
+    from exporter_spark.operators.multimodal import encode_png, png_decoder
+
+    dec = png_decoder()
+    gray = (np.arange(8 * 9).reshape(8, 9) % 256).astype(np.uint8)
+    p = encode_png(gray)
+    assert np.array_equal(dec(p), backends.image_lanes(dec.pixels(p)))
+    assert dec(p)[2] == 1.0 and dec(p)[3] == 8.0
+    g16 = (np.arange(8 * 9).reshape(8, 9) * 700 % 65536).astype(np.uint16)
+    p16 = encode_png(g16, bit_depth=16)
+    assert np.array_equal(dec(p16), backends.image_lanes(dec.pixels(p16)))
+    assert dec(p16)[3] == 16.0
+    rgba = np.dstack([_fixture_rgb(8, 9), np.full((8, 9), 77, np.uint8)])
+    pa = encode_png(rgba)
+    assert np.array_equal(dec(pa), backends.image_lanes(dec.pixels(pa)))
+    assert dec(pa)[2] == 4.0

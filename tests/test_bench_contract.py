@@ -17,6 +17,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+import pytest
+
+# Heavyweight end-to-end suite: excluded from the dev loop
+# (pytest -m 'not slow'), always in round-closing validation.
+pytestmark = pytest.mark.slow
+
+
 def test_bench_emits_one_json_line_with_all_entries():
     env = {
         **os.environ,

@@ -70,6 +70,7 @@ def _learned(spark, texts, n):
     ]
 
 
+@pytest.mark.slow
 def test_matches_textbook_bpe(spark):
     assert _learned(spark, TEXTS, 12) == _reference_bpe(TEXTS, 12)
 
@@ -142,3 +143,17 @@ def test_n_merges_validation(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="n_merges"):
         bpe.learn_bpe(df, "text", n_merges=0)
+
+
+def test_checkpoint_path_leaves_no_cached_tables(spark):
+    """Round-16 review finding: the eager localCheckpoint used to
+    REPLACE the cached merge table without unpersisting it, pinning
+    one full word-table copy per checkpoint interval (~320 copies at
+    production sizing). After learn_bpe returns, executor storage must
+    hold nothing it added."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    bpe.learn_bpe(df, "text", n_merges=6, checkpoint_every=1).collect()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after <= before, (before, after)

@@ -406,17 +406,27 @@ def test_lzw_roundtrip_through_full_table_overflow():
 
 
 def test_decompression_bomb_refused_before_allocation():
-    """A ~12-byte payload declaring a 65535x65535 logical screen must
-    refuse by name BEFORE any canvas allocation (ADVICE r16: jpeg's
-    MAX_PIXELS guard mirrored) — including through the default
-    auto_decoder route, where untrusted payloads arrive."""
-    bomb = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    """A ~1 KB well-formed payload declaring a 65535x65535 logical
+    screen must refuse by name BEFORE any canvas allocation (ADVICE
+    r16: jpeg's MAX_PIXELS guard mirrored) — including through the
+    default auto_decoder route, where untrusted payloads arrive. The
+    guard lives in the DECODER, not the structural walk: probe_media
+    must still CLASSIFY the same payload (round-16 review — the
+    probe's GIF branch calls parse_gif, and the JPEG branch likewise
+    reports dims for payloads jpeg_decoder refuses)."""
+    table = bytes(range(12))
+    tiny = np.zeros((1, 1), np.uint8)
+    bomb = _assemble_animation(
+        [_img_block(tiny, 2)], 65535, 65535, table, 1
+    )
+    w, h, _bg, _gct, images = gif.parse_gif(bomb)  # probe path: classifies
+    assert (w, h, len(images)) == (65535, 65535, 1)
+    dec = gif.gif_decoder()
+    for fn in (dec, dec.pixels, multimodal.auto_decoder()):
+        with pytest.raises(ValueError, match="decode cap"):
+            fn(bomb)
     with pytest.raises(ValueError, match="decode cap"):
-        gif.parse_gif(bomb)
-    with pytest.raises(ValueError, match="decode cap"):
-        gif.gif_decoder()(bomb)
-    with pytest.raises(ValueError, match="decode cap"):
-        multimodal.auto_decoder()(bomb)
+        gif.sample_gif_frames(bomb, every_ms=100)
 
 
 def test_animation_total_pixel_cap():

@@ -92,6 +92,7 @@ def _docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_incremental_minhash_star_cluster_and_store_growth(spark):
     base = "the quick brown fox jumps over the lazy dog " * 6  # ~264 chars
     near = base[:-30] + "x" * 30  # same prefix, mutated tail
@@ -139,6 +140,7 @@ def test_incremental_minhash_in_batch_stage_is_batch_pipeline(spark):
     assert _ids(sigs) == [1, 3]
 
 
+@pytest.mark.slow
 def test_chain_cluster_documented_divergence(spark):
     """A~B and B~C with A!~C, arriving as three increments, keeps
     {A, C}; a batch run over all three keeps {A} via transitive
@@ -223,6 +225,7 @@ def test_near_dup_replay_idempotence_on_documents(spark, sf_dir):
     assert sigs2.count() == 0  # the store gains nothing on a replay
 
 
+@pytest.mark.slow
 def test_two_increment_commutativity_on_disjoint_deltas(spark):
     """Two deltas with NO cross-delta near-duplicates commute: each
     doc's fate depends only on the store bootstrap and its own delta,
@@ -273,6 +276,7 @@ def test_two_increment_commutativity_on_disjoint_deltas(spark):
     assert store_12 == store_21 == [1, 2, 11, 21]
 
 
+@pytest.mark.slow
 def test_broadcast_modes_value_identical_on_documents(spark, sf_dir):
     """broadcast_delta=True (map-side store scan, the default) and
     False (shuffled band/digest joins, the huge-delta escape hatch)

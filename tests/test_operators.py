@@ -180,6 +180,7 @@ def test_connected_components_driver_path_matches_distributed(spark):
     assert stats_d["n_edges"] == 2 * len(set(raw))
 
 
+@pytest.mark.slow
 def test_connected_components_modes_agree_on_random_graphs(spark):
     """Randomized mode-equivalence: seeded Erdős–Rényi-ish edge lists
     (mixed components, self-loops, duplicate edges, reversed pairs)

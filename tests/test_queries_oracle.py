@@ -1,6 +1,13 @@
 """Replicates the driver's correctness gate locally at sf0.001:
 every query with an oracle must match DuckDB on row count, column
-names, and (order-insensitively) values."""
+names, and (order-insensitively) values.
+
+Marked ``slow`` as a MODULE (round 16): the 100+-entry sweep is the
+bulk of the dev loop's tail, and it re-runs in every round-closing
+full suite, the driver gate, and the sf0.01 full-registry replay.
+When you edit a query or oracle, run this file DIRECTLY
+(``pytest tests/test_queries_oracle.py -k <name>``) — the dev loop's
+``-m 'not slow'`` does not cover you for registry changes."""
 
 from __future__ import annotations
 
@@ -8,6 +15,8 @@ import math
 
 import duckdb
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from exporter_spark.operators.partitioning import cache_scope
 from exporter_spark.queries import QUERIES

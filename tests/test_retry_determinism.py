@@ -47,6 +47,13 @@ spark = get_spark(
 docs = load_table(spark, "/root/testdata/sf0.001", "documents")
 
 
+import pytest
+
+# Heavyweight end-to-end suite: excluded from the dev loop
+# (pytest -m 'not slow'), always in round-closing validation.
+pytestmark = pytest.mark.slow
+
+
 def flaky_once(df):
     # Pass-through stage that fails exactly one task attempt. State
     # lives in Spark's own attempt counter, not Python globals: the

@@ -67,6 +67,11 @@ SNAPSHOT = (
 )
 
 
+# Heavyweight end-to-end suite: excluded from the dev loop
+# (pytest -m 'not slow'), always in round-closing validation.
+pytestmark = pytest.mark.slow
+
+
 def _run_and_measure(spark, name, sf_dir):
     # marker BEFORE fn(): operators with eager internal jobs (CC's
     # edge materialization) shuffle during plan construction, not the

@@ -239,6 +239,7 @@ def test_from_hive_catalog_round_trip(spark, sf_dir, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS exp_test")
 
 
+@pytest.mark.slow
 def test_from_hive_embedded_derby_metastore(sf_dir, tmp_path):
     """The REAL metastore path (VERDICT r13 missing #3): a
     Hive-enabled session backed by an embedded Derby metastore —

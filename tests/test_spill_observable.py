@@ -37,6 +37,13 @@ print("SPILL", mem, disk)
 """
 
 
+import pytest
+
+# Heavyweight end-to-end suite: excluded from the dev loop
+# (pytest -m 'not slow'), always in round-closing validation.
+pytestmark = pytest.mark.slow
+
+
 def test_spill_totals_reads_nonzero_on_forced_spill():
     proc = subprocess.run(
         [sys.executable, "-c", _PROBE],

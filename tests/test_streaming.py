@@ -15,6 +15,11 @@ from exporter_spark.sources.files import load_table
 from exporter_spark.streaming import stream as ss
 
 
+# Heavyweight end-to-end suite: excluded from the dev loop
+# (pytest -m 'not slow'), always in round-closing validation.
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def events_dir(spark, sf_dir, tmp_path):
     """Stage the events table as parquet files a stream can watch."""
