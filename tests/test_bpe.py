@@ -157,3 +157,89 @@ def test_checkpoint_path_leaves_no_cached_tables(spark):
     bpe.learn_bpe(df, "text", n_merges=6, checkpoint_every=1).collect()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after <= before, (before, after)
+
+
+# ---------------------------------------------------------------------
+# The encoding trick, property-tested WITHOUT Spark: ANSI-style
+# str.replace over the double-separator rep must equal the symbol-
+# level greedy left-to-right merge scan for arbitrary symbol
+# sequences and merge pairs — including multi-char symbols that are
+# prefixes/suffixes of each other, the class where single-separator
+# encodings corrupt silently.
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SYMS = ["a", "b", "aa", "ab", "ba", "aab", "bba"]
+
+
+def _encode(seq):
+    return " " + "  ".join(seq) + " "
+
+
+def _decode(rep):
+    return [s for s in rep.split(" ") if s]
+
+
+def _greedy_merge(seq, lhs, rhs):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and (seq[i], seq[i + 1]) == (lhs, rhs):
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(_SYMS), min_size=1, max_size=12),
+    st.sampled_from(_SYMS),
+    st.sampled_from(_SYMS),
+)
+def test_replace_encoding_equals_greedy_merge(seq, lhs, rhs):
+    """Python str.replace shares ANSI replace's left-to-right
+    non-overlapping semantics, so this property holds for Spark's
+    F.replace and DuckDB's replace identically."""
+    rep = _encode(seq).replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+    assert _decode(rep) == _greedy_merge(seq, lhs, rhs)
+
+
+def test_degenerate_documents_match_oracle(spark, tmp_path):
+    """NULL text, empty text, and no-alpha text rows must behave
+    identically in both engines (no rows contributed, no crash) —
+    and a corpus made ONLY of those yields an empty merge table."""
+    import duckdb
+
+    from exporter_spark.queries import QUERIES
+
+    rows = [
+        (0, None, "xx", "s", 0),
+        (1, "", "xx", "s", 0),
+        (2, "123 456 !!!", "xx", "s", 11),
+        (3, "ab ab ab", "xx", "s", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    q = QUERIES["bpe_merges_learned"]
+    got = q.fn(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    want = con.sql(q.oracle).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["lhs"] == "a" and got[0]["rhs"] == "b"  # only 'ab' pairs
+    # all-degenerate corpus: empty table, both engines
+    df2 = spark.createDataFrame(rows[:3], df.schema)
+    d2 = str(tmp_path / "deg")
+    df2.coalesce(1).write.mode("overwrite").parquet(d2 + "/documents.parquet")
+    got2 = q.fn(spark, d2).collect()
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW documents AS SELECT * FROM '{d2}/documents.parquet/*.parquet'")
+    want2 = con2.sql(q.oracle).fetchall()
+    assert got2 == [] and want2 == []
