@@ -297,3 +297,39 @@ def test_mjpa_field_interlaced_routes_to_cv2_seam():
     except ImportError:
         with pytest.raises(NotImplementedError, match="cv2"):
             multimodal.video_frame_decoder(every_ms=100)(payload)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=30000),
+    val=st.integers(min_value=0, max_value=255),
+    cut=st.integers(min_value=0, max_value=30000),
+)
+def test_corruption_fuzz_no_raw_leaks(pos, val, cut):
+    """Mutate/truncate a valid MJPEG AVI anywhere: the container walk
+    + frame decode must either succeed cleanly or raise the named
+    contract errors — never struct.error/IndexError/KeyError/numpy
+    exceptions (the shared codec corruption contract; the GIF and PNG
+    fuzzes are the siblings)."""
+    base = bytearray(avi.encode_avi_mjpeg(_frames(3, 16, 16), fps=10))
+    mutated = bytearray(base)
+    mutated[pos % len(base)] = val
+    truncated = bytes(base[: cut % len(base)])
+    for payload in (bytes(mutated), truncated):
+        try:
+            out = multimodal.video_frame_decoder(every_ms=100)(payload)
+            assert out.dtype == np.uint8 and out.ndim == 4
+        except ValueError as ex:
+            msg = str(ex)
+            assert (
+                "undecodable" in msg  # named AVI/MJPEG/JPEG refusals
+                or "not MJPEG" in msg
+                or "no decoder for payload magic" in msg
+            ), msg
+        except NotImplementedError as ex:
+            # a mutated fourcc legitimately routes to the cv2 seam
+            assert "cv2" in str(ex)
