@@ -243,3 +243,52 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
     con2.sql(f"CREATE VIEW documents AS SELECT * FROM '{d2}/documents.parquet/*.parquet'")
     want2 = con2.sql(q.oracle).fetchall()
     assert got2 == [] and want2 == []
+
+
+def test_batch_k1_is_strict_bpe(spark):
+    """batch_k=1 must BE the textbook path bit-for-bit (it is the
+    oracle-gated default)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    a = bpe.learn_bpe(df, "text", n_merges=8).collect()
+    b = bpe.learn_bpe(df, "text", n_merges=8, batch_k=1).collect()
+    assert a == b and a == _reference_bpe(TEXTS, 8) == [tuple(r) for r in a]
+
+
+def test_batched_rounds_are_symbol_disjoint_and_valid(spark):
+    """batch_k>1: within each learned table, verify (a) the greedy
+    selection invariant via select_disjoint on synthetic candidates,
+    (b) the learned table still encodes losslessly (apply + join
+    restores every word), and (c) counts of selected pairs equal the
+    strict path's counts whenever the same pair appears at the same
+    state (rank-1 of round one is always the strict top pair)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    batched = bpe.learn_bpe(df, "text", n_merges=8, batch_k=4)
+    table = batched.orderBy("merge_rank").collect()
+    assert len(table) == 8
+    strict_top = bpe.learn_bpe(df, "text", n_merges=1).collect()[0]
+    assert tuple(table[0]) == tuple(strict_top)
+    # lossless encoding with the batched table
+    enc = bpe.apply_bpe(df, batched).collect()
+    import re as _re
+
+    for row in enc:
+        assert "".join(row["bpe_tokens"]) == "".join(
+            _re.findall("[a-z]+", row["text"].lower())
+        )
+
+
+def test_select_disjoint_greedy_invariant():
+    rows = [
+        {"lhs": "a", "rhs": "b", "cnt": 9},
+        {"lhs": "b", "rhs": "c", "cnt": 8},  # conflicts via 'b'
+        {"lhs": "c", "rhs": "d", "cnt": 7},
+        {"lhs": "a", "rhs": "d", "cnt": 6},  # conflicts via 'a' and 'd'
+        {"lhs": "e", "rhs": "f", "cnt": 5},
+    ]
+    picked = bpe.select_disjoint(rows, 3)
+    assert [(r["lhs"], r["rhs"]) for r in picked] == [
+        ("a", "b"),
+        ("c", "d"),
+        ("e", "f"),
+    ]
+    assert bpe.select_disjoint(rows, 1) == rows[:1]
