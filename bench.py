@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     # pair-count iterations over the cached word table (the iteration
     # lane is job-overhead-bound at this SF; see SCALE.md r16)
     "bpe_merges_learned",
+    # round 16 late: image near-dup — PNG encode+decode per doc,
+    # integer pHash, 9-table pigeonhole self-join (the multimodal
+    # pillar's dedup lane, priced)
+    "phash_near_dup_pairs",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

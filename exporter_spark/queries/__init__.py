@@ -150,8 +150,10 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            both were r15-window-green and nothing they execute
 #            changed (their fixtures are PNG/PPM/BMP/WAV and the
 #            hex-chain decoder; the gif/avi edits are outside their
-#            paths). At 106 entries with nine forced leads the
-#            carryover set is seven (_R16_CARRYOVER below).
+#            paths). At 107 entries with ten forced leads
+#            (phash_near_dup_pairs — image near-dup via integer-exact
+#            pHash — landed late in the round) the carryover set is
+#            eight (_R16_CARRYOVER below).
 # The relational/formatter half rides the back this round; it remains
 # covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
 # automated gate — test_queries_oracle.py parametrizes over the WHOLE
@@ -172,6 +174,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "docs_sample_deterministic",
     "bpe_merges_learned",
     "video_frame_stats",
+    "phash_near_dup_pairs",
     "gif_decode_stats",
     # the flagship block in its r14 order (q1/q3 canaries riding it
     # per the odd/even alternation), minus media_decode_stats and
@@ -196,7 +199,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_near_dup",
     "ivf_fixed_topk",
     "semdedup_survivors",
-    "embedding_quantize_stats",
     "embedding_random_projection",
     "gopher_quality_signals",
     "lm_quality_buckets",
@@ -282,7 +284,7 @@ _R15_WINDOW: frozenset[str] = frozenset(
 
 # The 106-entry/100-slot arithmetic, plus the nine forced leads (six
 # returning carryovers + two new entries + one touched-code rider),
-# makes seven flagship-half members sit out this round. Each is a
+# makes eight flagship-half members sit out this round. Each is a
 # thin derivative or component of an operator whose flagship entry
 # stays in-window:
 #   minhash_near_dup_pairs — the pair-generation component in-window
@@ -295,16 +297,21 @@ _R15_WINDOW: frozenset[str] = frozenset(
 #     tools/pin_no_oracle.py regardless of window membership;
 #   gopher_filter_stats — the aggregation of the same per-doc signals
 #     in-window gopher_quality_signals emits;
+#   embedding_quantize_stats — the expression-only (zero-shuffle, per
+#     the committed shuffle audits) sibling of in-window
+#     embedding_random_projection: both are pure per-row embedding
+#     transforms over the same scan shape;
 #   top_tokens — the tokenize+count component of in-window
 #     tfidf_top_terms;
 #   docs_train_test_split — the hash-bucket-assignment sibling of
 #     in-window docs_stratified_sample.
-# All seven were driver-green in CORRECTNESS_r14 with unchanged plans
+# All eight were driver-green in CORRECTNESS_r14 with unchanged plans
 # since, are verified every round by the committed full-registry
 # sf0.01 replay and the pytest oracle gate, and rotate back into the
 # r17 window.
 _R16_CARRYOVER: frozenset[str] = frozenset(
     {
+        "embedding_quantize_stats",
         "minhash_near_dup_pairs",
         "embedding_near_dup_banded",
         "ivf_ann_topk",

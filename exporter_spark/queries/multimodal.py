@@ -892,3 +892,142 @@ def video_frame_stats(spark, sf_dir):
         "pixel_sha",
         F.round(F.col("mean_luma").cast("double"), 6).alias("mean_luma"),
     )
+
+
+# =====================================================================
+# pHash image near-dup under the driver gate (round 16): the
+# multimodal pillar's dedup story. Engine-exactness comes from the
+# operator's all-integer pipeline (int luma, round-half-up pool,
+# LITERAL int cosine table, median sign bits) — DuckDB replays the
+# WHOLE thing from the pixel formula: hash, banding recall set, and
+# hamming distances, with no pinned values anywhere.
+# =====================================================================
+
+_PHASH_H = _PHASH_W = 16
+
+
+def _phash_fixture_pixels(doc_id: int):
+    """Doc pairs (2m, 2m+1) are a base image (seed m) and its
+    one-pixel perturbation — planted near-dups at every table size,
+    independent of row count."""
+    import numpy as np
+
+    seed, perturb = doc_id // 2, doc_id % 2
+    r = np.arange(_PHASH_H).reshape(_PHASH_H, 1, 1)
+    c = np.arange(_PHASH_W).reshape(1, _PHASH_W, 1)
+    k = np.arange(3).reshape(1, 1, 3)
+    px = ((seed * 37 + 29 * r + 5 * c + 11 * k) % 256).astype("uint8")
+    if perturb:
+        px[0, 0] = 255 - px[0, 0]
+    return px
+
+
+def _phash_near_dup_oracle() -> str:
+    from exporter_spark.operators.phash import DCT_TABLE
+
+    t_rows = ",\n      ".join(
+        f"({u}, {x}, {DCT_TABLE[u][x]})" for u in range(8) for x in range(8)
+    )
+    lum = (
+        "299*p0 + 587*p1 + 114*p2"
+    )
+    chan = (
+        "CASE WHEN (d.doc_id % 2) = 1 AND r.r = 0 AND c.c = 0"
+        " THEN 255 - (((d.doc_id // 2)*37 + 29*r.r + 5*c.c + 11*{k}) % 256)"
+        " ELSE ((d.doc_id // 2)*37 + 29*r.r + 5*c.c + 11*{k}) % 256 END"
+    )
+    return f"""
+    WITH t(u, x, v) AS (VALUES {t_rows}),
+    px AS (
+      SELECT d.doc_id AS doc, r.r, c.c,
+             299*({chan.format(k=0)})
+             + 587*({chan.format(k=1)})
+             + 114*({chan.format(k=2)}) AS luma
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_PHASH_H})) AS r) r
+      CROSS JOIN (SELECT unnest(range({_PHASH_W})) AS c) c
+    ),
+    pooled AS (
+      SELECT doc, r // 2 AS i, c // 2 AS j,
+             (2*SUM(luma) + COUNT(*)) // (2*COUNT(*)) AS p
+      FROM px GROUP BY doc, r // 2, c // 2
+    ),
+    coef AS (
+      SELECT p.doc, tu.u, tv.u AS v,
+             SUM(tu.v * p.p * tv.v)::BIGINT AS cf
+      FROM pooled p
+      JOIN t tu ON tu.x = p.i
+      JOIN t tv ON tv.x = p.j
+      GROUP BY p.doc, tu.u, tv.u
+    ),
+    ac AS (
+      SELECT doc, u*8 + v - 1 AS k, cf FROM coef
+      WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+      SELECT doc, cf AS m FROM (
+        SELECT doc, cf,
+               row_number() OVER (PARTITION BY doc ORDER BY cf) AS rn
+        FROM ac) WHERE rn = 32
+    ),
+    hashes AS (
+      SELECT ac.doc,
+             SUM(CASE WHEN ac.cf > med.m THEN 1::BIGINT << ac.k
+                      ELSE 0 END)::BIGINT AS h
+      FROM ac JOIN med USING (doc) GROUP BY ac.doc
+    ),
+    chunks AS (
+      SELECT doc, h, tbl,
+             (h >> (tbl * 7)) & 127 AS chunk
+      FROM hashes CROSS JOIN (SELECT unnest(range(9)) AS tbl) t9
+    )
+    SELECT DISTINCT a.doc AS a_id, b.doc AS b_id,
+           bit_count(xor(a.h, b.h)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.tbl = b.tbl AND a.chunk = b.chunk AND a.doc < b.doc
+    WHERE bit_count(xor(a.h, b.h)) <= 8
+    ORDER BY a_id, b_id
+    """
+
+
+@_register("phash_near_dup_pairs", _phash_near_dup_oracle())
+def phash_near_dup_pairs_q(spark, sf_dir):
+    """Image near-dup detection end-to-end under the driver gate:
+    every documents row becomes a formula-generated 16x16 PNG (doc
+    pairs (2m, 2m+1) are a base image and its one-pixel perturbation
+    — planted near-dups), decoded and pHashed executor-side
+    (operators/phash.py: integer luma -> round-half-up 8x8 pool ->
+    literal-int-cosine-table DCT -> median sign bits, 63-bit
+    fingerprint), then banded 9x7 bits with the simhash pigeonhole
+    join (recall guaranteed to hamming 8). The oracle recomputes the
+    ENTIRE pipeline in SQL — hashes, banding candidate set, hamming —
+    from the pixel formula and the same literal table: no pins, and
+    any engine divergence in any stage hash-mismatches."""
+    import pandas as pd
+
+    from exporter_spark.operators import phash as phash_mod
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from exporter_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(_phash_fixture_pixels(int(i)))
+                        for i in pdf["doc_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = d.mapInPandas(encode, multimodal.media_schema())
+    return (
+        phash_mod.phash_near_dup_pairs(
+            media, max_hamming=8, num_tables=9
+        )
+        .orderBy("a_id", "b_id")
+    )

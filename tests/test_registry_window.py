@@ -21,9 +21,9 @@ thin derivatives of operators whose flagship entries ARE in-window,
 and rotate back in the following round (each member's absence is
 bounded meanwhile by the committed full-registry sf0.01 replay + the
 pytest oracle gate, both of which cover the WHOLE registry every
-round).  Round 16: seven carryovers — nine
-forced leads (six returning r15 carryovers + two new entries + the
-gif bomb-guard touched-code rider) displaced seven flagship-half
+round).  Round 16: eight carryovers — ten
+forced leads (six returning r15 carryovers + three new entries + the
+gif bomb-guard touched-code rider) displaced eight flagship-half
 members, each a thin derivative of an in-window flagship.
 """
 
@@ -48,7 +48,7 @@ def test_rotation_covers_every_query_within_two_rounds():
     """A query may ride the back half only if the previous round's
     driver window verified it — a NEW query must enter the window the
     round it is registered.  The explicit carryover set is the one
-    sanctioned exception (106 entries, 100 slots across two rounds);
+    sanctioned exception (107 entries, 100 slots across two rounds);
     its members were driver-green in CORRECTNESS_r14 with unchanged
     plans since."""
     uncovered = (
@@ -67,20 +67,22 @@ def test_window_has_no_duplicates_or_unknowns():
 
 
 def test_window_pair_covers_all_but_the_pinned_carryovers():
-    """At 106 registered queries the window pair covers everything
-    except the pinned carryovers.  Round 16 has nine forced leads
-    (six returning r15 carryovers, the new bpe_merges_learned and
-    video_frame_stats, and gif_decode_stats riding again because this
-    round added the decompression-bomb guard to operators/gif.py), so
-    seven flagship-half members sit out — each a thin derivative or
+    """At 107 registered queries the window pair covers everything
+    except the pinned carryovers.  Round 16 has ten forced leads
+    (six returning r15 carryovers, the new bpe_merges_learned,
+    video_frame_stats and phash_near_dup_pairs, and gif_decode_stats
+    riding again because this round added the decompression-bomb
+    guard to operators/gif.py), so
+    eight flagship-half members sit out — each a thin derivative or
     component of an in-window flagship. Growth of this set beyond
     what the touched-code rule forces would mean the rotation
     contract is eroding."""
-    assert len(QUERIES) == 106
+    assert len(QUERIES) == 107
     assert set(DRIVER_WINDOW) | _R15_WINDOW | _R16_CARRYOVER == set(QUERIES)
     overlap = set(DRIVER_WINDOW) & _R15_WINDOW
     assert overlap == {"gif_decode_stats"}
     assert _R16_CARRYOVER == {
+        "embedding_quantize_stats",
         "minhash_near_dup_pairs",
         "embedding_near_dup_banded",
         "ivf_ann_topk",
@@ -99,6 +101,7 @@ def test_window_pair_covers_all_but_the_pinned_carryovers():
         "gopher_quality_signals",  # emits what gopher_filter_stats aggregates
         "tfidf_top_terms",  # composes top_tokens' tokenize+count
         "docs_stratified_sample",  # hash-bucket sibling of train_test_split
+        "embedding_random_projection",  # expression-only sibling of quantize
     } <= set(DRIVER_WINDOW)
     # the q1/q3 canaries alternate with the flagship half (IN this
     # round, riding the returning flagship window)
@@ -108,11 +111,12 @@ def test_window_pair_covers_all_but_the_pinned_carryovers():
 def test_round16_window_holds_the_new_code():
     """The standing rule: code a round touches sits in-window that
     round.  Round 16 leads with the six r15 carryovers, then the new
-    bpe_merges_learned (distributed tokenizer training) and
-    video_frame_stats (the MJPEG-AVI lane under pinned-literal
-    gates), then gif_decode_stats (the r16 bomb-guard rider)."""
+    bpe_merges_learned (distributed tokenizer training),
+    video_frame_stats (the MJPEG-AVI lane under pinned-literal gates)
+    and phash_near_dup_pairs (image near-dup via integer-exact
+    pHash), then gif_decode_stats (the r16 bomb-guard rider)."""
     first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[:9] == (
+    assert DRIVER_WINDOW[:10] == (
         "csv_lines_events",
         "xml_rows_events",
         "ndjson_lines_docs",
@@ -121,6 +125,7 @@ def test_round16_window_holds_the_new_code():
         "docs_sample_deterministic",
         "bpe_merges_learned",
         "video_frame_stats",
+        "phash_near_dup_pairs",
         "gif_decode_stats",
     )
     # spot-check the flagship dedup/similarity families rotated back
