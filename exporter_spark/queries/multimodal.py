@@ -982,7 +982,7 @@ def _phash_near_dup_oracle() -> str:
       FROM hashes CROSS JOIN (SELECT unnest(range(9)) AS tbl) t9
     )
     SELECT DISTINCT a.doc AS a_id, b.doc AS b_id,
-           bit_count(xor(a.h, b.h)) AS hamming
+           bit_count(xor(a.h, b.h))::INTEGER AS hamming
     FROM chunks a JOIN chunks b
       ON a.tbl = b.tbl AND a.chunk = b.chunk AND a.doc < b.doc
     WHERE bit_count(xor(a.h, b.h)) <= 8
