@@ -195,6 +195,12 @@ def phash_near_dup_pairs(
             " (pigeonhole: a pair within hamming h shares a chunk only when"
             " the fingerprint is split into > h chunks)"
         )
+    # no materialize() here despite the expensive Python decode: the
+    # repartition below makes both self-join sides the SAME exchange,
+    # and ReuseExchange runs the decode map once (verified at sf0.1 —
+    # shuffle write 102 KB vs read 192 KB = one write, two reads, and
+    # an explicit cache measured zero warm-wall gain at the price of
+    # pinning the hash frame). Same contract as simhash's banding.
     fp = phash_frame(df, payload_col, id_col, decoder=decoder).select(
         F.col(id_col).alias("__id__"), F.col("phash").alias("__fp__")
     )

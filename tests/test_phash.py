@@ -220,3 +220,16 @@ def test_duckdb_recomputes_the_hash_bit_for_bit(spark):
     """
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_non_image_payloads_refuse_by_name(spark):
+    """phash routes only image magics; a WAV or garbage payload must
+    fail its row loudly with the named refusal — never hash fake
+    pixels (the shared corruption contract)."""
+    from exporter_spark.operators.multimodal import encode_wav
+
+    wav = encode_wav(np.zeros(100, np.int16), framerate=8000)
+    rows = [(1, bytearray(wav), None), (2, bytearray(b"\x00garbage"), None)]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    with pytest.raises(Exception, match="no image decoder"):
+        phash.phash_frame(df).collect()
