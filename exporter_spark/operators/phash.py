@@ -204,8 +204,12 @@ def phash_near_dup_pairs(
     fp = phash_frame(df, payload_col, id_col, decoder=decoder).select(
         F.col(id_col).alias("__id__"), F.col("phash").alias("__fp__")
     )
+    return banded_hamming_pairs(fp, max_hamming=max_hamming, num_tables=num_tables)
+
+
+def _chunk_triples(fp: DataFrame, num_tables: int) -> DataFrame:
     chunk_bits = N_BITS // num_tables
-    chunks = fp.select(
+    return fp.select(
         "__id__",
         "__fp__",
         F.posexplode(
@@ -216,10 +220,24 @@ def phash_near_dup_pairs(
                     f" & {(1 << chunk_bits) - 1}"
                     for i in range(num_tables)
                 )
-                + ")"
+            + ")"
             )
         ).alias("__tbl__", "__chunk__"),
     )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame, *, max_hamming: int, num_tables: int
+) -> DataFrame:
+    """The pigeonhole self-join over a ``(__id__, __fp__)`` hash frame
+    — shared by the batch pair generator and the incremental face
+    (which also bands a DELTA against a STORE with the same chunk
+    expressions; band keys recompute from the stored hash by bit
+    slicing, nothing image-sized needed)."""
+    chunks = _chunk_triples(fp, num_tables)
+    # no materialize despite the expensive upstream decode: both join
+    # sides are this SAME repartition exchange, and ReuseExchange runs
+    # the decode map once (measured — see phash_near_dup_pairs note)
     chunks = chunks.repartition("__tbl__", "__chunk__")
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -240,3 +258,110 @@ def phash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_phash_dedup(
+    new_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    seen_hashes: DataFrame | None = None,
+    *,
+    max_hamming: int = 8,
+    num_tables: int = 9,
+    decoder=None,
+    broadcast_delta: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Image near-dup dedup of a delta AGAINST a pHash store — the
+    multimodal face of the incremental-dedup family
+    (``operators/incremental.py`` has the exact/MinHash faces and the
+    store-discipline rationale this mirrors).
+
+    Returns ``(survivors, hash_append)``: the surviving delta rows,
+    and their ``(id, phash)`` rows in the store schema for the caller
+    to append. ``seen_hashes=None`` bootstraps a store from the first
+    batch. The store holds 8 bytes per kept image — no pixels — so
+    per-increment work is: decode the DELTA once, one in-batch banded
+    join, and one store probe whose band keys recompute from the
+    stored hash by bit slicing. With ``broadcast_delta=True`` (the
+    contract: delta ≪ store) the delta's chunk keys broadcast into
+    the store scan and the store NEVER shuffles — per-increment
+    shuffle is delta-sized at any store size, the same posture the
+    r11/r12 sweeps pinned for the MinHash face.
+
+    Parameter constancy (``max_hamming``/``num_tables``) is the same
+    hard contract as the MinHash store's manifest: band keys are only
+    comparable within one configuration. Greedy-online semantics also
+    match the family: increments compare against SURVIVORS only
+    (chain clusters may keep more than a full batch re-run would —
+    the documented divergence in operators/incremental.py)."""
+    if N_BITS % num_tables != 0:
+        raise ValueError(
+            f"num_tables={num_tables} must divide {N_BITS}: uneven chunks"
+            " would leave fingerprint bits outside every table"
+        )
+    if max_hamming > num_tables - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_tables >= {max_hamming + 1}"
+            " (pigeonhole)"
+        )
+    from exporter_spark.operators.dedup import connected_components
+    from exporter_spark.operators.partitioning import materialize
+
+    # one decode per increment: the hash frame feeds the in-batch
+    # join, the store probe, and both returns (delta-sized cache;
+    # released by the caller's cache_scope)
+    fp = materialize(
+        phash_frame(new_df, payload_col, id_col, decoder=decoder).select(
+            F.col(id_col).alias("__id__"), F.col("phash").alias("__fp__")
+        )
+    )
+    # in-batch: cluster near-dups, keep each cluster's min id
+    pairs = banded_hamming_pairs(
+        fp, max_hamming=max_hamming, num_tables=num_tables
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__id__")
+    )
+    kept = fp.join(losers, "__id__", "left_anti")
+    if seen_hashes is not None:
+        store = seen_hashes.select(
+            F.col(id_col).alias("__sid__"), F.col("phash").alias("__sfp__")
+        )
+        probe = _chunk_triples(kept, num_tables)
+        if broadcast_delta:
+            probe = F.broadcast(probe)
+        chunk_bits = N_BITS // num_tables
+        store_chunks = store.select(
+            "__sfp__",
+            F.posexplode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"shiftright(__sfp__, {i * chunk_bits})"
+                        f" & {(1 << chunk_bits) - 1}"
+                        for i in range(num_tables)
+                    )
+                    + ")"
+                )
+            ).alias("__tbl__", "__chunk__"),
+        )
+        matched = materialize(
+            store_chunks.join(probe, ["__tbl__", "__chunk__"])
+            .filter(
+                F.bit_count(
+                    F.col("__sfp__").bitwiseXOR(F.col("__fp__"))
+                )
+                <= max_hamming
+            )
+            .select("__id__")
+            .distinct()
+        )
+        kept = kept.join(matched, "__id__", "left_anti")
+    survivors = new_df.join(
+        kept.select(F.col("__id__").alias(id_col)), id_col
+    )
+    hash_append = kept.select(
+        F.col("__id__").alias(id_col), F.col("__fp__").alias("phash")
+    )
+    return survivors, hash_append

@@ -233,3 +233,60 @@ def test_non_image_payloads_refuse_by_name(spark):
     df = spark.createDataFrame(rows, multimodal.media_schema())
     with pytest.raises(Exception, match="no image decoder"):
         phash.phash_frame(df).collect()
+
+
+def test_incremental_phash_dedup_two_increments(spark):
+    """The multimodal face of the incremental family: batch 1
+    bootstraps the hash store; batch 2 carries (a) a near-dup of a
+    STORED image (dropped by the store probe), (b) an in-batch
+    near-dup pair (one survivor), and (c) a novel image (kept).
+    Idempotence: replaying batch 2 against the updated store yields
+    zero survivors."""
+    from exporter_spark.operators.partitioning import cache_scope
+
+    def media(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(encode_png(px)), None) for i, px in rows],
+            multimodal.media_schema(),
+        )
+
+    base0, base1 = _img(0, 16, 16), _img(1, 16, 16)
+    with cache_scope():
+        b1 = media([(0, base0), (1, base1)])
+        s1, append1 = phash.incremental_phash_dedup(b1)
+        assert sorted(r["media_id"] for r in s1.collect()) == [0, 1]
+        store = append1.collect()
+        assert len(store) == 2
+    store_df = spark.createDataFrame(store, "media_id long, phash long")
+
+    near_stored = base0.copy()
+    near_stored[0, 0] = 255 - near_stored[0, 0]  # near-dup of stored 0
+    pair_a = _img(7, 16, 16)
+    pair_b = pair_a.copy()
+    pair_b[0, 0] = 255 - pair_b[0, 0]  # in-batch near-dup pair
+    novel = _img(42, 16, 16)
+    # sanity: novel is far from everything at the threshold
+    for other in (base0, base1, pair_a):
+        assert bin(phash.phash63(novel) ^ phash.phash63(other)).count("1") > 8
+    with cache_scope():
+        b2 = media([(10, near_stored), (11, pair_a), (12, pair_b), (13, novel)])
+        s2, append2 = phash.incremental_phash_dedup(b2, seen_hashes=store_df)
+        kept2 = sorted(r["media_id"] for r in s2.collect())
+        assert kept2 == [11, 13]  # 10 matched store; 12 lost to 11
+        app2 = append2.collect()
+        assert sorted(r["media_id"] for r in app2) == [11, 13]
+    # idempotence: replay batch 2 against store ∪ append2
+    store2 = spark.createDataFrame(store + app2, "media_id long, phash long")
+    with cache_scope():
+        s3, append3 = phash.incremental_phash_dedup(b2, seen_hashes=store2)
+        assert s3.count() == 0 and append3.count() == 0
+
+
+def test_incremental_phash_guards_and_store_constancy(spark):
+    class _Fake:
+        pass
+
+    with pytest.raises(ValueError, match="must divide 63"):
+        phash.incremental_phash_dedup(_Fake(), num_tables=10)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash.incremental_phash_dedup(_Fake(), num_tables=9, max_hamming=20)
