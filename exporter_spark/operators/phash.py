@@ -60,14 +60,31 @@ N_BITS = 63  # the 8x8 AC plane, row-major, (0,0) excluded
 
 
 def luma_int(px: np.ndarray) -> np.ndarray:
-    """Integer Rec.601 luma (x1000 scale): ``(H, W)`` int64 from
-    ``(H, W, 3)`` or ``(H, W)`` uint8."""
+    """Integer Rec.601 luma (x1000 scale): ``(H, W)`` int64.
+
+    Accepts every pixel shape the built-in decoders emit — they are
+    SOURCE-FAITHFUL, not RGB-normalizing (jpeg ``_pixels`` returns
+    ``(H, W, 1)`` for 1-plane JPEGs; ``png_decoder`` is faithful for
+    gray / gray+alpha / 16-bit):
+
+    * ``(H, W)`` or ``(H, W, 1..2)``: grayscale (+alpha ignored) —
+      ``gray * 1000``, exactly the 299+587+114 Rec.601 sum when all
+      three channels equal the gray value, so 8-bit gray hashes agree
+      with the RGB8-converting ``backends.py`` adapters on the same
+      image.
+    * ``(H, W, >=3)``: RGB(A) — ``299*R + 587*G + 114*B``.
+
+    Any integer dtype works (16-bit planes stay exact in int64 at
+    their full range — an RGB8-converting backend would quantize
+    them first, the one place the two contract faces can differ)."""
     a = np.asarray(px).astype(np.int64)
     if a.ndim == 2:
         return a * 1000
+    if a.ndim == 3 and a.shape[2] <= 2:
+        return a[:, :, 0] * 1000
     if a.ndim == 3 and a.shape[2] >= 3:
         return 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
-    raise ValueError(f"phash needs (H, W[, 3]) pixels, got {a.shape}")
+    raise ValueError(f"phash needs (H, W[, C]) pixels, got {a.shape}")
 
 
 def pool8(luma: np.ndarray) -> np.ndarray:
@@ -109,9 +126,17 @@ def phash_frame(
     decoder=None,
 ) -> DataFrame:
     """``(id, phash)`` for every payload row — Arrow-batched
-    mapInPandas over the zero-dependency decoders (``decoder=`` takes
-    any adapter exposing ``.pixels(payload)``, e.g.
-    ``backends.pillow_decoder()`` on a cluster image that has it)."""
+    mapInPandas over the zero-dependency decoders.
+
+    ``decoder=`` takes any adapter exposing ``.pixels(payload)``.
+    ONE stated pixel contract (ADVICE r16): ``.pixels`` may return
+    either the normalized uint8 ``(H, W, 3)`` RGB of the
+    ``backends.py`` adapters or the SOURCE-FAITHFUL arrays of the
+    built-in decoders (``(H, W)`` gray, ``(H, W, 1..2)`` gray(+alpha),
+    ``(H, W, 3..4)`` RGB(A), 8- or 16-bit) — :func:`luma_int` accepts
+    all of them, and its gray formula equals the Rec.601 RGB sum on
+    an RGB8-converted copy of the same gray image, so hashes are
+    backend-consistent either way."""
     import pandas as pd
 
     from exporter_spark.operators import multimodal

@@ -95,6 +95,66 @@ def test_cross_codec_routing_parity():
     assert bin(phash.phash63(jp) ^ ph).count("1") <= 8
 
 
+def test_grayscale_shapes_hash_like_broadcast_rgb():
+    """ADVICE r16 (medium): the built-in decoders are source-faithful
+    — gray PNGs decode to (H, W, 1)/(H, W, 2), which used to crash
+    luma_int. Every gray shape must hash, and hash EQUAL to the same
+    image broadcast to RGB (gray*1000 == 299g+587g+114g)."""
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    want = phash.phash63(rgb)
+    assert phash.phash63(g) == want  # (H, W)
+    assert phash.phash63(g[:, :, None]) == want  # (H, W, 1)
+    ga = np.dstack([g, np.full_like(g, 200)])  # (H, W, 2), alpha ignored
+    assert phash.phash63(ga) == want
+    # RGBA: alpha plane must not enter the luma
+    rgba = np.dstack([rgb, np.zeros_like(g)])
+    assert phash.phash63(rgba) == want
+
+
+def test_16bit_planes_hash_exactly():
+    """16-bit gray and gray+alpha stay exact in int64 (no quantize);
+    (H, W) and (H, W, 1) agree, and a 16-bit image whose planes are
+    g*257 pools to the same SIGN structure as its 8-bit source only
+    when the structure survives scaling — here we pin determinism and
+    shape-acceptance, not cross-depth equality (the stated contract:
+    faithful planes at full range)."""
+    rng = np.random.RandomState(11)
+    g16 = rng.randint(0, 65536, (12, 20)).astype(np.uint16)
+    a = phash.phash63(g16)
+    assert a == phash.phash63(g16[:, :, None])
+    assert a == phash.phash63(np.dstack([g16, g16 * 0 + 9]))
+    assert 0 <= a < (1 << 63)
+    # scaling all luma by a positive constant preserves every
+    # median comparison -> identical hash (g*257 is 8->16 bit)
+    g8 = rng.randint(0, 256, (12, 20)).astype(np.uint8)
+    assert phash.phash63(g8) == phash.phash63(
+        (g8.astype(np.uint16) * 257)
+    )
+
+
+def test_gray_png_payloads_through_frame_dispatch(spark):
+    """End-to-end on the decoder path the crash lived in: gray,
+    gray+alpha and 16-bit-gray PNG payloads through phash_frame's
+    magic-byte dispatch (png_decoder is source-faithful) — and the
+    gray hash matches the RGB-broadcast encoding of the same image."""
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(g)), None),
+        (2, bytearray(encode_png(np.dstack([g, np.full_like(g, 7)]))), None),
+        (3, bytearray(encode_png(np.repeat(g[:, :, None], 3, axis=2))), None),
+        (4, bytearray(encode_png(
+            (g.astype(np.uint16) * 257), bit_depth=16)), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.media_schema())
+    got = {r["media_id"]: r["phash"] for r in phash.phash_frame(df).collect()}
+    want = phash.phash63(g)  # 63 bits -> always fits a signed long
+    assert got[1] == got[2] == got[3] == want
+    assert got[4] == want  # x257 scaling preserves median signs
+
+
 def test_pigeonhole_guards():
     # the guards run before the DataFrame is touched, so a bare
     # object suffices — recall-losing configurations must refuse
