@@ -276,3 +276,97 @@ def apply_bpe(
         "bpe_tokens",
         F.flatten(F.transform(words, _encode_one)),
     )
+
+
+def bpe_encode_table(
+    words: DataFrame, merges: DataFrame, word_col: str = "w"
+) -> DataFrame:
+    """Encode a DISTINCT-word table once: ``(word_col, bpe_toks
+    array<string>)``. The same sentinel-spaced replace chain as
+    :func:`apply_bpe`, applied to each word exactly once — the
+    dictionary half of :func:`apply_bpe_dict`, exposed because the
+    common 100 TB consumers (token counting, packing, vocab stats)
+    aggregate at token level and never need per-document arrays: they
+    join word OCCURRENCES to this table and skip the reassembly
+    shuffle entirely (see ``queries/text_quality.py:
+    bpe_encoded_token_stats`` — though the oracle-gated entry runs
+    the per-occurrence chain face, with the two faces parity-pinned
+    in tests/test_bpe.py)."""
+    table = [
+        (r["lhs"], r["rhs"])
+        for r in merges.orderBy("merge_rank").select("lhs", "rhs").collect()
+    ]
+    rep = F.concat(
+        F.lit(" "), F.regexp_replace(F.col(word_col), "(.)", "$1  ")
+    )
+    for lhs, rhs in table:
+        rep = F.replace(rep, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    toks = F.filter(F.split(F.trim(rep), " "), lambda x: x != F.lit(""))
+    return words.select(F.col(word_col), toks.alias("bpe_toks"))
+
+
+def apply_bpe_dict(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """:func:`apply_bpe`'s production-vocab twin: identical
+    ``bpe_tokens`` output (parity-pinned in tests/test_bpe.py), but
+    each DISTINCT word is encoded ONCE via :func:`bpe_encode_table`
+    and occurrences are dictionary-joined, instead of running the
+    merge chain on every occurrence.
+
+    Why a twin exists: the chain face is map-only (no shuffle at all)
+    but builds one Catalyst ``replace`` expression per merge — fine at
+    the tens-of-merges scale the oracle entry pins, unworkable at a
+    32k-merge production vocab (expression-tree depth). This face
+    prices the vocab work at distinct-words x merges (Zipf-small) and
+    pays instead one occurrence-level shuffle to reassemble per-row
+    arrays. Consumers that don't need per-row arrays should use
+    :func:`bpe_encode_table` directly and skip that shuffle too.
+
+    ``id_col``: a unique row key, used to reassemble rows. Pass one
+    whenever the data has it (any real corpus does). ``None`` falls
+    back to ``monotonically_increasing_id`` over a re-partition-stable
+    base — correct for deterministic file scans, but the documented
+    contract prefers an explicit key."""
+    rid = "__bpe_rid__"
+    words_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_PATTERN),
+        lambda x: x != F.lit(""),
+    )
+    base = df.withColumn(
+        rid,
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id(),
+    ).withColumn("__bpe_words__", words_arr)
+    occ = base.select(
+        rid, F.posexplode("__bpe_words__").alias("__bpe_pos__", "__bpe_w__")
+    )
+    dic = bpe_encode_table(
+        occ.select(F.col("__bpe_w__").alias("w")).distinct(), merges
+    )
+    enc = (
+        occ.join(dic, occ["__bpe_w__"] == dic["w"])
+        .groupBy(rid)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__bpe_pos__", "bpe_toks"))
+                    ),
+                    lambda s: s["bpe_toks"],
+                )
+            ).alias("__bpe_toks__")
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        base.join(enc, rid, "left")
+        .withColumn(
+            "bpe_tokens",
+            F.when(F.col("__bpe_words__").isNull(), F.lit(None).cast("array<string>"))
+            .otherwise(F.coalesce(F.col("__bpe_toks__"), empty)),
+        )
+        .drop(rid, "__bpe_words__", "__bpe_toks__")
+    )

@@ -234,3 +234,139 @@ def bpe_merges_learned(spark, sf_dir):
     the driver sees one row per merge (the merge itself)."""
     d = load_table(spark, sf_dir, "documents")
     return bpe.learn_bpe(d, "text", n_merges=8).orderBy("merge_rank")
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """The ENCODE-path twin of :func:`_bpe_oracle` (VERDICT r16 #3):
+    the same generated learning chain (w0..t{n-1}), then every
+    DISTINCT word — identity kept — is encoded by applying the n
+    learned merges as the identical ``replace`` chain, and the token
+    table joins back to word occurrences for per-lang stats. Exact
+    integers everywhere; the per-lang top token has a total order
+    (cnt DESC, tok ASC)."""
+    parts = [
+        """w0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS rep,
+             COUNT(*)::BIGINT AS freq
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS (
+      SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq)::BIGINT AS cnt
+      FROM (SELECT list_filter(str_split(rep, ' '), x -> x <> '') AS syms,
+                   freq FROM w{i}) s,
+           UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2)""")
+        parts.append(
+            f"t{i} AS (SELECT lhs, rhs, cnt FROM p{i}"
+            " ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < n_merges - 1:
+            parts.append(f"""w{i + 1} AS (
+      SELECT replace(rep, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS rep,
+             freq
+      FROM w{i}, t{i})""")
+    parts.append("""corpus AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS w
+      FROM documents)""")
+    parts.append("""e0 AS (
+      SELECT w, ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS rep
+      FROM (SELECT DISTINCT w FROM corpus))""")
+    for i in range(n_merges):
+        parts.append(f"""e{i + 1} AS (
+      SELECT w, replace(rep, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS rep
+      FROM e{i}, t{i})""")
+    parts.append(f"""etok AS (
+      SELECT w, unnest(list_filter(str_split(rep, ' '), x -> x <> '')) AS tok
+      FROM e{n_merges})""")
+    parts.append("""tl AS (
+      SELECT c.lang, t.tok, COUNT(*)::BIGINT AS cnt
+      FROM corpus c JOIN etok t ON t.w = c.w
+      GROUP BY 1, 2)""")
+    parts.append("""agg AS (
+      SELECT lang, SUM(cnt)::BIGINT AS total_tokens,
+             COUNT(*)::BIGINT AS distinct_tokens
+      FROM tl GROUP BY 1)""")
+    parts.append("""top AS (
+      SELECT lang, tok, cnt FROM (
+        SELECT lang, tok, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tok) AS rn
+        FROM tl) WHERE rn = 1)""")
+    parts.append("""nd AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1)""")
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT n.lang, n.n_docs,
+           COALESCE(a.total_tokens, 0)::BIGINT AS total_tokens,
+           COALESCE(a.distinct_tokens, 0)::BIGINT AS distinct_tokens,
+           t.tok AS top_token, t.cnt AS top_token_count
+    FROM nd n LEFT JOIN agg a ON a.lang = n.lang
+              LEFT JOIN top t ON t.lang = n.lang
+    ORDER BY n.lang"""
+    )
+
+
+@_register("bpe_encoded_token_stats", _bpe_encode_oracle(8))
+def bpe_encoded_token_stats(spark, sf_dir):
+    """The BPE ENCODE hot path under the driver gate (VERDICT r16 #3
+    — training runs once, encoding runs over every document of the
+    100 TB corpus): learn 8 merges, tokenize the whole corpus with
+    :func:`operators.bpe.apply_bpe` (the map-only chain face; its
+    dictionary-join twin ``apply_bpe_dict`` is parity-pinned in
+    tests/test_bpe.py), and aggregate per-lang token statistics —
+    doc count, total and distinct encoded tokens, and the top token
+    under a total order. The oracle replays learning AND encoding as
+    one generated WITH chain (``_bpe_encode_oracle``), so Spark's
+    per-occurrence chain and DuckDB's distinct-word dictionary
+    construction must agree token-for-token."""
+    from pyspark.sql import Window
+
+    from exporter_spark.operators.partitioning import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(d, "text", n_merges=8)
+    tok = bpe.apply_bpe(d, merges).select(
+        "lang", F.explode("bpe_tokens").alias("tok")
+    )
+    # (lang, token) counts feed BOTH the per-lang totals and the
+    # top-token window — materialized so the corpus is encoded once
+    tl = materialize(tok.groupBy("lang", "tok").agg(F.count("*").alias("cnt")))
+    agg = tl.groupBy("lang").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        tl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("tok").alias("top_token"),
+            F.col("cnt").alias("top_token_count"),
+        )
+    )
+    nd = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        nd.join(agg, "lang", "left")
+        .join(top, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("total_tokens", F.lit(0).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.coalesce("distinct_tokens", F.lit(0).cast("long")).alias(
+                "distinct_tokens"
+            ),
+            "top_token",
+            "top_token_count",
+        )
+        .orderBy("lang")
+    )

@@ -139,6 +139,57 @@ def test_apply_bpe_roundtrip(spark):
         assert "".join(row["bpe_tokens"]) == "".join(words)
 
 
+def test_apply_bpe_dict_parity(spark):
+    """The dictionary-join face (round 17, the 32k-merge scale path)
+    must emit bpe_tokens IDENTICAL to the chain face on every row —
+    including NULL text (NULL tokens), token-free text (empty array)
+    and repeated words — with and without an explicit id_col."""
+    rows = [(i, t) for i, t in enumerate(TEXTS)] + [
+        (90, None),
+        (91, "123 !!!"),  # no [a-z] words -> []
+        (92, ""),
+        (93, "the the the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=8)
+    chain = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(df, merges).collect()
+    }
+    for id_col in ("doc_id", None):
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe.apply_bpe_dict(
+                df, merges, "text", id_col=id_col
+            ).collect()
+        }
+        assert got == chain, f"id_col={id_col}"
+    # schema parity too: same columns in the same order
+    assert (
+        bpe.apply_bpe_dict(df, merges, "text", id_col="doc_id").columns
+        == bpe.apply_bpe(df, merges).columns
+    )
+
+
+def test_bpe_encode_table_encodes_each_word_once(spark):
+    """The dictionary half: distinct words in, one token array out
+    per word, matching the chain face's per-word segmentation."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=6)
+    words = sorted({w for t in TEXTS for w in re.findall("[a-z]+", t)})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    dic = {r["w"]: r["bpe_toks"] for r in bpe.bpe_encode_table(wdf, merges).collect()}
+    assert set(dic) == set(words)
+    one = spark.createDataFrame([(w,) for w in words], "text string")
+    chain = {
+        r["text"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(one, merges).collect()
+    }
+    assert dic == chain
+    for w, toks in dic.items():
+        assert "".join(toks) == w
+
+
 def test_n_merges_validation(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="n_merges"):
