@@ -328,6 +328,125 @@ def incremental_minhash_survivors(spark, sf_dir):
     return surv.select("doc_id", "lang", "source")
 
 
+# Bloom screen literals for the oracle entry: small enough that the
+# sf0.01 increment produces OBSERVABLE false positives (m=1024 bits,
+# k=2 over ~250 store digests -> ~38% fill, ~15% FP rate), large
+# enough that the arithmetic is non-trivial. Production sizing comes
+# from bloom_params() instead (~10 bits/doc).
+_BLOOM_BITS = 1024
+_BLOOM_K = 2
+
+# The screen entry dedups on a document-HEAD fingerprint (first 64
+# chars) rather than full text: the synthetic corpus has zero exact
+# full-text dups (all 500 texts distinct), but its planted near-dup
+# clusters share heads across the md5 doc_id split — so head-keying
+# gives the store probe real cross-increment matches (confirmed_dup
+# > 0 at sf0.01) AND leaves observable false positives, exercising
+# every branch of the accounting. Head/prefix keys are also a real
+# dedup mode (boilerplate-lead and truncated-mirror detection).
+_HEAD_LEN = 64
+
+# content_digest(["text_head"]) replica: sha256 over the NULL-tagged
+# length-prefixed encoding (operators/dedup.py:65)
+_DIGEST_DUCK = (
+    f"sha256(CASE WHEN text IS NULL THEN 'n:'"
+    f" ELSE 'v' || length(substr(text, 1, {_HEAD_LEN})) || ':'"
+    f" || substr(text, 1, {_HEAD_LEN}) END)"
+)
+
+
+def _inc_bloom_oracle() -> str:
+    m, k = _BLOOM_BITS, _BLOOM_K
+    idx = ", ".join(str(i) for i in range(k))
+    return f"""
+    WITH dg AS (
+      SELECT doc_id, source, {_DIGEST_DUCK} AS digest,
+             ({_INC_SPLIT_DUCK}) AS in_store
+      FROM documents),
+    store_digests AS (SELECT DISTINCT digest FROM dg WHERE in_store),
+    bloom AS (
+      SELECT pos // 32 AS block,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+      FROM (SELECT ('0x' || substr(md5(digest || ':' || i), 1, 8))::BIGINT
+                     % {m} AS pos
+            FROM store_digests, UNNEST([{idx}]) AS t(i))
+      GROUP BY 1),
+    delta_kept AS (
+      SELECT doc_id, source, digest FROM dg WHERE NOT in_store
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1),
+    probe AS (
+      SELECT d.digest,
+             ('0x' || substr(md5(d.digest || ':' || i), 1, 8))::BIGINT
+               % {m} AS pos
+      FROM (SELECT DISTINCT digest FROM delta_kept) d,
+           UNNEST([{idx}]) AS t(i)),
+    hits AS (
+      SELECT p.digest,
+             MIN(CASE WHEN b.mask IS NOT NULL
+                       AND ((b.mask >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) = 1 AS maybe
+      FROM probe p LEFT JOIN bloom b ON b.block = p.pos // 32
+      GROUP BY 1),
+    flags AS (
+      SELECT d.doc_id, d.source, h.maybe,
+             EXISTS (SELECT 1 FROM store_digests s
+                     WHERE s.digest = d.digest) AS confirmed
+      FROM delta_kept d JOIN hits h ON h.digest = d.digest),
+    delta_counts AS (
+      SELECT source, COUNT(*)::BIGINT AS delta_rows
+      FROM dg WHERE NOT in_store GROUP BY 1)
+    SELECT c.source, c.delta_rows,
+           COUNT(f.doc_id)::BIGINT AS batch_kept,
+           COALESCE(SUM(CASE WHEN f.maybe THEN 1 ELSE 0 END), 0)::BIGINT
+             AS bloom_maybe,
+           COALESCE(SUM(CASE WHEN f.confirmed THEN 1 ELSE 0 END), 0)::BIGINT
+             AS confirmed_dup,
+           COALESCE(SUM(CASE WHEN f.maybe AND NOT f.confirmed
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS bloom_fp,
+           COALESCE(SUM(CASE WHEN NOT f.confirmed THEN 1 ELSE 0 END),
+                    0)::BIGINT AS survivors
+    FROM delta_counts c LEFT JOIN flags f ON f.source = c.source
+    GROUP BY 1, 2
+    ORDER BY 1
+    """
+
+
+@_register("incremental_bloom_stats", _inc_bloom_oracle())
+def incremental_bloom_stats(spark, sf_dir):
+    """The Bloom membership screen for incremental dedup
+    (operators/bloom.py, round 17): the store half bootstraps a
+    digest store keyed on the 64-char document head (``_HEAD_LEN``
+    note above — the key with real cross-half matches in this
+    corpus), the delta half is screened by an md5-derived
+    1024-bit/2-hash Bloom filter rebuilt from it, maybes are
+    confirmed against the exact store, and the per-source accounting
+    — delta rows, in-batch kept, bloom maybes, confirmed dups,
+    observable FALSE POSITIVES, survivors — is emitted. The oracle
+    rebuilds the filter bit-for-bit in SQL (bit positions are md5
+    literals, blocks are bit_or-folded 32-bit masks), so the driver
+    value-gates the screen itself, FP count included — not just the
+    screened outcome. Survivor parity with the exact face is pinned
+    separately in tests/test_bloom.py."""
+    from exporter_spark.operators import bloom
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_head", F.substring("text", 1, _HEAD_LEN)
+    )
+    split = F.expr(_INC_SPLIT_SPARK)
+    _, store = incremental.incremental_exact_dedup(
+        d.filter(split), ["text_head"], "doc_id"
+    )
+    return bloom.bloom_screen_stats(
+        d.filter(~split),
+        ["text_head"],
+        "doc_id",
+        store,
+        "source",
+        num_bits=_BLOOM_BITS,
+        num_hashes=_BLOOM_K,
+    ).orderBy("source")
+
+
 def _simhash_oracle(max_hamming: int = 3, num_tables: int = 4) -> str:
     """DuckDB replica of dedup.simhash32 + the pigeonhole chunk join:
     per token, 32 bits of md5 ('0x'||hex → BIGINT); each bit votes ±1
