@@ -118,6 +118,15 @@ BENCH_QUERIES = [
     # integer pHash, 9-table pigeonhole self-join (the multimodal
     # pillar's dedup lane, priced)
     "phash_near_dup_pairs",
+    # round 17: the BPE ENCODE hot path's perf observable — learn 8
+    # merges, chain-encode the whole corpus, per-lang token stats
+    # (encoding is the per-document cost a production pipeline pays;
+    # learning amortizes to zero)
+    "bpe_encoded_token_stats",
+    # round 17: the Bloom membership screen — store-half bootstrap,
+    # filter build + broadcast, screened-delta accounting (the
+    # per-increment screen cost observable)
+    "incremental_bloom_stats",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

@@ -136,179 +136,189 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            quality_score + exact_dedup + deterministic_sample in
 #            one gated entry) — all five green in CORRECTNESS_r13 and
 #            in every committed full-registry replay since.
-#   round 16 (below): the flagship dedup/similarity/quality half
-#            rotates back in, LED by the six r15 carryovers (the
-#            pinned contract bounds any entry's driver-window
-#            absence), then the round's NEW entries
-#            (bpe_merges_learned — distributed tokenizer training —
-#            and video_frame_stats — the MJPEG-AVI video lane under
-#            pinned-literal gates), then gif_decode_stats (the
-#            touched-code rule: round 16 added the decompression-bomb
-#            guard to operators/gif.py, so its gate must run on the
-#            changed code). media_decode_stats and
-#            multimodal_feature_stats ride the back half this round —
-#            both were r15-window-green and nothing they execute
-#            changed (their fixtures are PNG/PPM/BMP/WAV and the
-#            hex-chain decoder; the gif/avi edits are outside their
-#            paths). At 107 entries with ten forced leads
-#            (phash_near_dup_pairs — image near-dup via integer-exact
-#            pHash — landed late in the round) the carryover set is
-#            eight (_R16_CARRYOVER below).
-# The relational/formatter half rides the back this round; it remains
-# covered by the full pytest oracle sweep vs DuckDB at sf0.001 (an
-# automated gate — test_queries_oracle.py parametrizes over the WHOLE
-# registry, not the window) and by the round-end full-registry replay
-# at sf0.01 (tools/replay_driver_window.py ... all) on the final tree.
+#   round 16: the flagship dedup/similarity/quality half rotated
+#            back in, LED by the six r15 carryovers, then the NEW
+#            bpe_merges_learned / video_frame_stats /
+#            phash_near_dup_pairs, then the gif_decode_stats
+#            bomb-guard rider — 50/50 fully green in
+#            CORRECTNESS_r16 (the first window with zero rows-only
+#            entries); at 107 entries with ten forced leads the
+#            carryover set was eight (_R16_CARRYOVER below).
+#   round 17 (below): the relational/formatter half rotates back in,
+#            LED by the eight returning r16 carryovers (the pinned
+#            contract bounds any entry's absence), then the round's
+#            NEW code (bpe_encoded_token_stats — the BPE ENCODE hot
+#            path under the driver gate, VERDICT r16 #3 — and
+#            incremental_bloom_stats — the Bloom membership store
+#            face, VERDICT r16 #5), then phash_near_dup_pairs riding
+#            again under the touched-code rule (round 17 fixed the
+#            grayscale luma crash in operators/phash.py, ADVICE r16,
+#            so its gate must run on the changed code). At 109
+#            entries with eleven forced leads the carryover set is
+#            ten (_R17_CARRYOVER below).
+# The half riding the back remains covered by the full pytest oracle
+# sweep vs DuckDB at sf0.001 (an automated gate —
+# test_queries_oracle.py parametrizes over the WHOLE registry, not
+# the window) and by the round-end full-registry replay at sf0.01
+# (tools/replay_driver_window.py ... all) on the final tree.
 # tests/test_registry_window.py asserts the rotation invariant: every
 # registered query is in THIS window or was in the previous round's.
+#
+# WINDOW-CONTRACT SCALING POLICY (decided round 17, VERDICT r16 #2).
+# The binding invariant from here on is MAX ABSENCE = 2 ROUNDS,
+# asserted mechanically by tests/test_registry_window.py:
+#   (A) coverage:    QUERIES == WINDOW ∪ PREV_WINDOW ∪ CARRYOVER;
+#   (B) absence bound: CARRYOVER ∩ PREV_CARRYOVER == ∅ — a carryover
+#       member was in-window two rounds ago, sits out two rounds,
+#       and MUST return as a lead next round, so no entry is ever
+#       driver-unverified for more than two consecutive rounds;
+#   (C) parentage:   every carryover member is a thin derivative or
+#       component of an entry that IS in-window (or carries its own
+#       stronger-than-driver pytest gate, e.g. the
+#       approx_distinct_events accuracy contract).
+# Arithmetic: with E registry entries (new entries included) and R
+# touched-code riders from the previous window, the due-backs are
+# (E - new) - 50, so |CARRYOVER| = due-backs + new + R - 50 =
+# E - 100 + R.  This round: E=109, R=1 -> C=10.  At the observed
+# ~2-3 entries/round growth: E=115, R=2 -> C=17; E=120, R=3 -> C=23.
+# (B) stays satisfiable while
+# C <= E - 50 - |PREV_CARRYOVER| (comfortable through E~140), but
+# (C) — a defensible in-window parent per member — binds first:
+# beyond E≈120 the policy is to STOP growing the registry and fold
+# new operators under existing entries (extend an entry's query and
+# let the touched-code rule force it in-window) or merge thin
+# derivative entries into their parents. Growth of the carryover set
+# beyond what the formula forces means the contract is eroding.
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-16 leads: the six r15 carryovers rotate back in FIRST,
-    # then the round's new code, then the touched-code rider
-    "csv_lines_events",
-    "xml_rows_events",
-    "ndjson_lines_docs",
-    "distinct_counts",
-    "quality_by_source",
-    "docs_sample_deterministic",
-    "bpe_merges_learned",
-    "video_frame_stats",
+    # round-17 leads: the eight r16 carryovers rotate back in FIRST
+    # (policy invariant B: max absence = 2 rounds)...
+    "embedding_quantize_stats",
+    "minhash_near_dup_pairs",
+    "embedding_near_dup_banded",
+    "ivf_ann_topk",
+    "semdedup_survivors_greedy",
+    "gopher_filter_stats",
+    "top_tokens",
+    "docs_train_test_split",
+    # ...then the round's NEW code...
+    "bpe_encoded_token_stats",
+    "incremental_bloom_stats",
+    # ...then the touched-code rider (r17 fixed the grayscale luma
+    # crash in operators/phash.py — ADVICE r16 — so this r16-green
+    # entry must re-verify on the changed code)
     "phash_near_dup_pairs",
-    "gif_decode_stats",
-    # the flagship block in its r14 order (q1/q3 canaries riding it
-    # per the odd/even alternation), minus media_decode_stats and
-    # multimodal_feature_stats (r15-window-verified, unchanged) and
-    # minus the seven r16 carryovers pinned below
-    "bpe_token_stats_by_lang",
-    "cube_order_stats",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "html_rows_events",
-    "dedup_exact_docs",
-    "minhash_dedup_survivors",
-    "dedup_clusters",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "paragraph_dedup_docs",
-    "dedup_tokens_within_docs",
-    "exact_substring_spans",
-    "ngram_contamination_check",
-    "cosine_topk",
-    "lsh_ann_topk",
-    "embedding_near_dup",
-    "ivf_fixed_topk",
-    "semdedup_survivors",
-    "embedding_random_projection",
-    "gopher_quality_signals",
-    "lm_quality_buckets",
-    "bigram_lm_scores",
-    "winnow_fingerprints",
-    "boilerplate_spans",
-    "pii_redaction_check",
-    "bm25_topk_docs",
-    "tfidf_top_terms",
-    "dsir_importance_weights",
-    "docs_stratified_sample",
-    "docs_capped_per_source",
-    "docs_rebalanced_mixture",
-    "temperature_mixture_docs",
-    "training_shuffle_docs",
-    "pack_chunks_docs",
-    "pretraining_mix_stats",
-    "lang_token_budget",
-    "value_percentiles",
-    "conversion_funnel",
-    "retention_cohorts",
+    # the relational/formatter half rotates back in: TPC-H (minus
+    # the six carried below)...
+    "q2_min_cost_supplier",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q16_brand_supply_gaps",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_wealthy_low_activity",
+    # ...relational extras / events...
+    "top_customers_per_nation",
+    "mktsegment_stats",
+    "customers_without_orders",
+    "events_sessions",
+    "rollup_pricing",
+    "order_status_setops",
+    "part_brand_stats",
+    "purchase_attribution",
+    "running_customer_revenue",
+    "purchases_near_errors",
+    # ...formatter/tostring + text back half...
+    "tostring_events",
+    "token_stats_by_lang",
+    "lang_id_confusion",
+    "curation_pipeline",
+    "doc_fingerprints",
+    "int8_ann_topk",
+    "unigram_lm_scores",
+    # ...incremental dedup + the r14-carryover derivatives + the
+    # multimodal gates (unchanged this round: the phash.py edit is
+    # outside their decode paths, which test_multimodal pins)
+    "incremental_exact_survivors",
+    "incremental_minhash_survivors",
+    "multimodal_feature_stats",
+    "media_decode_stats",
+    "jpeg_decode_stats",
+    "exact_substring_strip",
+    "dedup_cluster_sizes",
+    "dup_rate_by_source",
 )
 
-# The previous round's window (r15: relational/formatter half + the
-# r14 carryovers + the four multimodal gates), kept for the rotation
-# invariant: a query may ride the back half only if the previous
-# round's driver window verified it (CORRECTNESS_r15: 49/50 green +
-# approx_distinct_events, no-oracle by design).
-_R15_WINDOW: frozenset[str] = frozenset(
+# The previous round's window (r16: flagship half + the r15
+# carryovers + the r16 new code), kept for the rotation invariant: a
+# query may ride the back half only if the previous round's driver
+# window verified it (CORRECTNESS_r16: 50/50 fully green).
+_R16_WINDOW: frozenset[str] = frozenset(
     {
-        "approx_distinct_events",
-        "cosine_topk_scan",
-        "curation_pipeline",
-        "customers_without_orders",
-        "dedup_cluster_sizes",
-        "doc_fingerprints",
-        "dup_rate_by_source",
-        "events_hourly",
-        "events_sessions",
-        "exact_substring_strip",
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "distinct_counts",
+        "quality_by_source",
+        "docs_sample_deterministic",
+        "bpe_merges_learned",
+        "video_frame_stats",
+        "phash_near_dup_pairs",
         "gif_decode_stats",
-        "incremental_exact_survivors",
-        "incremental_minhash_survivors",
-        "int8_ann_topk",
-        "jpeg_decode_stats",
-        "lang_id_confusion",
-        "lineitem_dispersion",
-        "media_decode_stats",
-        "mktsegment_stats",
-        "multimodal_feature_stats",
-        "order_status_setops",
-        "part_brand_stats",
-        "purchase_attribution",
-        "purchases_near_errors",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_late_shipments",
-        "q13_order_count_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_brand_supply_gaps",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        "q19_discounted_revenue",
-        "q20_promo_suppliers",
-        "q21_waiting_suppliers",
-        "q22_wealthy_low_activity",
-        "q2_min_cost_supplier",
-        "q4_priority_returns",
-        "q5_region_revenue",
-        "q6_revenue_change",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "rollup_pricing",
-        "running_customer_revenue",
-        "token_stats_by_lang",
-        "top_customers_per_nation",
-        "tostring_events",
-        "unigram_lm_scores",
+        "bpe_token_stats_by_lang",
+        "cube_order_stats",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "html_rows_events",
+        "dedup_exact_docs",
+        "minhash_dedup_survivors",
+        "dedup_clusters",
+        "simhash_near_dup_pairs",
+        "ngram_jaccard_pairs",
+        "paragraph_dedup_docs",
+        "dedup_tokens_within_docs",
+        "exact_substring_spans",
+        "ngram_contamination_check",
+        "cosine_topk",
+        "lsh_ann_topk",
+        "embedding_near_dup",
+        "ivf_fixed_topk",
+        "semdedup_survivors",
+        "embedding_random_projection",
+        "gopher_quality_signals",
+        "lm_quality_buckets",
+        "bigram_lm_scores",
+        "winnow_fingerprints",
+        "boilerplate_spans",
+        "pii_redaction_check",
+        "bm25_topk_docs",
+        "tfidf_top_terms",
+        "dsir_importance_weights",
+        "docs_stratified_sample",
+        "docs_capped_per_source",
+        "docs_rebalanced_mixture",
+        "temperature_mixture_docs",
+        "training_shuffle_docs",
+        "pack_chunks_docs",
+        "pretraining_mix_stats",
+        "lang_token_budget",
+        "value_percentiles",
+        "conversion_funnel",
+        "retention_cohorts",
     }
 )
 
-# The 106-entry/100-slot arithmetic, plus the nine forced leads (six
-# returning carryovers + two new entries + one touched-code rider),
-# makes eight flagship-half members sit out this round. Each is a
-# thin derivative or component of an operator whose flagship entry
-# stays in-window:
-#   minhash_near_dup_pairs — the pair-generation component in-window
-#     minhash_dedup_survivors composes (pairs -> CC -> anti-join);
-#   embedding_near_dup_banded — the banded variant of in-window
-#     embedding_near_dup (same signature pipeline plus LSH banding);
-#   ivf_ann_topk / semdedup_survivors_greedy — the no-oracle probe- /
-#     greedy-policy variants of in-window ivf_fixed_topk /
-#     semdedup_survivors, both pinned at sf0.1 every round by
-#     tools/pin_no_oracle.py regardless of window membership;
-#   gopher_filter_stats — the aggregation of the same per-doc signals
-#     in-window gopher_quality_signals emits;
-#   embedding_quantize_stats — the expression-only (zero-shuffle, per
-#     the committed shuffle audits) sibling of in-window
-#     embedding_random_projection: both are pure per-row embedding
-#     transforms over the same scan shape;
-#   top_tokens — the tokenize+count component of in-window
-#     tfidf_top_terms;
-#   docs_train_test_split — the hash-bucket-assignment sibling of
-#     in-window docs_stratified_sample.
-# All eight were driver-green in CORRECTNESS_r14 with unchanged plans
-# since, are verified every round by the committed full-registry
-# sf0.01 replay and the pytest oracle gate, and rotate back into the
-# r17 window.
+# The r16 carryover set, kept so the policy test can assert invariant
+# B (disjointness with _R17_CARRYOVER — no entry sits out twice in a
+# row). All eight rotated back as this round's leads, per contract.
 _R16_CARRYOVER: frozenset[str] = frozenset(
     {
         "embedding_quantize_stats",
@@ -319,6 +329,56 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
         "gopher_filter_stats",
         "top_tokens",
         "docs_train_test_split",
+    }
+)
+
+# The 109-entry/100-slot arithmetic, plus the eleven forced leads
+# (eight returning carryovers + two new entries + one touched-code
+# rider), makes ten relational-half members sit out this round
+# (policy formula: C = E - 100 + R = 109 - 100 + 1; equivalently 57
+# due-backs + 2 new + 1 rider - 50 slots). Each satisfies invariant
+# C — a thin derivative or component of an entry that IS in this
+# window:
+#   q4_priority_returns — the exists-semi-join component shape of
+#     in-window q21_waiting_suppliers;
+#   q8_market_share — the share-ratio extension of in-window
+#     q7_nation_volume's nation-revenue join tree;
+#   q12_late_shipments — the orders⋈lineitem conditional-agg core of
+#     in-window q10_returned_items' join tree;
+#   q14_promo_revenue — the same lineitem⋈part filtered-revenue scan
+#     shape as in-window q19_discounted_revenue, plus a CASE ratio;
+#   q15_top_supplier — the aggregate-then-join-back-at-max shape of
+#     in-window q2_min_cost_supplier;
+#   q17_small_quantity_revenue — the per-key aggregate-threshold
+#     semi-join sibling of in-window q18_large_volume_orders;
+#   events_hourly — the time-bucket aggregation sibling of in-window
+#     events_sessions over the same events scan;
+#   lineitem_dispersion — the dispersion-stats sibling of in-window
+#     rollup_pricing (same lineitem scan+groupBy shape);
+#   cosine_topk_scan — the brute-force full-scan sibling of
+#     in-window int8_ann_topk (same embeddings scan + total-order
+#     top-k shape);
+#   approx_distinct_events — the invariant-C special case: its
+#     driver check is rows-only (no-oracle by design), STRICTLY
+#     WEAKER than its own pytest accuracy-contract gate
+#     (test_relational.py), which runs every round regardless of
+#     window membership.
+# All ten were driver-green in CORRECTNESS_r15 with unchanged plans
+# since, are verified every round by the committed full-registry
+# sf0.01 replay and the pytest oracle gate, and MUST lead the r18
+# window (invariant B).
+_R17_CARRYOVER: frozenset[str] = frozenset(
+    {
+        "q4_priority_returns",
+        "q8_market_share",
+        "q12_late_shipments",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "events_hourly",
+        "lineitem_dispersion",
+        "cosine_topk_scan",
+        "approx_distinct_events",
     }
 )
 

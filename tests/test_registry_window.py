@@ -6,32 +6,33 @@ had registered new relational queries ahead of the flagship
 dedup/similarity/quality block, silently evicting it from the window
 for two rounds.  Since round 5 the window ROTATES deliberately; the
 invariant these tests pin is therefore not a fixed membership but the
-rotation contract: every registered query sits in THIS round's window
-or was verified in the PREVIOUS round's — nothing goes unverified for
-two consecutive rounds.  Round-6 refinement (ADVICE r05): queries
-whose implementations the PREVIOUS round touched must ride the next
+rotation contract.  Round-6 refinement (ADVICE r05): queries whose
+implementations the PREVIOUS round touched must ride the next
 window, so the driver gate always checks the current code, never the
 pre-change version it already verified.
 
-Round-12 arithmetic change: the registry outgrew 100 entries, so two
-consecutive 50-slot windows can no longer cover it exactly — some
-entries must sit out each round.  The carryover set is pinned
-explicitly (``_R16_CARRYOVER``): it must stay small, consist only of
-thin derivatives of operators whose flagship entries ARE in-window,
-and rotate back in the following round (each member's absence is
-bounded meanwhile by the committed full-registry sf0.01 replay + the
-pytest oracle gate, both of which cover the WHOLE registry every
-round).  Round 16: eight carryovers — ten
-forced leads (six returning r15 carryovers + three new entries + the
-gif bomb-guard touched-code rider) displaced eight flagship-half
-members, each a thin derivative of an in-window flagship.
+Round-17 policy (VERDICT r16 #2 — the registry outgrew the point
+where two 50-slot windows partition it): the binding invariant is
+MAX ABSENCE = 2 ROUNDS, asserted mechanically below:
+
+  (A) coverage:      QUERIES == WINDOW ∪ PREV_WINDOW ∪ CARRYOVER
+  (B) absence bound: CARRYOVER ∩ PREV_CARRYOVER == ∅ and the
+      previous carryovers LEAD this window — an entry sits out at
+      most two consecutive rounds, then must return as a lead;
+  (C) parentage:     every carryover is a thin derivative/component
+      of an in-window entry (or carries its own stronger-than-driver
+      pytest gate);
+  (D) size formula:  |CARRYOVER| == E - 100 + R (R = touched-code
+      riders repeating from the previous window) — growth beyond
+      what the formula forces means the contract is eroding.
 """
 
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R15_WINDOW,
     _R16_CARRYOVER,
+    _R16_WINDOW,
+    _R17_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -45,19 +46,19 @@ def test_window_is_the_first_50_entries():
 
 
 def test_rotation_covers_every_query_within_two_rounds():
-    """A query may ride the back half only if the previous round's
-    driver window verified it — a NEW query must enter the window the
-    round it is registered.  The explicit carryover set is the one
-    sanctioned exception (107 entries, 100 slots across two rounds);
-    its members were driver-green in CORRECTNESS_r14 with unchanged
-    plans since."""
+    """Invariant A: a query may ride the back half only if the
+    previous round's driver window verified it — a NEW query must
+    enter the window the round it is registered.  The explicit
+    carryover set is the one sanctioned exception; invariant B
+    (below) bounds its members' absence at two rounds."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R15_WINDOW - _R16_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R16_WINDOW - _R17_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
     )
+    assert set(DRIVER_WINDOW) | _R16_WINDOW | _R17_CARRYOVER == set(QUERIES)
 
 
 def test_window_has_no_duplicates_or_unknowns():
@@ -66,22 +67,55 @@ def test_window_has_no_duplicates_or_unknowns():
     assert not unknown
 
 
-def test_window_pair_covers_all_but_the_pinned_carryovers():
-    """At 107 registered queries the window pair covers everything
-    except the pinned carryovers.  Round 16 has ten forced leads
-    (six returning r15 carryovers, the new bpe_merges_learned,
-    video_frame_stats and phash_near_dup_pairs, and gif_decode_stats
-    riding again because this round added the decompression-bomb
-    guard to operators/gif.py), so
-    eight flagship-half members sit out — each a thin derivative or
-    component of an in-window flagship. Growth of this set beyond
-    what the touched-code rule forces would mean the rotation
-    contract is eroding."""
-    assert len(QUERIES) == 107
-    assert set(DRIVER_WINDOW) | _R15_WINDOW | _R16_CARRYOVER == set(QUERIES)
-    overlap = set(DRIVER_WINDOW) & _R15_WINDOW
-    assert overlap == {"gif_decode_stats"}
-    assert _R16_CARRYOVER == {
+def test_absence_bound_policy():
+    """Invariant B, both halves: no entry sits out two consecutive
+    rounds (this round's carryovers are disjoint from last round's),
+    and last round's carryovers all returned as THIS window's leads.
+    Invariant D: the carryover count equals exactly what the
+    arithmetic forces — E - 100 + R, R being the touched-code riders
+    repeating from the previous window (r17: phash_near_dup_pairs,
+    riding again because round 17 changed operators/phash.py)."""
+    assert not (_R17_CARRYOVER & _R16_CARRYOVER)
+    assert not (_R17_CARRYOVER & set(DRIVER_WINDOW))
+    # last round's carryovers lead this window, in positions 0..7
+    assert set(DRIVER_WINDOW[: len(_R16_CARRYOVER)]) == _R16_CARRYOVER
+    riders = set(DRIVER_WINDOW) & _R16_WINDOW
+    assert riders == {"phash_near_dup_pairs"}
+    assert len(_R17_CARRYOVER) == len(QUERIES) - 100 + len(riders)
+
+
+def test_carryover_parentage():
+    """Invariant C: each r17 carryover's parent entry is in-window
+    (approx_distinct_events is the documented special case — its
+    pytest accuracy gate is stronger than its rows-only driver
+    check)."""
+    assert len(QUERIES) == 109
+    parent_of = {
+        "q4_priority_returns": "q21_waiting_suppliers",
+        "q8_market_share": "q7_nation_volume",
+        "q12_late_shipments": "q10_returned_items",
+        "q14_promo_revenue": "q19_discounted_revenue",
+        "q15_top_supplier": "q2_min_cost_supplier",
+        "q17_small_quantity_revenue": "q18_large_volume_orders",
+        "events_hourly": "events_sessions",
+        "lineitem_dispersion": "rollup_pricing",
+        "cosine_topk_scan": "int8_ann_topk",
+    }
+    special = {"approx_distinct_events"}
+    assert _R17_CARRYOVER == set(parent_of) | special
+    in_window = set(DRIVER_WINDOW)
+    for child, parent in parent_of.items():
+        assert parent in in_window, f"{child}'s parent {parent} not in-window"
+
+
+def test_round17_window_holds_the_new_code():
+    """The standing rule: code a round touches sits in-window that
+    round.  Round 17 leads with the eight returning r16 carryovers,
+    then the new bpe_encoded_token_stats (the BPE ENCODE hot path,
+    VERDICT r16 #3) and incremental_bloom_stats (the Bloom membership
+    store face, VERDICT r16 #5), then the phash_near_dup_pairs
+    grayscale-fix rider (ADVICE r16)."""
+    assert DRIVER_WINDOW[:11] == (
         "embedding_quantize_stats",
         "minhash_near_dup_pairs",
         "embedding_near_dup_banded",
@@ -90,54 +124,26 @@ def test_window_pair_covers_all_but_the_pinned_carryovers():
         "gopher_filter_stats",
         "top_tokens",
         "docs_train_test_split",
-    }
-    assert not (_R16_CARRYOVER & set(DRIVER_WINDOW))
-    # the carryovers' flagship parents ARE in-window
-    assert {
-        "minhash_dedup_survivors",  # composes minhash_near_dup_pairs
-        "embedding_near_dup",  # banded variant's parent
-        "ivf_fixed_topk",  # deterministic sibling of ivf_ann_topk
-        "semdedup_survivors",  # deterministic sibling of greedy
-        "gopher_quality_signals",  # emits what gopher_filter_stats aggregates
-        "tfidf_top_terms",  # composes top_tokens' tokenize+count
-        "docs_stratified_sample",  # hash-bucket sibling of train_test_split
-        "embedding_random_projection",  # expression-only sibling of quantize
-    } <= set(DRIVER_WINDOW)
-    # the q1/q3 canaries alternate with the flagship half (IN this
-    # round, riding the returning flagship window)
-    assert {"q1_pricing_summary", "q3_top_orders"} <= set(DRIVER_WINDOW)
-
-
-def test_round16_window_holds_the_new_code():
-    """The standing rule: code a round touches sits in-window that
-    round.  Round 16 leads with the six r15 carryovers, then the new
-    bpe_merges_learned (distributed tokenizer training),
-    video_frame_stats (the MJPEG-AVI lane under pinned-literal gates)
-    and phash_near_dup_pairs (image near-dup via integer-exact
-    pHash), then gif_decode_stats (the r16 bomb-guard rider)."""
-    first_50 = set(list(QUERIES)[:50])
-    assert DRIVER_WINDOW[:10] == (
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "distinct_counts",
-        "quality_by_source",
-        "docs_sample_deterministic",
-        "bpe_merges_learned",
-        "video_frame_stats",
+        "bpe_encoded_token_stats",
+        "incremental_bloom_stats",
         "phash_near_dup_pairs",
-        "gif_decode_stats",
     )
-    # spot-check the flagship dedup/similarity families rotated back
+    # spot-check the relational/formatter half rotated back
+    first_50 = set(list(QUERIES)[:50])
     assert {
-        "dedup_exact_docs",
-        "minhash_dedup_survivors",
-        "cosine_topk",
-        "semdedup_survivors",
-        "gopher_quality_signals",
-        "docs_stratified_sample",
-        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q22_wealthy_low_activity",
+        "tostring_events",
+        "incremental_exact_survivors",
+        "incremental_minhash_survivors",
+        "jpeg_decode_stats",
+        "media_decode_stats",
+        "curation_pipeline",
     } <= first_50
+    # the q1/q3 canaries ride the flagship half (odd/even
+    # alternation) — OUT this round, back with it in r18
+    assert "q1_pricing_summary" not in first_50
+    assert "q1_pricing_summary" in _R16_WINDOW
 
 
 def test_back_half_is_oracle_gated():
