@@ -242,6 +242,14 @@ def sample_mjpeg_frames(
             next_t += every_ms
     if not frames:
         raise ValueError("undecodable video payload: no frames decoded")
+    if any(f.shape != frames[0].shape for f in frames[1:]):
+        # a corrupted SOF can resize one frame mid-stream; refuse by
+        # name instead of leaking numpy's raw stack() ValueError
+        # (round-17 hypothesis find: one bit flip in frame 2's header)
+        raise ValueError(
+            "undecodable video payload: sampled frames disagree on "
+            f"geometry ({sorted({f.shape for f in frames})})"
+        )
     return np.stack(frames).astype(np.uint8)
 
 

@@ -153,9 +153,11 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            face, VERDICT r16 #5), then phash_near_dup_pairs riding
 #            again under the touched-code rule (round 17 fixed the
 #            grayscale luma crash in operators/phash.py, ADVICE r16,
-#            so its gate must run on the changed code). At 109
-#            entries with eleven forced leads the carryover set is
-#            ten (_R17_CARRYOVER below).
+#            and named the AVI frame-geometry refusal after a
+#            hypothesis corruption-fuzz find, so phash_near_dup_pairs
+#            AND video_frame_stats must re-verify on the changed
+#            code). At 109 entries with twelve forced leads the
+#            carryover set is eleven (_R17_CARRYOVER below).
 # The half riding the back remains covered by the full pytest oracle
 # sweep vs DuckDB at sf0.001 (an automated gate —
 # test_queries_oracle.py parametrizes over the WHOLE registry, not
@@ -179,7 +181,7 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 # Arithmetic: with E registry entries (new entries included) and R
 # touched-code riders from the previous window, the due-backs are
 # (E - new) - 50, so |CARRYOVER| = due-backs + new + R - 50 =
-# E - 100 + R.  This round: E=109, R=1 -> C=10.  At the observed
+# E - 100 + R.  This round: E=109, R=2 -> C=11.  At the observed
 # ~2-3 entries/round growth: E=115, R=2 -> C=17; E=120, R=3 -> C=23.
 # (B) stays satisfiable while
 # C <= E - 50 - |PREV_CARRYOVER| (comfortable through E~140), but
@@ -205,12 +207,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ...then the round's NEW code...
     "bpe_encoded_token_stats",
     "incremental_bloom_stats",
-    # ...then the touched-code rider (r17 fixed the grayscale luma
-    # crash in operators/phash.py — ADVICE r16 — so this r16-green
-    # entry must re-verify on the changed code)
+    # ...then the touched-code riders (r17 fixed the grayscale luma
+    # crash in operators/phash.py — ADVICE r16 — and named the
+    # frame-geometry refusal in operators/avi.py after a hypothesis
+    # corruption-fuzz find, so both r16-green entries must re-verify
+    # on the changed code)
     "phash_near_dup_pairs",
+    "video_frame_stats",
     # the relational/formatter half rotates back in: TPC-H (minus
-    # the six carried below)...
+    # the seven carried below)...
     "q2_min_cost_supplier",
     "q5_region_revenue",
     "q6_revenue_change",
@@ -218,7 +223,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q13_order_count_distribution",
     "q16_brand_supply_gaps",
     "q18_large_volume_orders",
     "q19_discounted_revenue",
@@ -332,11 +336,11 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
     }
 )
 
-# The 109-entry/100-slot arithmetic, plus the eleven forced leads
-# (eight returning carryovers + two new entries + one touched-code
-# rider), makes ten relational-half members sit out this round
-# (policy formula: C = E - 100 + R = 109 - 100 + 1; equivalently 57
-# due-backs + 2 new + 1 rider - 50 slots). Each satisfies invariant
+# The 109-entry/100-slot arithmetic, plus the twelve forced leads
+# (eight returning carryovers + two new entries + two touched-code
+# riders), makes eleven relational-half members sit out this round
+# (policy formula: C = E - 100 + R = 109 - 100 + 2; equivalently 57
+# due-backs + 2 new + 2 riders - 50 slots). Each satisfies invariant
 # C — a thin derivative or component of an entry that IS in this
 # window:
 #   q4_priority_returns — the exists-semi-join component shape of
@@ -345,6 +349,9 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
 #     q7_nation_volume's nation-revenue join tree;
 #   q12_late_shipments — the orders⋈lineitem conditional-agg core of
 #     in-window q10_returned_items' join tree;
+#   q13_order_count_distribution — the histogram extension of
+#     in-window customers_without_orders (q13's count=0 bucket IS
+#     that entry's anti-join set);
 #   q14_promo_revenue — the same lineitem⋈part filtered-revenue scan
 #     shape as in-window q19_discounted_revenue, plus a CASE ratio;
 #   q15_top_supplier — the aggregate-then-join-back-at-max shape of
@@ -363,7 +370,7 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
 #     WEAKER than its own pytest accuracy-contract gate
 #     (test_relational.py), which runs every round regardless of
 #     window membership.
-# All ten were driver-green in CORRECTNESS_r15 with unchanged plans
+# All eleven were driver-green in CORRECTNESS_r15 with unchanged plans
 # since, are verified every round by the committed full-registry
 # sf0.01 replay and the pytest oracle gate, and MUST lead the r18
 # window (invariant B).
@@ -372,6 +379,7 @@ _R17_CARRYOVER: frozenset[str] = frozenset(
         "q4_priority_returns",
         "q8_market_share",
         "q12_late_shipments",
+        "q13_order_count_distribution",
         "q14_promo_revenue",
         "q15_top_supplier",
         "q17_small_quantity_revenue",

@@ -299,7 +299,7 @@ def test_mjpa_field_interlaced_routes_to_cv2_seam():
             multimodal.video_frame_decoder(every_ms=100)(payload)
 
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
@@ -309,6 +309,11 @@ from hypothesis import strategies as st  # noqa: E402
     val=st.integers(min_value=0, max_value=255),
     cut=st.integers(min_value=0, max_value=30000),
 )
+@example(
+    pos=16835,
+    val=1,
+    cut=0,
+).via('discovered failure')
 def test_corruption_fuzz_no_raw_leaks(pos, val, cut):
     """Mutate/truncate a valid MJPEG AVI anywhere: the container walk
     + frame decode must either succeed cleanly or raise the named

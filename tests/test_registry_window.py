@@ -73,14 +73,15 @@ def test_absence_bound_policy():
     and last round's carryovers all returned as THIS window's leads.
     Invariant D: the carryover count equals exactly what the
     arithmetic forces — E - 100 + R, R being the touched-code riders
-    repeating from the previous window (r17: phash_near_dup_pairs,
-    riding again because round 17 changed operators/phash.py)."""
+    repeating from the previous window (r17: phash_near_dup_pairs
+    for the operators/phash.py grayscale fix, video_frame_stats for
+    the operators/avi.py frame-geometry refusal)."""
     assert not (_R17_CARRYOVER & _R16_CARRYOVER)
     assert not (_R17_CARRYOVER & set(DRIVER_WINDOW))
     # last round's carryovers lead this window, in positions 0..7
     assert set(DRIVER_WINDOW[: len(_R16_CARRYOVER)]) == _R16_CARRYOVER
     riders = set(DRIVER_WINDOW) & _R16_WINDOW
-    assert riders == {"phash_near_dup_pairs"}
+    assert riders == {"phash_near_dup_pairs", "video_frame_stats"}
     assert len(_R17_CARRYOVER) == len(QUERIES) - 100 + len(riders)
 
 
@@ -94,6 +95,7 @@ def test_carryover_parentage():
         "q4_priority_returns": "q21_waiting_suppliers",
         "q8_market_share": "q7_nation_volume",
         "q12_late_shipments": "q10_returned_items",
+        "q13_order_count_distribution": "customers_without_orders",
         "q14_promo_revenue": "q19_discounted_revenue",
         "q15_top_supplier": "q2_min_cost_supplier",
         "q17_small_quantity_revenue": "q18_large_volume_orders",
@@ -113,9 +115,11 @@ def test_round17_window_holds_the_new_code():
     round.  Round 17 leads with the eight returning r16 carryovers,
     then the new bpe_encoded_token_stats (the BPE ENCODE hot path,
     VERDICT r16 #3) and incremental_bloom_stats (the Bloom membership
-    store face, VERDICT r16 #5), then the phash_near_dup_pairs
-    grayscale-fix rider (ADVICE r16)."""
-    assert DRIVER_WINDOW[:11] == (
+    store face, VERDICT r16 #5), then the two touched-code riders:
+    phash_near_dup_pairs (grayscale fix, ADVICE r16) and
+    video_frame_stats (AVI frame-geometry refusal, hypothesis
+    corruption-fuzz find)."""
+    assert DRIVER_WINDOW[:12] == (
         "embedding_quantize_stats",
         "minhash_near_dup_pairs",
         "embedding_near_dup_banded",
@@ -127,6 +131,7 @@ def test_round17_window_holds_the_new_code():
         "bpe_encoded_token_stats",
         "incremental_bloom_stats",
         "phash_near_dup_pairs",
+        "video_frame_stats",
     )
     # spot-check the relational/formatter half rotated back
     first_50 = set(list(QUERIES)[:50])
