@@ -87,8 +87,16 @@ def main() -> None:
             # registry loop and later queries' plans pick up another
             # query's InMemoryRelations — session-order-dependent
             # counts the regression test (fresh per-query scopes)
-            # would never reproduce.
-            with cache_scope():
+            # would never reproduce.  blocking=True (round 17): the
+            # default async unpersist races the NEXT entry's
+            # planning — a prior entry's CacheManager registration
+            # still matching during plan substitution flipped
+            # pretraining_mix_stats' parsed count 6 -> 24 in two
+            # full-session runs, while the identical loop read 6 in
+            # every isolated and prefix repro.  Synchronous release
+            # makes the audit deterministic; the few extra seconds
+            # per session are irrelevant here.
+            with cache_scope(blocking=True):
                 df = q.fn(spark, sf_dir)
                 # The noop write is retained purely as an
                 # executability check (a plan that cannot run should
