@@ -210,8 +210,17 @@ def wav_decoder() -> Callable[[bytes], np.ndarray]:
                 rate = w.getframerate()
                 nframes = w.getnframes()
                 raw = w.readframes(nframes)
-        except (_wave.Error, EOFError) as ex:
+        except (_wave.Error, EOFError, RuntimeError) as ex:
+            # RuntimeError: stdlib wave/chunk raise a BARE RuntimeError
+            # from Chunk.seek on inconsistent chunk sizes (r17 fuzz
+            # campaign — 4 hits in 4000 mutations); it is a payload
+            # corruption signal, not a program error
             raise ValueError(f"undecodable WAV payload: {ex}") from ex
+        # trim a ragged tail BYTE count to the sample width first —
+        # same policy as the ragged tail FRAME drop below; without
+        # this, numpy's raw "buffer size must be a multiple of
+        # element size" ValueError leaked unnamed (r17 fuzz campaign)
+        raw = raw[: len(raw) - (len(raw) % width)] if width else raw
         if width == 1:
             x = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.float64)
             x = (x - 128.0) / 128.0

@@ -561,6 +561,73 @@ def test_wav_decoder_widths_channels_and_refusals():
     assert np.array_equal(dec(stereo), dec(stereo))
 
 
+def test_wav_decoder_ragged_byte_tail():
+    """r17 fuzz-campaign find: a data chunk whose byte count is not a
+    multiple of the sample width (odd-length tail after truncation/
+    mutation) leaked numpy's raw 'buffer size must be a multiple of
+    element size' ValueError. Policy is the same as the ragged FRAME
+    tail: trim and decode what's whole."""
+    import numpy as np
+
+    dec = multimodal.wav_decoder()
+    base = multimodal.encode_wav([1000, -1000] * 10, sampwidth=2)
+    # chop one byte off the end: data chunk now reports odd length
+    ragged = bytearray(base[:-1])
+    # wave reads up to the promised frame count; patch the data size
+    # field down so stdlib wave accepts the shorter chunk but leaves
+    # an odd byte count (39 bytes = 19.5 samples)
+    import struct
+    data_pos = bytes(base).rindex(b"data")
+    n = struct.unpack("<I", base[data_pos + 4 : data_pos + 8])[0]
+    struct.pack_into("<I", ragged, data_pos + 4, n - 1)
+    feats = dec(bytes(ragged))  # must not raise
+    f = dict(zip(multimodal.WAV_FEATURE_NAMES, feats.tolist()))
+    assert f["n_frames"] == 19.0  # 39 bytes -> 19 whole samples
+
+
+def test_wav_decoder_corruption_contract_mini_fuzz():
+    """r17 fuzz-campaign find #2: stdlib wave/chunk raise a BARE
+    RuntimeError from Chunk.seek on inconsistent chunk sizes, which
+    escaped the (wave.Error, EOFError) guard. Seeded mini-fuzz: 3000
+    mutations must produce only clean decodes or named ValueError
+    refusals, and the seed is chosen so the RuntimeError cause path
+    is actually exercised (asserted via __cause__)."""
+    import random
+
+    import numpy as np
+
+    base = multimodal.encode_wav(np.arange(512, dtype=np.int16).reshape(-1, 2))
+    dec = multimodal.wav_decoder()
+    rng = random.Random(99)
+    runtime_caused = 0
+    for _ in range(3000):
+        b = bytearray(base)
+        op = rng.randrange(5)
+        if op == 0 and b:
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1 and b:
+            j = rng.randrange(len(b))
+            for k in range(j, min(len(b), j + rng.randrange(1, 17))):
+                b[k] = rng.randrange(256)
+        elif op == 2:
+            b = b[: rng.randrange(len(b) + 1)]
+        elif op == 3:
+            b = bytes(b) + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 64))
+            )
+        elif b:
+            j = rng.randrange(len(b))
+            b[j] ^= 1 << rng.randrange(8)
+        try:
+            out = dec(bytes(b))
+            assert out.shape == (8,)
+        except ValueError as ex:
+            assert "undecodable WAV" in str(ex) or "not supported" in str(ex)
+            if isinstance(ex.__cause__, RuntimeError):
+                runtime_caused += 1
+    assert runtime_caused >= 1  # the found leak path stays exercised
+
+
 def test_wav_decoder_through_extract_features(spark):
     """The real decoder rides the same Arrow-batched mapInPandas seam
     as the stub — end-to-end over a Spark frame, one modality real."""
