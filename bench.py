@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     # filter build + broadcast, screened-delta accounting (the
     # per-increment screen cost observable)
     "incremental_bloom_stats",
+    # round 17 late: count-min heavy hitters — grid build (map-side
+    # combine to depth x width cells), broadcast estimate join,
+    # exact-vs-estimate top-k (the sketch lane's cost observable)
+    "cms_top_tokens",
 ]
 
 # Non-registry entries main() measures besides BENCH_QUERIES. The

@@ -150,7 +150,10 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            NEW code (bpe_encoded_token_stats — the BPE ENCODE hot
 #            path under the driver gate, VERDICT r16 #3 — and
 #            incremental_bloom_stats — the Bloom membership store
-#            face, VERDICT r16 #5), then phash_near_dup_pairs riding
+#            face, VERDICT r16 #5, and cms_top_tokens — the CMS
+#            heavy-hitters half of the same proposal, landed after
+#            the round's fuzz campaign), then phash_near_dup_pairs
+#            riding
 #            again under the touched-code rule (round 17 fixed the
 #            grayscale luma crash in operators/phash.py, ADVICE r16,
 #            and named the AVI frame-geometry refusal after a
@@ -181,7 +184,7 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 # Arithmetic: with E registry entries (new entries included) and R
 # touched-code riders from the previous window, the due-backs are
 # (E - new) - 50, so |CARRYOVER| = due-backs + new + R - 50 =
-# E - 100 + R.  This round: E=109, R=2 -> C=11.  At the observed
+# E - 100 + R.  This round: E=110, R=2 -> C=12.  At the observed
 # ~2-3 entries/round growth: E=115, R=2 -> C=17; E=120, R=3 -> C=23.
 # (B) stays satisfiable while
 # C <= E - 50 - |PREV_CARRYOVER| (comfortable through E~140), but
@@ -207,6 +210,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ...then the round's NEW code...
     "bpe_encoded_token_stats",
     "incremental_bloom_stats",
+    "cms_top_tokens",
     # ...then the touched-code riders (r17 fixed the grayscale luma
     # crash in operators/phash.py — ADVICE r16 — and named the
     # frame-geometry refusal in operators/avi.py after a hypothesis
@@ -239,7 +243,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "part_brand_stats",
     "purchase_attribution",
     "running_customer_revenue",
-    "purchases_near_errors",
     # ...formatter/tostring + text back half...
     "tostring_events",
     "token_stats_by_lang",
@@ -336,11 +339,11 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
     }
 )
 
-# The 109-entry/100-slot arithmetic, plus the twelve forced leads
-# (eight returning carryovers + two new entries + two touched-code
-# riders), makes eleven relational-half members sit out this round
-# (policy formula: C = E - 100 + R = 109 - 100 + 2; equivalently 57
-# due-backs + 2 new + 2 riders - 50 slots). Each satisfies invariant
+# The 110-entry/100-slot arithmetic, plus the thirteen forced leads
+# (eight returning carryovers + three new entries + two touched-code
+# riders), makes twelve relational-half members sit out this round
+# (policy formula: C = E - 100 + R = 110 - 100 + 2; equivalently 57
+# due-backs + 3 new + 2 riders - 50 slots). Each satisfies invariant
 # C — a thin derivative or component of an entry that IS in this
 # window:
 #   q4_priority_returns — the exists-semi-join component shape of
@@ -360,6 +363,8 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
 #     semi-join sibling of in-window q18_large_volume_orders;
 #   events_hourly — the time-bucket aggregation sibling of in-window
 #     events_sessions over the same events scan;
+#   purchases_near_errors — the window-range join sibling of
+#     in-window purchase_attribution over the same events scan;
 #   lineitem_dispersion — the dispersion-stats sibling of in-window
 #     rollup_pricing (same lineitem scan+groupBy shape);
 #   cosine_topk_scan — the brute-force full-scan sibling of
@@ -370,7 +375,7 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
 #     WEAKER than its own pytest accuracy-contract gate
 #     (test_relational.py), which runs every round regardless of
 #     window membership.
-# All eleven were driver-green in CORRECTNESS_r15 with unchanged plans
+# All twelve were driver-green in CORRECTNESS_r15 with unchanged plans
 # since, are verified every round by the committed full-registry
 # sf0.01 replay and the pytest oracle gate, and MUST lead the r18
 # window (invariant B).
@@ -384,6 +389,7 @@ _R17_CARRYOVER: frozenset[str] = frozenset(
         "q15_top_supplier",
         "q17_small_quantity_revenue",
         "events_hourly",
+        "purchases_near_errors",
         "lineitem_dispersion",
         "cosine_topk_scan",
         "approx_distinct_events",

@@ -370,3 +370,102 @@ def bpe_encoded_token_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# Count-min sketch literals for the oracle entry: 3 rows x 32
+# columns over this corpus's 31-token vocabulary guarantees
+# observable collisions IN THE TOP-K OUTPUT (overcount > 0 — the
+# Bloom entry's observable-FP discipline), while estimates still
+# rank the true heavy hitters first. Production sizing comes from
+# cms.cms_params(eps, delta) instead.
+_CMS_DEPTH = 3
+_CMS_WIDTH = 32
+_CMS_TOPK = 20
+
+
+def _cms_top_tokens_oracle() -> str:
+    d, w, k = _CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK
+    idx = ", ".join(str(i) for i in range(d))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    cells AS (
+      SELECT i AS row,
+             ('0x' || substr(md5(tok || ':' || i), 1, 8))::BIGINT % {w} AS col,
+             COUNT(*)::BIGINT AS cnt
+      FROM toks, UNNEST([{idx}]) AS t(i)
+      GROUP BY 1, 2),
+    exact AS (SELECT tok, COUNT(*)::BIGINT AS exact_count FROM toks GROUP BY 1),
+    probe AS (
+      SELECT e.tok, i AS row,
+             ('0x' || substr(md5(e.tok || ':' || i), 1, 8))::BIGINT % {w} AS col
+      FROM exact e, UNNEST([{idx}]) AS t(i)),
+    est AS (
+      SELECT p.tok, MIN(COALESCE(c.cnt, 0))::BIGINT AS est_count
+      FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+      GROUP BY 1),
+    ranked AS (
+      SELECT e.tok AS token, e.est_count, x.exact_count,
+             (e.est_count - x.exact_count)::BIGINT AS overcount,
+             ROW_NUMBER() OVER (ORDER BY e.est_count DESC, e.tok) AS rn
+      FROM est e JOIN exact x ON x.tok = e.tok)
+    SELECT token, est_count, exact_count, overcount
+    FROM ranked WHERE rn <= {k}
+    ORDER BY est_count DESC, token
+    """
+
+
+@_register("cms_top_tokens", _cms_top_tokens_oracle())
+def cms_top_tokens(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/cms.py, round 17 —
+    the CMS half of VERDICT r16 #5): build a 3x32 md5-derived grid
+    over the corpus's word occurrences, estimate every distinct
+    token through it, and emit the top 20 by estimate under a total
+    order (est DESC, token ASC) WITH the exact count and the
+    per-token overcount alongside — so hash collisions are
+    value-gated, not averaged away (the Bloom entry's observable-FP
+    discipline, additively). The oracle rebuilds the grid in pure
+    SQL; estimates can never undercount, which both engines must
+    agree on row by row. At 100 TB the grid is the point: the
+    sketch-build shuffle is bounded by depth x width cells per map
+    partition regardless of corpus bytes or vocabulary size, and
+    cms_merge folds per-increment sketches without re-reading the
+    corpus (tools/cms_sweep_r17.py)."""
+    from exporter_spark.operators import cms
+    from exporter_spark.operators.partitioning import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = materialize(
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok")
+        )
+    )
+    sketch = cms.cms_build(toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    est = cms.cms_estimate(
+        exact.select("tok"), sketch, "tok",
+        depth=_CMS_DEPTH, width=_CMS_WIDTH,
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("est_count"), F.asc("tok"))
+    return (
+        est.join(exact, "tok")
+        .withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= _CMS_TOPK)
+        .select(
+            F.col("tok").alias("token"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+    )

@@ -90,7 +90,7 @@ def test_carryover_parentage():
     (approx_distinct_events is the documented special case — its
     pytest accuracy gate is stronger than its rows-only driver
     check)."""
-    assert len(QUERIES) == 109
+    assert len(QUERIES) == 110
     parent_of = {
         "q4_priority_returns": "q21_waiting_suppliers",
         "q8_market_share": "q7_nation_volume",
@@ -100,6 +100,7 @@ def test_carryover_parentage():
         "q15_top_supplier": "q2_min_cost_supplier",
         "q17_small_quantity_revenue": "q18_large_volume_orders",
         "events_hourly": "events_sessions",
+        "purchases_near_errors": "purchase_attribution",
         "lineitem_dispersion": "rollup_pricing",
         "cosine_topk_scan": "int8_ann_topk",
     }
@@ -114,12 +115,13 @@ def test_round17_window_holds_the_new_code():
     """The standing rule: code a round touches sits in-window that
     round.  Round 17 leads with the eight returning r16 carryovers,
     then the new bpe_encoded_token_stats (the BPE ENCODE hot path,
-    VERDICT r16 #3) and incremental_bloom_stats (the Bloom membership
-    store face, VERDICT r16 #5), then the two touched-code riders:
+    VERDICT r16 #3), incremental_bloom_stats and cms_top_tokens (the
+    Bloom and CMS halves of VERDICT r16 #5), then the two
+    touched-code riders:
     phash_near_dup_pairs (grayscale fix, ADVICE r16) and
     video_frame_stats (AVI frame-geometry refusal, hypothesis
     corruption-fuzz find)."""
-    assert DRIVER_WINDOW[:12] == (
+    assert DRIVER_WINDOW[:13] == (
         "embedding_quantize_stats",
         "minhash_near_dup_pairs",
         "embedding_near_dup_banded",
@@ -130,6 +132,7 @@ def test_round17_window_holds_the_new_code():
         "docs_train_test_split",
         "bpe_encoded_token_stats",
         "incremental_bloom_stats",
+        "cms_top_tokens",
         "phash_near_dup_pairs",
         "video_frame_stats",
     )
