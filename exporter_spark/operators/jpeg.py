@@ -1123,6 +1123,17 @@ def jpeg_decoder():
                             f"undecodable JPEG payload: {prec}-bit"
                             " precision (8-bit only)"
                         )
+                    if len(body) < 6 + 3 * nc:
+                        # a mutated component count can overrun the
+                        # segment body; the bare 3-byte unpack below
+                        # raised a raw "not enough values" ValueError
+                        # (r17 full-suite hypothesis find via the AVI
+                        # fuzz) — refuse by name instead
+                        raise ValueError(
+                            "undecodable JPEG payload: SOF names"
+                            f" {nc} components but the segment holds"
+                            f" {max(0, (len(body) - 6) // 3)}"
+                        )
                     comps = []
                     for i in range(nc):
                         cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]

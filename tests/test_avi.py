@@ -314,6 +314,11 @@ from hypothesis import strategies as st  # noqa: E402
     val=1,
     cut=0,
 ).via('discovered failure')
+@example(
+    pos=18471,
+    val=4,
+    cut=0,
+).via('discovered failure')
 def test_corruption_fuzz_no_raw_leaks(pos, val, cut):
     """Mutate/truncate a valid MJPEG AVI anywhere: the container walk
     + frame decode must either succeed cleanly or raise the named
