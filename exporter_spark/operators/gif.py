@@ -50,7 +50,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
     the table stops growing at 4096 until the encoder clears), EOI,
     and streams that omit EOI (some encoders do; output length is the
     authoritative terminator)."""
-    if not 2 <= min_code_size <= 11:
+    # Image-data min code size is the color-table bit depth: 2..8
+    # (GIF89a App. F). 9..11 would pass a 12-bit-width check but put
+    # roots >= 256 in the table — indices a byte-valued pixel stream
+    # can never hold (and bytes([i]) below would crash with a RAW
+    # ValueError instead of this named refusal; hypothesis-found,
+    # pinned in tests/test_gif.py).
+    if not 2 <= min_code_size <= 8:
         raise ValueError(
             f"undecodable GIF payload: LZW min code size {min_code_size}"
         )

@@ -277,7 +277,7 @@ print("GIF_PICKLE_OK")
         )
 
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
@@ -287,6 +287,11 @@ from hypothesis import strategies as st  # noqa: E402
     val=st.integers(min_value=0, max_value=255),
     cut=st.integers(min_value=0, max_value=3000),
 )
+@example(
+    pos=2723,
+    val=9,
+    cut=0,
+).via('discovered failure')
 def test_corruption_fuzz_no_raw_leaks(pos, val, cut):
     """Mutate/truncate anywhere: decode must either succeed cleanly
     or raise the named ValueError — never IndexError/struct.error/
