@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from exporter_spark.operators import multimodal, similarity
 from exporter_spark.operators.multimodal import extract_features
+from exporter_spark.operators.partitioning import spread
 from exporter_spark.queries._registry import _dsum, _register
 from exporter_spark.sources.files import load_table
 
@@ -628,7 +629,16 @@ def gif_decode_stats(spark, sf_dir):
         encode_gif_animation,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # one-row-group parquet => a single-partition scan: without the
+    # spread the per-doc LZW encode (run by BOTH the probe and the
+    # decode branch) serializes on one core. Pass-through at scale.
+    # NOT applied to jpeg/video/media_decode_stats: their per-TASK
+    # fixture caches (8/4 variants) rebuild once per partition, and
+    # the measured rebuild cost exceeds the parallelism gain at sf0.1
+    # (A/B pairs in OPTIMIZATION_r17.md).
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -1007,7 +1017,12 @@ def phash_near_dup_pairs_q(spark, sf_dir):
 
     from exporter_spark.operators import phash as phash_mod
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-partition scan guard, same rationale as gif_decode_stats:
+    # per-doc PNG encode + decode + integer DCT otherwise serialize on
+    # one core. Pass-through at scale.
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def encode(batches):
         from exporter_spark.operators.multimodal import encode_png
