@@ -67,6 +67,36 @@ class BaseFormatter:
     def __init__(self, spec: ExportSpec | None = None):
         self.spec = spec or ExportSpec()
 
+    # -- input parallelism -----------------------------------------------------
+    def _spread_unordered(self, df: DataFrame) -> DataFrame:
+        """Scale-adaptive input parallelism for the distributed write
+        paths. A one-row-group parquet input is an unsplittable
+        single-partition scan, so the whole render + serialize + write
+        otherwise runs as ONE task no matter how many executors exist.
+        Round-robin spread applies ONLY when the spec defines no
+        global row order or count — ``order_by`` establishes its own
+        range partitioning, and ``limit``/``preprocessor`` semantics
+        are coupled to a single global order — and the cross-part row
+        order of an unordered distributed write is unspecified either
+        way (the dual-path byte-parity contract holds under
+        ``order_by``, where this is a no-op). Pass-through whenever
+        the input already has >= default-parallelism partitions (any
+        real corpus), so production plans are unchanged.
+        ``write_single_part`` disables it via ``_spread_off`` — its
+        contract is exactly one part."""
+        spec = self.spec
+        if (
+            getattr(self, "_spread_off", False)
+            or spec.order_by
+            or spec.limit >= 0
+            or spec.preprocessor is not None
+            or df.isStreaming
+        ):
+            return df
+        from exporter_spark.operators.partitioning import spread
+
+        return spread(df)
+
     # -- fidelity path -------------------------------------------------------
     def iter_chunks(self, df: DataFrame) -> Iterator[str]:  # pragma: no cover
         raise NotImplementedError
@@ -95,9 +125,13 @@ class BaseFormatter:
 
         spark = df.sparkSession
         tmp = path + "._spark_tmp"
+        # _spread_off: the coalesce(1) IS the contract here — the
+        # unordered-input spread in the concrete write() would undo it
+        self._spread_off = True
         try:
             self.write(df.coalesce(1), tmp)
             fsio.splice_parts(tmp, path, spark=spark)
         finally:
+            self._spread_off = False
             fs, jpath = fsio._fs_path(spark, tmp)
             fs.delete(jpath, True)

@@ -43,6 +43,12 @@ class _ColumnarFormatter(BaseFormatter):
     def write(
         self, df: DataFrame, path: str, partition_by: list[str] | None = None
     ) -> None:
+        # no input spread here (unlike the text writers): the parquet/
+        # ORC writer is already fast single-task at this input size and
+        # splitting a small input into default-parallelism parts costs
+        # more in per-file overhead than the parallelism returns
+        # (measured: export_parquet 1.07 -> 1.65 with spread at sf0.1),
+        # while at scale the input arrives multi-partition anyway.
         out = self.spec.compile_raw(df)
         names = self.spec.header_names(out)
         if names != out.columns:

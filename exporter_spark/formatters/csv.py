@@ -141,7 +141,7 @@ class CSVFormatter(BaseFormatter):
           on assembly, as write_single_part cannot — use the default
           path when per-part headers matter)."""
         spec = self.spec
-        out = spec.compile(df)
+        out = spec.compile(self._spread_unordered(df))
         use_go = self.go_quoting if go_quoting is None else go_quoting
         if use_go:
             # hive-style convention: partition columns ride in the

@@ -117,7 +117,7 @@ class HTMLFormatter(BaseFormatter):
             raise ValueError("HTML sink does not support partitioned layout")
         spec = self.spec
         names, types = self._header_parts(df)
-        out = spec.compile(df)
+        out = spec.compile(self._spread_unordered(df))
         rows = out.select(self._row_expr(out.columns).alias("value"))
         rows.write.mode("overwrite").text(path)
         # sidecars via the Hadoop FS API — lands next to the parts on
@@ -136,10 +136,13 @@ class HTMLFormatter(BaseFormatter):
 
         spark = df.sparkSession
         tmp = path + "._spark_tmp"
+        # _spread_off: the coalesce(1) IS the contract (base.py note)
+        self._spread_off = True
         try:
             self.write(df.coalesce(1), tmp)
             self.assemble(tmp, path, spark)
         finally:
+            self._spread_off = False
             fs, jpath = fsio._fs_path(spark, tmp)
             fs.delete(jpath, True)
 

@@ -321,7 +321,9 @@ class JSONFormatter(BaseFormatter):
         NDJSON part files (callers needing one array concatenate with
         the fidelity path)."""
         spec = self.spec
-        out = _render_temporals(self._dedup_columns(spec.compile_raw(df)))
+        out = _render_temporals(
+            self._dedup_columns(spec.compile_raw(self._spread_unordered(df)))
+        )
         if spec.sort_keys:
             # qcol: a plain string select parses the names
             out = out.select(*[qcol(c) for c in sorted(out.columns)])
@@ -358,7 +360,7 @@ class JSONFormatter(BaseFormatter):
         tmp = tmp_dir or out_file + "._spark_parts"
         spark = df.sparkSession
         spec = self.spec
-        out = self._dedup_columns(spec.compile_raw(df))
+        out = self._dedup_columns(spec.compile_raw(self._spread_unordered(df)))
         cols = sorted(out.columns) if spec.sort_keys else out.columns
         lines = out.select(
             F.concat(F.lit("\n"), json_line_expr(out.schema, cols)).alias("value")

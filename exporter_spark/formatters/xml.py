@@ -196,7 +196,7 @@ class XMLFormatter(BaseFormatter):
         """
         spec = self.spec
         safe = self._escape_safe(df)
-        out = spec.compile(df)
+        out = spec.compile(self._spread_unordered(df))
         use_documents = self.documents if documents is None else documents
         if not use_documents:
             tags = spec.header_names(out)
