@@ -229,6 +229,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 8,
     family: str = "md5",
+    dist_input: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (a_id < b_id), deduplicated across bands.
 
@@ -246,6 +247,7 @@ def minhash_candidate_pairs(
     sigs = minhash_sig_frame(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+        dist_input=dist_input,
     )
     return banded_candidate_pairs(
         sigs, bands=bands, rows_per_band=num_hashes // bands, family=family
@@ -260,6 +262,7 @@ def minhash_sig_frame(
     num_hashes: int,
     shingle_n: int,
     family: str = "md5",
+    dist_input: bool = False,
 ) -> DataFrame:
     """``(__id__, __sig__)`` for every doc long enough to shingle —
     the tokenize + num_hashes-lane minhash map stage, factored out
@@ -277,8 +280,16 @@ def minhash_sig_frame(
     downstream projection): measured +35% on the whole pair pipeline
     at sf0.1 (4.1s -> 5.5s).
     """
+    # dist_input=True: the caller vouches the frame is already
+    # distributed (e.g. the cached post-shuffle reps of
+    # _collapsed_pairs). This skips _spread WHOSE PARTITION PROBE —
+    # queryExecution().toRdd() — EXECUTES the upstream plan when it
+    # contains exchanges (13s of executor time per probe in the r17
+    # stage profile of minhash_dedup_survivors), not just the
+    # repartition itself.
+    filtered = df.filter(F.length(F.col(text_col)) >= shingle_n)
     return (
-        _spread(df.filter(F.length(F.col(text_col)) >= shingle_n), id_col)
+        (filtered if dist_input else _spread(filtered, id_col))
         .select(
             F.col(id_col).alias("__id__"),
             char_shingles(text_col, shingle_n).alias("__sh__"),
@@ -338,10 +349,16 @@ def jaccard_verify_pairs(
     *,
     shingle_n: int = 8,
     threshold: float = 0.7,
+    dist_input: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs; returns
-    (a_id, b_id, jaccard) with jaccard >= threshold."""
-    df = _spread(df, id_col)
+    (a_id, b_id, jaccard) with jaccard >= threshold.
+
+    ``dist_input=True``: skip the _spread — the caller vouches the
+    frame is already distributed, and _spread's partition probe
+    EXECUTES a post-exchange plan (see minhash_sig_frame)."""
+    if not dist_input:
+        df = _spread(df, id_col)
     sh = df.select(
         F.col(id_col).alias("__id__"),
         char_shingles(text_col, shingle_n).alias("__sh__"),
@@ -475,9 +492,17 @@ def _collapsed_pairs(
     # ONE shuffle on the text hash feeds everything below: the
     # keep-first window (reps = min-id member of each exact-text
     # group), the members table, and the intra-group self-join all
-    # hang off the same exchange (ReusedExchange).
+    # hang off the same exchange (ReusedExchange). No _spread before
+    # it (r17 optimization round): the __tk__ repartition right below
+    # already distributes every downstream stage, so the spread was a
+    # second full exchange whose only beneficiary — the md5/length
+    # projection on the raw scan — is trivial per row; dropping it
+    # removes one Exchange + one AQE stage per pipeline instantiation
+    # (the incremental entry instantiates four). Measured neutral at
+    # sf0.1, strictly fewer stages; results identical (repartition
+    # hashing is deterministic and feeds the same window).
     tagged = (
-        _spread(df, id_col)
+        df
         .select(
             F.col(id_col),
             F.col(text_col),
@@ -520,6 +545,7 @@ def _collapsed_pairs(
             minhash_sig_frame(
                 reps, id_col, text_col,
                 num_hashes=num_hashes, shingle_n=shingle_n, family=family,
+                dist_input=True,  # reps rides the cached __tk__ shuffle
             )
         )
         cands = banded_candidate_pairs(
@@ -531,9 +557,11 @@ def _collapsed_pairs(
             reps, id_col, text_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             family=family,
+            dist_input=True,  # reps rides the cached __tk__ shuffle
         )
     rep_pairs = jaccard_verify_pairs(
-        cands, reps, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+        cands, reps, id_col, text_col, shingle_n=shingle_n,
+        threshold=threshold, dist_input=True,
     )
 
     # intra-group: every member pair of an exact-text group, jaccard 1.0
@@ -791,8 +819,27 @@ def connected_components(
         except Exception:  # noqa: BLE001 — best-effort hygiene
             pass
     edges = _snap(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        # bidirectional doubling via ONE explode, not a self-union:
+        # union(pairs, pairs.swapped) plants the pair-generator
+        # subtree TWICE in one plan, and Spark shares nothing across
+        # branches — the entire LSH + verify pipeline executed twice
+        # per CC call (r17 optimization round; stage profile showed
+        # two full banding-exchange builds per consumer). The explode
+        # emits (a,b) and (b,a) from a single scan of pairs — same
+        # rows, one execution.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.src", "__e__.dst")
         .distinct()
         # materialize ONCE: the pair generator upstream (a full
         # minhash/simhash banding pipeline) must not re-execute on
