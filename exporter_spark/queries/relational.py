@@ -42,6 +42,20 @@ def q1_pricing_summary(spark, sf_dir, fast: bool = False):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp")
     )
+    if not fast:
+        # the decimal determinism sums are ~5x the double path's map
+        # cost, and a one-row-group lineitem file is a single-partition
+        # scan — spread so the partial aggregation uses every core
+        # (decimal addition is exact, so partitioning cannot move the
+        # result; pass-through on any multi-partition input). The fast
+        # path's map work is too light to repay the exchange. Measured
+        # 1.62 -> 1.14 same-window at sf0.1; join-shaped TPC-H entries
+        # (q3, q5) REGRESS under the same treatment (the extra full-
+        # width exchange feeds a join that re-shuffles by key anyway)
+        # and keep their scan shapes.
+        from exporter_spark.operators.partitioning import spread
+
+        li = spread(li)
     s = (lambda col, scale: F.sum(col)) if fast else _dsum
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         s(F.col("l_quantity"), 2).alias("sum_qty"),

@@ -435,9 +435,13 @@ def cms_top_tokens(spark, sf_dir):
     cms_merge folds per-increment sketches without re-reading the
     corpus (tools/cms_sweep_r17.py)."""
     from exporter_spark.operators import cms
-    from exporter_spark.operators.partitioning import materialize
+    from exporter_spark.operators.partitioning import materialize, spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the explode: the token cache otherwise inherits
+    # the one-row-group scan's single partition, and every consumer
+    # (3 md5s per occurrence for the grid, the exact counts) runs
+    # one-core; pass-through on any multi-partition input
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = materialize(
         d.select(
             F.explode(
