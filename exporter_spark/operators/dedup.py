@@ -535,30 +535,25 @@ def _collapsed_pairs(
         F.col(id_col).alias("__mid__"), "__tk__", "__shok__"
     )
     reps = tagged.filter(F.col("__rn__") == 1).select(F.col(id_col), text_col)
-    rep_sigs = None
-    if keep_sigs:
-        # the one tokenize+minhash pass, pinned for reuse by the
-        # caller's sig-append stage — delta-sized cache (id +
-        # num_hashes bigints per rep, no text), MEMORY_AND_DISK,
-        # released by the caller's cache_scope
-        rep_sigs = materialize(
-            minhash_sig_frame(
-                reps, id_col, text_col,
-                num_hashes=num_hashes, shingle_n=shingle_n, family=family,
-                dist_input=True,  # reps rides the cached __tk__ shuffle
-            )
-        )
-        cands = banded_candidate_pairs(
-            rep_sigs,
-            bands=bands, rows_per_band=num_hashes // bands, family=family,
-        )
-    else:
-        cands = minhash_candidate_pairs(
+    # the one tokenize+minhash pass, MATERIALIZED on both paths (r17
+    # optimization round — previously keep_sigs=False left it lazy and
+    # the banding self-join's two sides each recomputed the whole
+    # md5-per-shingle map whenever AQE's runtime broadcast replaced
+    # the shared-exchange dedup): delta-sized cache (id + num_hashes
+    # bigints per rep, no text), MEMORY_AND_DISK, released by the
+    # caller's cache_scope. keep_sigs only controls whether the frame
+    # is RETURNED for the caller's sig-append stage.
+    rep_sigs = materialize(
+        minhash_sig_frame(
             reps, id_col, text_col,
-            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-            family=family,
+            num_hashes=num_hashes, shingle_n=shingle_n, family=family,
             dist_input=True,  # reps rides the cached __tk__ shuffle
         )
+    )
+    cands = banded_candidate_pairs(
+        rep_sigs,
+        bands=bands, rows_per_band=num_hashes // bands, family=family,
+    )
     rep_pairs = jaccard_verify_pairs(
         cands, reps, id_col, text_col, shingle_n=shingle_n,
         threshold=threshold, dist_input=True,
