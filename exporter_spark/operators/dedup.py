@@ -1437,46 +1437,47 @@ def strip_duplicate_spans(
     one surviving token — fully-duplicated documents drop out, which
     is the paper's intended effect.
 
-    Scale shape: on top of the span detection's two shuffles, tokens
-    join their doc's spans on the doc key (spans are few per doc, the
-    range predicate is a residual filter) and reassembly is one more
-    doc-keyed aggregate of an ordered (pos, token) collect — bounded
-    by document length, never corpus size.
+    Scale shape: on top of the span detection's two shuffles, the cut
+    itself costs ONE corpus shuffle — the spans aggregate to one array
+    row per spanned doc (bounded by document length / k, never corpus
+    size), the raw text joins that doc-level table on the doc key, and
+    every per-token decision is a scan-local array lambda. (r17
+    optimization round: the previous shape posexploded the corpus to
+    (id, pos, token) rows, cached that, and ran a range semi-join +
+    anti-join + ordered-collect reassembly — three corpus-token-level
+    shuffles and a corpus-sized cache for the same per-token
+    covered-by-a-span predicate this lambda evaluates in place.)
     """
-    from exporter_spark.operators.partitioning import materialize
-
     spans = exact_substring_spans(
         df, id_col, text_col, k=k, min_count=min_count, family=family
     ).select(F.col(id_col).alias("__sid__"), "span_start", "span_end")
-    # materialized: the covered-token semi join and the survivor anti
-    # join both consume this corpus-sized explode — un-materialized
-    # each branch re-scans and re-tokenizes
-    toks = materialize(
-        _spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias(
-                "__p0__", "__w__"
-            ),
-        )
-        .select(
-            id_col, (F.col("__p0__") + 1).alias("__pos__"), F.col("__w__")
-        )
+    span_arrays = spans.groupBy("__sid__").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
     )
-    covered = toks.join(
-        spans,
-        (F.col(id_col) == F.col("__sid__"))
-        & (F.col("__pos__") >= F.col("span_start"))
-        & (F.col("__pos__") <= F.col("span_end")),
-        "left_semi",
+    # keyed spread: doubles as the join exchange on the doc key when
+    # the planner shuffles, and keeps the token-filter expression
+    # parallel when AQE broadcasts the doc-level span table instead
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__toks__")
     )
-    kept = toks.join(covered, [id_col, "__pos__"], "left_anti")
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos__", "__w__"))),
-                lambda x: x["__w__"],
+    joined = base.join(span_arrays, F.col(id_col) == F.col("__sid__"), "left")
+    # token position is 1-based (i is the 0-based lambda index); docs
+    # with no spans carry a NULL __spans__ → exists() yields NULL →
+    # coalesce keeps the token (nothing covers it)
+    clean = F.filter(
+        "__toks__",
+        lambda w, i: ~F.coalesce(
+            F.exists(
+                "__spans__",
+                lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
             ),
-            " ",
-        ).alias("clean_text")
+            F.lit(False),
+        ),
+    )
+    return (
+        joined.select(F.col(id_col), clean.alias("__clean__"))
+        .filter(F.size("__clean__") > 0)
+        .select(
+            F.col(id_col), F.array_join("__clean__", " ").alias("clean_text")
+        )
     )
