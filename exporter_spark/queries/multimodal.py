@@ -665,11 +665,16 @@ def gif_decode_stats(spark, sf_dir):
                 }
             )
 
-    # probe branch + decode branch both re-run the encode map (same
-    # deliberate choice as media_decode_stats: caching corpus-sized
-    # binary payloads costs more memory than re-encoding costs CPU;
-    # the r15 scale sweep shows the total is sub-linear in rows)
-    media = d.mapInPandas(encode, multimodal.media_schema())
+    # the probe branch and the decode branch both consume the encode
+    # map; materialized (r17 optimization round) so the per-doc LZW
+    # encode — the dominant Python cost of this entry — runs ONCE
+    # instead of once per branch. MEMORY_AND_DISK and released by the
+    # bench's cache_scope; the production operators downstream are
+    # untouched (probe_media and the r15 no-decoder extract_features
+    # seam still run as separate operators over the shared frame).
+    from exporter_spark.operators.partitioning import materialize
+
+    media = materialize(d.mapInPandas(encode, multimodal.media_schema()))
     probed = multimodal.probe_media(media)
     meta = probed.select(
         "media_id",
