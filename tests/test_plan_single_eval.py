@@ -137,11 +137,14 @@ def test_stats_join_back_plans_serve_branches_from_cache(spark, sf_dir):
     from exporter_spark.queries import QUERIES
 
     try:
+        # exact_substring_strip left this list in the r17 optimization
+        # round: the span-array rewrite made it single-pass (no
+        # multi-consumer frame, hence nothing to cache) — its new
+        # shape is pinned by test_strip_is_span_array_single_pass
         for name in (
             "dsir_importance_weights",
             "bigram_lm_scores",
             "tfidf_top_terms",
-            "exact_substring_strip",
             "conversion_funnel",
         ):
             plan = (
@@ -151,6 +154,33 @@ def test_stats_join_back_plans_serve_branches_from_cache(spark, sf_dir):
             n = plan.count("InMemoryTableScan")
             assert n >= 2, f"{name}: {n} InMemoryTableScan branches — " \
                 f"the materialize() scan sharing was lost"
+    finally:
+        release_caches()
+
+
+def test_strip_is_span_array_single_pass(spark, sf_dir):
+    """Pins the r17 span-array shape of exact_substring_strip
+    (commit 4fd6682): spans aggregate to ONE array row per spanned
+    doc (collect_list), the per-token covered-by-a-span decision is a
+    scan-local array lambda, and the corpus-token explode + its
+    corpus-sized cache are GONE. A refactor that reintroduces the
+    (id, pos, token) posexplode or a cached token frame fails here."""
+    from exporter_spark.operators.partitioning import release_caches
+    from exporter_spark.queries import QUERIES
+
+    try:
+        plan = (
+            QUERIES["exact_substring_strip"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("posexplode") == 0, \
+            "corpus-token posexplode reintroduced"
+        assert plan.count("InMemoryTableScan") == 0, \
+            "strip should need no cached frame after the span-array cut"
+        assert plan.count("collect_list") >= 1, \
+            "span-array aggregation missing"
+        assert plan.count("lambdafunction") >= 1, \
+            "scan-local covered-by-span lambda missing"
     finally:
         release_caches()
 
