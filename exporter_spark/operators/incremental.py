@@ -91,6 +91,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from exporter_spark.operators.dedup import (
+    connected_components,
     content_digest,
     dedup_keep_representatives,
     exact_dedup,
@@ -486,13 +487,27 @@ def incremental_minhash_dedup(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             threshold=threshold, family=family,
         )
-        batch = materialize(dedup_keep_representatives(new_df, pairs, id_col))
-        # rep_sigs (already pinned by the pairs pipeline) semi-joined
-        # to survivors IS minhash_signatures(batch) — no second
-        # tokenization; materialized because the store path consumes
-        # it twice (band probe + sig_append)
+        # Fused keep-representatives (r17 optimization round): ONE
+        # connected-components call yields the loser id set and BOTH
+        # consumers anti-join it directly — previously the signature
+        # frame semi-joined the materialized batch (text included), so
+        # building sigs re-scanned the corpus-delta-sized batch cache.
+        # rep_sigs ∖ losers ≡ rep_sigs ⋉ batch because survivors ⊆
+        # reps at any satisfiable threshold (see
+        # minhash_dedup_pairs_and_sigs); the isNotNull guard keeps the
+        # semi-join's NULL-key semantics (equality never matches, so a
+        # NULL-id rep row was dropped there and must stay dropped
+        # here). rep_sigs is already pinned by the pairs pipeline —
+        # no second tokenization; sigs stays materialized because the
+        # store path consumes it twice (band probe + sig_append).
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        batch = materialize(new_df.join(losers, id_col, "left_anti"))
         sigs = materialize(
-            rep_sigs.join(batch.select(id_col), id_col, "semi")
+            rep_sigs.where(F.col(id_col).isNotNull())
+            .join(losers, id_col, "left_anti")
         )
     if seen_sigs is None:
         return batch, sigs

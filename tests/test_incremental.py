@@ -140,6 +140,25 @@ def test_incremental_minhash_in_batch_stage_is_batch_pipeline(spark):
     assert _ids(sigs) == [1, 3]
 
 
+def test_incremental_minhash_null_id_sig_semantics(spark):
+    """The fused keep-representatives anti-join (r17 optimization
+    round) must keep the pre-fusion semi-join's NULL-key semantics: a
+    NULL-id row survives the batch (anti-join equality never matches a
+    loser id) but contributes NO signature row — the previous
+    ``rep_sigs ⋉ batch`` semi-join dropped NULL join keys, and the
+    fused ``rep_sigs ∖ losers`` shape pins that with an explicit
+    isNotNull guard. A drift here would silently append NULL-keyed
+    store rows that no later increment's probe could ever match."""
+    long_a = "completely original first document body text " * 6
+    long_b = "a different second document body of words here " * 6
+    b = _docs_df(spark, [(None, long_a), (2, long_b)])
+    surv, sigs = incremental_minhash_dedup(b, "doc_id", "text", threshold=0.5)
+    surv_ids = [r[0] for r in surv.select("doc_id").collect()]
+    assert sorted(x for x in surv_ids if x is not None) == [2]
+    assert None in surv_ids and len(surv_ids) == 2
+    assert _ids(sigs) == [2]
+
+
 @pytest.mark.slow
 def test_chain_cluster_documented_divergence(spark):
     """A~B and B~C with A!~C, arriving as three increments, keeps
