@@ -16,6 +16,7 @@ Every formatter has two execution paths:
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator, Protocol
 
 from pyspark.sql import DataFrame
@@ -68,7 +69,30 @@ class BaseFormatter:
         self.spec = spec or ExportSpec()
 
     # -- input parallelism -----------------------------------------------------
-    def _spread_unordered(self, df: DataFrame) -> DataFrame:
+
+    # Logical-plan nodes whose presence means the input is NOT a
+    # scan-level frame: either it already crossed (or will cross) an
+    # exchange — so it arrives multi-partition at scale and spread()'s
+    # partition probe (queryExecution().toRdd()) would EXECUTE the
+    # upstream shuffle stages without the subsequent write reusing
+    # them (the r17 dedup dist_input finding: ~13s per probe on an
+    # exchange-bearing plan) — or it carries caller-established row
+    # placement/order (Sort, Repartition, limits) that a round-robin
+    # spread would silently destroy. Matched at line start of the
+    # ANALYZED plan string (no execution, no AQE): tree-drawing
+    # prefixes only, so column names can never false-positive.
+    _NON_SCAN_NODE = re.compile(
+        r"^[\s:+\-]*'?(Join|Aggregate|Sort|Window|Repartition(ByExpression)?"
+        r"|Deduplicate|GlobalLimit|LocalLimit|Intersect|Except"
+        r"|FlatMapGroupsIn\w+|FlatMapCoGroupsIn\w+|MapGroups|CoGroup)\b",
+        re.M,
+    )
+
+    def _scan_level(self, df: DataFrame) -> bool:
+        plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        return self._NON_SCAN_NODE.search(plan) is None
+
+    def _spread_unordered(self, df: DataFrame, enabled: bool = True) -> DataFrame:
         """Scale-adaptive input parallelism for the distributed write
         paths. A one-row-group parquet input is an unsplittable
         single-partition scan, so the whole render + serialize + write
@@ -82,15 +106,31 @@ class BaseFormatter:
         ``order_by``, where this is a no-op). Pass-through whenever
         the input already has >= default-parallelism partitions (any
         real corpus), so production plans are unchanged.
-        ``write_single_part`` disables it via ``_spread_off`` — its
-        contract is exactly one part."""
+
+        Two further gates (r18, ADVICE r17): ``enabled=False`` is the
+        explicit single-part opt-out (``write_single_part`` passes it
+        through ``write(..., _spread=False)`` — its coalesce(1) IS the
+        contract; a parameter, not instance state, so concurrent
+        writes on one formatter cannot race a toggle), and the spread
+        only applies to SCAN-LEVEL plans (``_scan_level``): an
+        exchange-bearing input is already multi-partition at scale,
+        and spread()'s partition probe would otherwise eagerly execute
+        the upstream shuffle stages once per export on top of the
+        write's own execution.
+
+        NEW ExportSpec fields that imply a global row order or count
+        MUST be added to the guard below — the classification is
+        pinned by tests/test_export_contracts.py::
+        test_every_spec_field_is_order_classified, which fails on any
+        unclassified field."""
         spec = self.spec
         if (
-            getattr(self, "_spread_off", False)
+            not enabled
             or spec.order_by
             or spec.limit >= 0
             or spec.preprocessor is not None
             or df.isStreaming
+            or not self._scan_level(df)
         ):
             return df
         from exporter_spark.operators.partitioning import spread
@@ -110,7 +150,18 @@ class BaseFormatter:
                 fh.write(chunk)
 
     # -- scale path ------------------------------------------------------------
-    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:  # pragma: no cover
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        *,
+        _spread: bool = True,
+    ) -> None:  # pragma: no cover
+        """Concrete formatters accept keyword-only ``_spread=False``
+        (forwarded to ``_spread_unordered``) so ``write_single_part``
+        can disable the unordered-input spread without mutating shared
+        instance state."""
         raise NotImplementedError
 
     def write_single_part(self, df: DataFrame, path: str) -> None:
@@ -125,13 +176,13 @@ class BaseFormatter:
 
         spark = df.sparkSession
         tmp = path + "._spark_tmp"
-        # _spread_off: the coalesce(1) IS the contract here — the
-        # unordered-input spread in the concrete write() would undo it
-        self._spread_off = True
         try:
-            self.write(df.coalesce(1), tmp)
+            # _spread=False: the coalesce(1) IS the contract here — the
+            # unordered-input spread in the concrete write() would undo
+            # it (explicit parameter since r18; the previous mutable
+            # _spread_off instance flag raced under concurrent writes)
+            self.write(df.coalesce(1), tmp, _spread=False)
             fsio.splice_parts(tmp, path, spark=spark)
         finally:
-            self._spread_off = False
             fs, jpath = fsio._fs_path(spark, tmp)
             fs.delete(jpath, True)

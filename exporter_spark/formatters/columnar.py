@@ -41,7 +41,12 @@ class _ColumnarFormatter(BaseFormatter):
         )
 
     def write(
-        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        *,
+        _spread: bool = True,  # accepted for write_single_part symmetry; no spread here
     ) -> None:
         # no input spread here (unlike the text writers): the parquet/
         # ORC writer is already fast single-task at this input size and

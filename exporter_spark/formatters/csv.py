@@ -123,6 +123,8 @@ class CSVFormatter(BaseFormatter):
         path: str,
         partition_by: list[str] | None = None,
         go_quoting: bool | None = None,
+        *,
+        _spread: bool = True,
     ) -> None:
         """Distributed part files. Two shapes:
 
@@ -141,7 +143,7 @@ class CSVFormatter(BaseFormatter):
           on assembly, as write_single_part cannot — use the default
           path when per-part headers matter)."""
         spec = self.spec
-        out = spec.compile(self._spread_unordered(df))
+        out = spec.compile(self._spread_unordered(df, _spread))
         use_go = self.go_quoting if go_quoting is None else go_quoting
         if use_go:
             # hive-style convention: partition columns ride in the

@@ -112,12 +112,19 @@ class HTMLFormatter(BaseFormatter):
             yield self._FOOT
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        *,
+        _spread: bool = True,
+    ) -> None:
         if partition_by:
             raise ValueError("HTML sink does not support partitioned layout")
         spec = self.spec
         names, types = self._header_parts(df)
-        out = spec.compile(self._spread_unordered(df))
+        out = spec.compile(self._spread_unordered(df, _spread))
         rows = out.select(self._row_expr(out.columns).alias("value"))
         rows.write.mode("overwrite").text(path)
         # sidecars via the Hadoop FS API — lands next to the parts on
@@ -136,13 +143,11 @@ class HTMLFormatter(BaseFormatter):
 
         spark = df.sparkSession
         tmp = path + "._spark_tmp"
-        # _spread_off: the coalesce(1) IS the contract (base.py note)
-        self._spread_off = True
         try:
-            self.write(df.coalesce(1), tmp)
+            # _spread=False: the coalesce(1) IS the contract (base.py)
+            self.write(df.coalesce(1), tmp, _spread=False)
             self.assemble(tmp, path, spark)
         finally:
-            self._spread_off = False
             fs, jpath = fsio._fs_path(spark, tmp)
             fs.delete(jpath, True)
 

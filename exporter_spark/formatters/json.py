@@ -315,14 +315,21 @@ class JSONFormatter(BaseFormatter):
         # empty result ⇒ empty output, not "[]" (json.go:94-98)
 
     # -- scale path --------------------------------------------------------------
-    def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        *,
+        _spread: bool = True,
+    ) -> None:
         """Distributed NDJSON via the native writer. Array framing is a
         single-stream format by construction; for scale we still write
         NDJSON part files (callers needing one array concatenate with
         the fidelity path)."""
         spec = self.spec
         out = _render_temporals(
-            self._dedup_columns(spec.compile_raw(self._spread_unordered(df)))
+            self._dedup_columns(spec.compile_raw(self._spread_unordered(df, _spread)))
         )
         if spec.sort_keys:
             # qcol: a plain string select parses the names
@@ -356,7 +363,19 @@ class JSONFormatter(BaseFormatter):
         ``[`` + (all parts, byte-concatenated JVM-side, minus the
         final trailing comma) + ``\\n]\\n``. Part bytes never transit
         Python (a 132 MB sf0.1 lineitem assembly previously spent most
-        of its time round-tripping text through py4j)."""
+        of its time round-tripping text through py4j).
+
+        ROW-ORDER CONTRACT: with an ``order_by`` the document's row
+        order is the spec's order, byte-identical to the fidelity
+        stream (name-ordered parts preserve the range partitioning).
+        WITHOUT one, row order is UNSPECIFIED — the render input is
+        round-robin spread across executors (``_spread_unordered``) so
+        the dominant per-row serialization runs on every core; the
+        document is the same row MULTISET in some permutation (pinned
+        by tests/test_export_contracts.py). Callers needing source
+        order in a single array document must give an ``order_by`` —
+        on a distributed engine 'input order' of an unordered frame is
+        not a stable notion to preserve in the first place."""
         tmp = tmp_dir or out_file + "._spark_parts"
         spark = df.sparkSession
         spec = self.spec

@@ -177,6 +177,8 @@ class XMLFormatter(BaseFormatter):
         path: str,
         partition_by: list[str] | None = None,
         documents: bool | None = None,
+        *,
+        _spread: bool = True,
     ) -> None:
         """Distributed part files. Two shapes:
 
@@ -196,7 +198,7 @@ class XMLFormatter(BaseFormatter):
         """
         spec = self.spec
         safe = self._escape_safe(df)
-        out = spec.compile(self._spread_unordered(df))
+        out = spec.compile(self._spread_unordered(df, _spread))
         use_documents = self.documents if documents is None else documents
         if not use_documents:
             tags = spec.header_names(out)
@@ -251,7 +253,13 @@ class XMLFormatter(BaseFormatter):
         spec = self.spec
         tmp_dir = path + "._spark_tmp"
         try:
-            self.write(df, tmp_dir, documents=False)
+            # _spread=False (r18, ADVICE r17): the contract here is ONE
+            # document whose name-ordered parts reconstruct the input's
+            # row order (order_by-ranged or unshuffled-source) — the
+            # unordered round-robin spread would silently permute it,
+            # diverging from the fidelity stream. Unlike base/HTML this
+            # path does not coalesce(1), so the flag is the only guard.
+            self.write(df, tmp_dir, documents=False, _spread=False)
             prefix = (_DECLARATION if spec.declaration else "") + f"<{spec.root_tag}>\n"
             fsio.splice_parts(
                 tmp_dir,
