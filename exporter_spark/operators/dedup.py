@@ -416,6 +416,15 @@ def minhash_dedup_pairs(
     candidate pairs by k² — measured 452s → 8s on a 3×-replicated
     sf0.1 corpus, identical output. Cost when no dups exist: one
     md5-groupBy on the text hash.
+
+    CACHE LIFECYCLE: the collapse path pins two MEMORY_AND_DISK
+    caches (the corpus-sized tagged frame and the delta-sized rep
+    signature frame). Wrap calls in
+    :func:`exporter_spark.operators.partitioning.cache_scope` for
+    deterministic release; a scope-less caller should call
+    ``release_caches()`` after consuming the result — the pinned
+    frames ride the returned DataFrame (``_es_cache_pins``), so the
+    tracker's weak entries stay resolvable while the caller holds it.
     """
     if not collapse_exact:
         cands = minhash_candidate_pairs(
@@ -462,6 +471,9 @@ def minhash_dedup_pairs_and_sigs(
     A degenerate ``threshold > 1.0`` breaks that containment (exact
     dups all survive but only the rep has a signature row here), so
     it is rejected — callers keep the two-pass shape for it.
+
+    Cache lifecycle note of :func:`minhash_dedup_pairs` applies here
+    too (tagged + rep-sig pins; wrap in ``cache_scope``).
     """
     if threshold > 1.0:
         raise ValueError(
@@ -595,6 +607,18 @@ def _collapsed_pairs(
         )
     )
     pairs = intra.unionByName(cross)
+    # Strong-ref the pinned frames on the returned plan's Python object
+    # (r18, ADVICE r17 low #2): outside a cache_scope the tracker holds
+    # only WEAK entries, and neither `tagged` nor `rep_sigs` is (as a
+    # Python object) part of the returned frames — on the keep_sigs
+    # path the sig return is a .select() *derived from* rep_sigs, not
+    # rep_sigs itself — so both would be GC'd the moment this function
+    # returns and a scope-less caller's later release_caches() could
+    # only log the leak. Riding the result keeps the weak entries
+    # resolvable for exactly as long as the caller can still execute
+    # the plan that consumes the caches. No-op for scoped callers
+    # (their tracker entries are strong already).
+    pairs._es_cache_pins = (tagged, rep_sigs)  # noqa: SLF001
     if not keep_sigs:
         return pairs, None
     return pairs, rep_sigs.select(F.col("__id__").alias(id_col), "__sig__")

@@ -52,7 +52,12 @@ def q1_pricing_summary(spark, sf_dir, fast: bool = False):
         # 1.62 -> 1.14 same-window at sf0.1; join-shaped TPC-H entries
         # (q3, q5) REGRESS under the same treatment (the extra full-
         # width exchange feeds a join that re-shuffles by key anyway)
-        # and keep their scan shapes.
+        # and keep their scan shapes. Re-adjudicated r18 on the
+        # driver's own cold-JVM methodology (VERDICT r17 watch item;
+        # tools/ab_q1_coldjvm_r18.py, 10 interleaved pairs): spread
+        # wins 6 of 8 usable pairs and every quiet-canary pair
+        # (1.29-1.62 vs 1.79-2.04) — KEPT; the r17 driver 0.89x was a
+        # single elevated-run artifact.
         from exporter_spark.operators.partitioning import spread
 
         li = spread(li)

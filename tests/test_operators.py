@@ -132,6 +132,30 @@ def test_minhash_pipeline(dup_docs):
     assert all(a != 4 and b != 4 for a, b in got)  # unrelated not paired
 
 
+def test_scopeless_caller_can_release_collapsed_pair_caches(dup_docs):
+    """ADVICE r17 low #2: outside a cache_scope the tracker holds weak
+    entries, and the collapse path's pinned frames (tagged + rep sigs)
+    are not themselves part of the returned plan's Python object graph
+    — they must ride the result (``_es_cache_pins``) so a scope-less
+    caller's release_caches() can still unpersist them instead of
+    logging a leak."""
+    import gc
+
+    from exporter_spark.operators.partitioning import release_caches
+
+    # drain anything earlier scope-less tests may have left behind so
+    # the count below is this call's own
+    release_caches()
+    pairs = dedup.minhash_dedup_pairs(
+        dup_docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=4,
+        threshold=0.5,
+    )
+    assert len(pairs._es_cache_pins) == 2  # noqa: SLF001
+    pairs.count()  # consume the caches
+    gc.collect()  # the locals inside _collapsed_pairs are long gone...
+    assert release_caches() == 2  # ...yet both pins release, not warn
+
+
 def test_connected_components_long_chain(spark):
     """A 30-link drift chain (diameter 29) must fully converge inside
     the default max_iter=20 — pointer jumping makes rounds O(log d);
