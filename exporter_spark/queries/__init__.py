@@ -143,7 +143,7 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            bomb-guard rider — 50/50 fully green in
 #            CORRECTNESS_r16 (the first window with zero rows-only
 #            entries); at 107 entries with ten forced leads the
-#            carryover set was eight (_R16_CARRYOVER below).
+#            carryover set was eight (history: CORRECTNESS_r16).
 #   round 17 (below): the relational/formatter half rotates back in,
 #            LED by the eight returning r16 carryovers (the pinned
 #            contract bounds any entry's absence), then the round's
@@ -161,6 +161,23 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 #            AND video_frame_stats must re-verify on the changed
 #            code). At 109 entries with twelve forced leads the
 #            carryover set is eleven (_R17_CARRYOVER below).
+#   round 18 (below): the flagship dedup/similarity/quality half
+#            rotates back in (q1/q3 riding per the odd/even
+#            alternation), LED by the twelve returning r17 carryovers
+#            (invariant B), then the four touched-code riders — round
+#            18 (optimization round 2) changed operators/dedup.py's
+#            collapsed-pairs path (cache-pin bookkeeping, ADVICE r17
+#            low #2), so every r17-window entry that EXECUTES it must
+#            re-verify: minhash_near_dup_pairs,
+#            incremental_minhash_survivors, dedup_cluster_sizes,
+#            dup_rate_by_source (the touched path's other consumers —
+#            minhash_dedup_survivors, dedup_clusters — are r18
+#            due-backs and sit in-window anyway, as does
+#            q1_pricing_summary, whose spread adjudication this round
+#            kept). No new entries (optimization rounds add no
+#            features). At 110 entries with sixteen forced leads the
+#            carryover set is fourteen (_R18_CARRYOVER below;
+#            formula: C = E - 100 + R = 110 - 100 + 4).
 # The half riding the back remains covered by the full pytest oracle
 # sweep vs DuckDB at sf0.001 (an automated gate —
 # test_queries_oracle.py parametrizes over the WHOLE registry, not
@@ -197,136 +214,79 @@ from exporter_spark.queries.similarity import _NEARDUP  # noqa: E402,F401
 # =====================================================================
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-17 leads: the eight r16 carryovers rotate back in FIRST
+    # round-18 leads: the twelve r17 carryovers rotate back in FIRST
     # (policy invariant B: max absence = 2 rounds)...
-    "embedding_quantize_stats",
+    "q4_priority_returns",
+    "q8_market_share",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "events_hourly",
+    "purchases_near_errors",
+    "lineitem_dispersion",
+    "cosine_topk_scan",
+    "approx_distinct_events",
+    # ...then the touched-code riders: round 18 changed the
+    # collapsed-pairs path in operators/dedup.py (cache-pin
+    # bookkeeping), so the r17-window entries that execute it
+    # re-verify on the changed code...
     "minhash_near_dup_pairs",
-    "embedding_near_dup_banded",
-    "ivf_ann_topk",
-    "semdedup_survivors_greedy",
-    "gopher_filter_stats",
-    "top_tokens",
-    "docs_train_test_split",
-    # ...then the round's NEW code...
-    "bpe_encoded_token_stats",
-    "incremental_bloom_stats",
-    "cms_top_tokens",
-    # ...then the touched-code riders (r17 fixed the grayscale luma
-    # crash in operators/phash.py — ADVICE r16 — and named the
-    # frame-geometry refusal in operators/avi.py after a hypothesis
-    # corruption-fuzz find, so both r16-green entries must re-verify
-    # on the changed code)
-    "phash_near_dup_pairs",
-    "video_frame_stats",
-    # the relational/formatter half rotates back in: TPC-H (minus
-    # the seven carried below)...
-    "q2_min_cost_supplier",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q16_brand_supply_gaps",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_low_activity",
-    # ...relational extras / events...
-    "top_customers_per_nation",
-    "mktsegment_stats",
-    "customers_without_orders",
-    "events_sessions",
-    "rollup_pricing",
-    "order_status_setops",
-    "part_brand_stats",
-    "purchase_attribution",
-    "running_customer_revenue",
-    # ...formatter/tostring + text back half...
-    "tostring_events",
-    "token_stats_by_lang",
-    "lang_id_confusion",
-    "curation_pipeline",
-    "doc_fingerprints",
-    "int8_ann_topk",
-    "unigram_lm_scores",
-    # ...incremental dedup + the r14-carryover derivatives + the
-    # multimodal gates (unchanged this round: the phash.py edit is
-    # outside their decode paths, which test_multimodal pins)
-    "incremental_exact_survivors",
     "incremental_minhash_survivors",
-    "multimodal_feature_stats",
-    "media_decode_stats",
-    "jpeg_decode_stats",
-    "exact_substring_strip",
     "dedup_cluster_sizes",
     "dup_rate_by_source",
+    # ...the flagship dedup/similarity/quality half rotates back in,
+    # starting with the rest of the touched path's consumers and the
+    # q1/q3 continuity canaries (odd/even alternation; q1 additionally
+    # carries this round's spread re-adjudication)...
+    "minhash_dedup_survivors",
+    "dedup_clusters",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    # ...dedup/text the rest...
+    "dedup_exact_docs",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_tokens_within_docs",
+    "exact_substring_spans",
+    "winnow_fingerprints",
+    "gopher_quality_signals",
+    "lm_quality_buckets",
+    "bigram_lm_scores",
+    "pii_redaction_check",
+    "quality_by_source",
+    "bpe_merges_learned",
+    "bpe_token_stats_by_lang",
+    "gif_decode_stats",
+    # ...similarity / ANN...
+    "lsh_ann_topk",
+    "embedding_near_dup",
+    "ivf_fixed_topk",
+    "semdedup_survivors",
+    # ...retrieval / sampling / curation back half...
+    "bm25_topk_docs",
+    "dsir_importance_weights",
+    "docs_stratified_sample",
+    "docs_capped_per_source",
+    "temperature_mixture_docs",
+    "training_shuffle_docs",
+    "pack_chunks_docs",
+    "pretraining_mix_stats",
+    # ...relational extras / events...
+    "cube_order_stats",
+    "value_percentiles",
+    "retention_cohorts",
+    # ...display pipeline parent...
+    "html_rows_events",
 )
 
-# The previous round's window (r16: flagship half + the r15
-# carryovers + the r16 new code), kept for the rotation invariant: a
-# query may ride the back half only if the previous round's driver
-# window verified it (CORRECTNESS_r16: 50/50 fully green).
-_R16_WINDOW: frozenset[str] = frozenset(
-    {
-        "csv_lines_events",
-        "xml_rows_events",
-        "ndjson_lines_docs",
-        "distinct_counts",
-        "quality_by_source",
-        "docs_sample_deterministic",
-        "bpe_merges_learned",
-        "video_frame_stats",
-        "phash_near_dup_pairs",
-        "gif_decode_stats",
-        "bpe_token_stats_by_lang",
-        "cube_order_stats",
-        "q1_pricing_summary",
-        "q3_top_orders",
-        "html_rows_events",
-        "dedup_exact_docs",
-        "minhash_dedup_survivors",
-        "dedup_clusters",
-        "simhash_near_dup_pairs",
-        "ngram_jaccard_pairs",
-        "paragraph_dedup_docs",
-        "dedup_tokens_within_docs",
-        "exact_substring_spans",
-        "ngram_contamination_check",
-        "cosine_topk",
-        "lsh_ann_topk",
-        "embedding_near_dup",
-        "ivf_fixed_topk",
-        "semdedup_survivors",
-        "embedding_random_projection",
-        "gopher_quality_signals",
-        "lm_quality_buckets",
-        "bigram_lm_scores",
-        "winnow_fingerprints",
-        "boilerplate_spans",
-        "pii_redaction_check",
-        "bm25_topk_docs",
-        "tfidf_top_terms",
-        "dsir_importance_weights",
-        "docs_stratified_sample",
-        "docs_capped_per_source",
-        "docs_rebalanced_mixture",
-        "temperature_mixture_docs",
-        "training_shuffle_docs",
-        "pack_chunks_docs",
-        "pretraining_mix_stats",
-        "lang_token_budget",
-        "value_percentiles",
-        "conversion_funnel",
-        "retention_cohorts",
-    }
-)
-
-# The r16 carryover set, kept so the policy test can assert invariant
-# B (disjointness with _R17_CARRYOVER — no entry sits out twice in a
-# row). All eight rotated back as this round's leads, per contract.
-_R16_CARRYOVER: frozenset[str] = frozenset(
+# The previous round's window (r17: relational/formatter half + the
+# r16 carryovers + the r17 new code), kept for the rotation
+# invariant: a query may ride the back half only if the previous
+# round's driver window verified it (CORRECTNESS_r17: 48/50 green,
+# the 2 non-passes the sanctioned no-oracle rows-only entries).
+_R17_WINDOW: frozenset[str] = frozenset(
     {
         "embedding_quantize_stats",
         "minhash_near_dup_pairs",
@@ -336,49 +296,119 @@ _R16_CARRYOVER: frozenset[str] = frozenset(
         "gopher_filter_stats",
         "top_tokens",
         "docs_train_test_split",
+        "bpe_encoded_token_stats",
+        "incremental_bloom_stats",
+        "cms_top_tokens",
+        "phash_near_dup_pairs",
+        "video_frame_stats",
+        "q2_min_cost_supplier",
+        "q5_region_revenue",
+        "q6_revenue_change",
+        "q7_nation_volume",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q16_brand_supply_gaps",
+        "q18_large_volume_orders",
+        "q19_discounted_revenue",
+        "q20_promo_suppliers",
+        "q21_waiting_suppliers",
+        "q22_wealthy_low_activity",
+        "top_customers_per_nation",
+        "mktsegment_stats",
+        "customers_without_orders",
+        "events_sessions",
+        "rollup_pricing",
+        "order_status_setops",
+        "part_brand_stats",
+        "purchase_attribution",
+        "running_customer_revenue",
+        "tostring_events",
+        "token_stats_by_lang",
+        "lang_id_confusion",
+        "curation_pipeline",
+        "doc_fingerprints",
+        "int8_ann_topk",
+        "unigram_lm_scores",
+        "incremental_exact_survivors",
+        "incremental_minhash_survivors",
+        "multimodal_feature_stats",
+        "media_decode_stats",
+        "jpeg_decode_stats",
+        "exact_substring_strip",
+        "dedup_cluster_sizes",
+        "dup_rate_by_source",
     }
 )
 
-# The 110-entry/100-slot arithmetic, plus the thirteen forced leads
-# (eight returning carryovers + three new entries + two touched-code
-# riders), makes twelve relational-half members sit out this round
-# (policy formula: C = E - 100 + R = 110 - 100 + 2; equivalently 57
-# due-backs + 3 new + 2 riders - 50 slots). Each satisfies invariant
-# C — a thin derivative or component of an entry that IS in this
+# The 110-entry/100-slot arithmetic with sixteen forced leads (twelve
+# returning carryovers + four touched-code riders) makes fourteen
+# flagship-half members sit out this round (policy formula:
+# C = E - 100 + R = 110 - 100 + 4; equivalently 48 due-backs + 4
+# riders + 12 returning leads - 50 slots). Each satisfies invariant C
+# — a thin derivative or component of an entry that IS in this
 # window:
-#   q4_priority_returns — the exists-semi-join component shape of
-#     in-window q21_waiting_suppliers;
-#   q8_market_share — the share-ratio extension of in-window
-#     q7_nation_volume's nation-revenue join tree;
-#   q12_late_shipments — the orders⋈lineitem conditional-agg core of
-#     in-window q10_returned_items' join tree;
-#   q13_order_count_distribution — the histogram extension of
-#     in-window customers_without_orders (q13's count=0 bucket IS
-#     that entry's anti-join set);
-#   q14_promo_revenue — the same lineitem⋈part filtered-revenue scan
-#     shape as in-window q19_discounted_revenue, plus a CASE ratio;
-#   q15_top_supplier — the aggregate-then-join-back-at-max shape of
-#     in-window q2_min_cost_supplier;
-#   q17_small_quantity_revenue — the per-key aggregate-threshold
-#     semi-join sibling of in-window q18_large_volume_orders;
-#   events_hourly — the time-bucket aggregation sibling of in-window
-#     events_sessions over the same events scan;
-#   purchases_near_errors — the window-range join sibling of
-#     in-window purchase_attribution over the same events scan;
-#   lineitem_dispersion — the dispersion-stats sibling of in-window
-#     rollup_pricing (same lineitem scan+groupBy shape);
-#   cosine_topk_scan — the brute-force full-scan sibling of
-#     in-window int8_ann_topk (same embeddings scan + total-order
-#     top-k shape);
-#   approx_distinct_events — the invariant-C special case: its
-#     driver check is rows-only (no-oracle by design), STRICTLY
-#     WEAKER than its own pytest accuracy-contract gate
-#     (test_relational.py), which runs every round regardless of
-#     window membership.
-# All twelve were driver-green in CORRECTNESS_r15 with unchanged plans
-# since, are verified every round by the committed full-registry
-# sf0.01 replay and the pytest oracle gate, and MUST lead the r18
-# window (invariant B).
+#   csv_lines_events / xml_rows_events / ndjson_lines_docs — framing
+#     derivatives of in-window html_rows_events: all four render
+#     through the same display_expr/tostring record pipeline, and the
+#     CSV/XML quoting + JSON framing differences are separately
+#     pinned by goldens and the dual-path byte-parity tests (the same
+#     family argument the r15/r16 windows used with tostring_events
+#     as the parent);
+#   boilerplate_spans — direct component of in-window
+#     winnow_fingerprints (boilerplate = winnow fingerprints shared
+#     by >= 2 docs);
+#   ngram_contamination_check — the same shingle + blocking-key
+#     machinery as in-window ngram_jaccard_pairs, aimed at a
+#     reference set;
+#   paragraph_dedup_docs — paragraph-granularity sibling of in-window
+#     dedup_exact_docs (keep-first-by-hash, plus reassembly);
+#   cosine_topk — the query-side-broadcast sibling of in-window
+#     cosine_topk_scan (identical exact-cosine kernel and total-order
+#     top-k; scan is the strictly heavier face);
+#   tfidf_top_terms — df/idf statistics + top-k over the same token
+#     pipeline as in-window bm25_topk_docs (BM25 composes the same
+#     df/idf stats into the richer scorer);
+#   embedding_random_projection — the projection kernel IS the
+#     hyperplane half of in-window lsh_ann_topk (LSH signatures are
+#     signs of random projections);
+#   lang_token_budget — budget selection ORDERED BY the same
+#     self-trained unigram-LM score that in-window lm_quality_buckets
+#     ntiles (same text.py LM pipeline);
+#   docs_sample_deterministic — the single-stratum form of in-window
+#     docs_stratified_sample (same md5 hash-threshold sampler);
+#   docs_rebalanced_mixture — deterministic-hash source/language
+#     rebalancer like in-window temperature_mixture_docs (alpha
+#     temperature is the richer acceptance curve, same content-hash
+#     selection);
+#   distinct_counts — thin exact-aggregation sibling of the in-window
+#     TPC-H scan+agg shapes (cube_order_stats, value_percentiles);
+#   conversion_funnel — first-event-per-user aggregates over the same
+#     events scan as in-window retention_cohorts (the funnel chains
+#     the same groupBy-min shape three times).
+# All fourteen were driver-green in CORRECTNESS_r16 with unchanged
+# code since (zero touched this round), remain verified every round
+# by the full-registry sf0.01 replay and the pytest oracle sweep, and
+# MUST lead the r19 window (invariant B).
+_R18_CARRYOVER: frozenset[str] = frozenset(
+    {
+        "csv_lines_events",
+        "xml_rows_events",
+        "ndjson_lines_docs",
+        "boilerplate_spans",
+        "ngram_contamination_check",
+        "paragraph_dedup_docs",
+        "cosine_topk",
+        "tfidf_top_terms",
+        "embedding_random_projection",
+        "lang_token_budget",
+        "docs_sample_deterministic",
+        "docs_rebalanced_mixture",
+        "distinct_counts",
+        "conversion_funnel",
+    }
+)
+
 _R17_CARRYOVER: frozenset[str] = frozenset(
     {
         "q4_priority_returns",

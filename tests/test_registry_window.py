@@ -30,9 +30,9 @@ MAX ABSENCE = 2 ROUNDS, asserted mechanically below:
 from __future__ import annotations
 
 from exporter_spark.queries import (
-    _R16_CARRYOVER,
-    _R16_WINDOW,
     _R17_CARRYOVER,
+    _R17_WINDOW,
+    _R18_CARRYOVER,
     DRIVER_WINDOW,
     QUERIES,
 )
@@ -52,13 +52,13 @@ def test_rotation_covers_every_query_within_two_rounds():
     carryover set is the one sanctioned exception; invariant B
     (below) bounds its members' absence at two rounds."""
     uncovered = (
-        set(QUERIES) - set(DRIVER_WINDOW) - _R16_WINDOW - _R17_CARRYOVER
+        set(QUERIES) - set(DRIVER_WINDOW) - _R17_WINDOW - _R18_CARRYOVER
     )
     assert not uncovered, (
         f"queries in neither this round's window nor last round's: "
         f"{sorted(uncovered)} — add them to DRIVER_WINDOW"
     )
-    assert set(DRIVER_WINDOW) | _R16_WINDOW | _R17_CARRYOVER == set(QUERIES)
+    assert set(DRIVER_WINDOW) | _R17_WINDOW | _R18_CARRYOVER == set(QUERIES)
 
 
 def test_window_has_no_duplicates_or_unknowns():
@@ -73,85 +73,85 @@ def test_absence_bound_policy():
     and last round's carryovers all returned as THIS window's leads.
     Invariant D: the carryover count equals exactly what the
     arithmetic forces — E - 100 + R, R being the touched-code riders
-    repeating from the previous window (r17: phash_near_dup_pairs
-    for the operators/phash.py grayscale fix, video_frame_stats for
-    the operators/avi.py frame-geometry refusal)."""
-    assert not (_R17_CARRYOVER & _R16_CARRYOVER)
-    assert not (_R17_CARRYOVER & set(DRIVER_WINDOW))
-    # last round's carryovers lead this window, in positions 0..7
-    assert set(DRIVER_WINDOW[: len(_R16_CARRYOVER)]) == _R16_CARRYOVER
-    riders = set(DRIVER_WINDOW) & _R16_WINDOW
-    assert riders == {"phash_near_dup_pairs", "video_frame_stats"}
-    assert len(_R17_CARRYOVER) == len(QUERIES) - 100 + len(riders)
+    repeating from the previous window (r18: the four r17-window
+    consumers of operators/dedup.py's collapsed-pairs path, whose
+    cache-pin bookkeeping this optimization round changed)."""
+    assert not (_R18_CARRYOVER & _R17_CARRYOVER)
+    assert not (_R18_CARRYOVER & set(DRIVER_WINDOW))
+    # last round's carryovers lead this window, in positions 0..11
+    assert set(DRIVER_WINDOW[: len(_R17_CARRYOVER)]) == _R17_CARRYOVER
+    riders = set(DRIVER_WINDOW) & _R17_WINDOW
+    assert riders == {
+        "minhash_near_dup_pairs",
+        "incremental_minhash_survivors",
+        "dedup_cluster_sizes",
+        "dup_rate_by_source",
+    }
+    assert len(_R18_CARRYOVER) == len(QUERIES) - 100 + len(riders)
 
 
 def test_carryover_parentage():
-    """Invariant C: each r17 carryover's parent entry is in-window
-    (approx_distinct_events is the documented special case — its
-    pytest accuracy gate is stronger than its rows-only driver
-    check)."""
+    """Invariant C: each r18 carryover's parent entry is in-window
+    (the full parentage rationale lives beside _R18_CARRYOVER in
+    queries/__init__.py)."""
     assert len(QUERIES) == 110
     parent_of = {
-        "q4_priority_returns": "q21_waiting_suppliers",
-        "q8_market_share": "q7_nation_volume",
-        "q12_late_shipments": "q10_returned_items",
-        "q13_order_count_distribution": "customers_without_orders",
-        "q14_promo_revenue": "q19_discounted_revenue",
-        "q15_top_supplier": "q2_min_cost_supplier",
-        "q17_small_quantity_revenue": "q18_large_volume_orders",
-        "events_hourly": "events_sessions",
-        "purchases_near_errors": "purchase_attribution",
-        "lineitem_dispersion": "rollup_pricing",
-        "cosine_topk_scan": "int8_ann_topk",
+        "csv_lines_events": "html_rows_events",
+        "xml_rows_events": "html_rows_events",
+        "ndjson_lines_docs": "html_rows_events",
+        "boilerplate_spans": "winnow_fingerprints",
+        "ngram_contamination_check": "ngram_jaccard_pairs",
+        "paragraph_dedup_docs": "dedup_exact_docs",
+        "cosine_topk": "cosine_topk_scan",
+        "tfidf_top_terms": "bm25_topk_docs",
+        "embedding_random_projection": "lsh_ann_topk",
+        "lang_token_budget": "lm_quality_buckets",
+        "docs_sample_deterministic": "docs_stratified_sample",
+        "docs_rebalanced_mixture": "temperature_mixture_docs",
+        "distinct_counts": "cube_order_stats",
+        "conversion_funnel": "retention_cohorts",
     }
-    special = {"approx_distinct_events"}
-    assert _R17_CARRYOVER == set(parent_of) | special
+    assert _R18_CARRYOVER == set(parent_of)
     in_window = set(DRIVER_WINDOW)
     for child, parent in parent_of.items():
         assert parent in in_window, f"{child}'s parent {parent} not in-window"
 
 
-def test_round17_window_holds_the_new_code():
+def test_round18_window_holds_the_new_code():
     """The standing rule: code a round touches sits in-window that
-    round.  Round 17 leads with the eight returning r16 carryovers,
-    then the new bpe_encoded_token_stats (the BPE ENCODE hot path,
-    VERDICT r16 #3), incremental_bloom_stats and cms_top_tokens (the
-    Bloom and CMS halves of VERDICT r16 #5), then the two
-    touched-code riders:
-    phash_near_dup_pairs (grayscale fix, ADVICE r16) and
-    video_frame_stats (AVI frame-geometry refusal, hypothesis
-    corruption-fuzz find)."""
-    assert DRIVER_WINDOW[:13] == (
-        "embedding_quantize_stats",
+    round.  Round 18 (optimization round 2 — no new entries) leads
+    with the twelve returning r17 carryovers, then the four
+    touched-code riders (operators/dedup.py's collapsed-pairs path
+    gained cache-pin bookkeeping, so its r17-window consumers
+    re-verify), then the flagship half — starting with the touched
+    path's other consumers (minhash_dedup_survivors, dedup_clusters)
+    and q1, whose spread this round's cold-JVM A/B re-adjudicated and
+    kept."""
+    assert DRIVER_WINDOW[12:19] == (
         "minhash_near_dup_pairs",
-        "embedding_near_dup_banded",
-        "ivf_ann_topk",
-        "semdedup_survivors_greedy",
-        "gopher_filter_stats",
-        "top_tokens",
-        "docs_train_test_split",
-        "bpe_encoded_token_stats",
-        "incremental_bloom_stats",
-        "cms_top_tokens",
-        "phash_near_dup_pairs",
-        "video_frame_stats",
-    )
-    # spot-check the relational/formatter half rotated back
-    first_50 = set(list(QUERIES)[:50])
-    assert {
-        "q2_min_cost_supplier",
-        "q22_wealthy_low_activity",
-        "tostring_events",
-        "incremental_exact_survivors",
         "incremental_minhash_survivors",
-        "jpeg_decode_stats",
-        "media_decode_stats",
-        "curation_pipeline",
+        "dedup_cluster_sizes",
+        "dup_rate_by_source",
+        "minhash_dedup_survivors",
+        "dedup_clusters",
+        "q1_pricing_summary",
+    )
+    first_50 = set(list(QUERIES)[:50])
+    # spot-check the flagship half rotated back and the q1/q3 canaries
+    # ride it (odd/even alternation)
+    assert {
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "winnow_fingerprints",
+        "lsh_ann_topk",
+        "semdedup_survivors",
+        "bpe_merges_learned",
+        "gif_decode_stats",
+        "pretraining_mix_stats",
     } <= first_50
-    # the q1/q3 canaries ride the flagship half (odd/even
-    # alternation) — OUT this round, back with it in r18
-    assert "q1_pricing_summary" not in first_50
-    assert "q1_pricing_summary" in _R16_WINDOW
+    # the relational/formatter half is OUT this round, back in r19
+    assert "tostring_events" not in first_50
+    assert "tostring_events" in _R17_WINDOW
 
 
 def test_back_half_is_oracle_gated():
