@@ -457,15 +457,20 @@ def incremental_minhash_dedup(
                 shingle_n=shingle_n, family=family,
             ),
         )
-    # Both returned frames consume `batch` (survivors directly, and
-    # sig_append through the signature semi-join), and the store path
-    # adds the band-probe branch — Spark shares nothing across
-    # branches (the round-4/10 cross-branch audits), so the
-    # multi-consumer frames are pinned in BOTH modes (round-11 review
-    # extended this to the bootstrap path). Delta-sized caches
-    # (batch: survivor rows; rep sigs / sigs: id + num_hashes
-    # bigints/doc, no text), MEMORY_AND_DISK, released by the
-    # caller's cache_scope.
+    # Pinning policy (multi-consumer frames only — Spark shares
+    # nothing across branches, the round-4/10 cross-branch audits):
+    # `sigs` is pinned in both modes (store path consumes it twice —
+    # band probe + sig_append; bootstrap returns it as the store,
+    # documented pinned since r11). `batch` is pinned ONLY on the
+    # bootstrap path, where it is a documented pinned return: since
+    # the r17 keep-representatives fusion rerouted sig_append to
+    # anti-join `losers` directly, the against-store path consumes
+    # batch exactly ONCE (survivors = batch ∖ matched), so its
+    # materialize there was a corpus-delta-sized cache (document TEXT
+    # included) written for a single read — pure memory cost at
+    # 100 TB (guide §5: cache only what is reused) — removed r18.
+    # Delta-sized caches (sigs: id + num_hashes bigints/doc, no
+    # text), MEMORY_AND_DISK, released by the caller's cache_scope.
     if threshold > 1.0:
         # degenerate: no pair can satisfy the threshold, exact dups
         # all survive, and survivors ⊄ reps — keep the two-pass shape
@@ -504,7 +509,13 @@ def incremental_minhash_dedup(
         losers = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )
-        batch = materialize(new_df.join(losers, id_col, "left_anti"))
+        batch = new_df.join(losers, id_col, "left_anti")
+        if seen_sigs is None:
+            # bootstrap: batch is a documented pinned RETURN (r11) —
+            # the caller may consume it any number of times. On the
+            # against-store path below it stays lazy (single
+            # consumer; see the pinning-policy note above).
+            batch = materialize(batch)
         sigs = materialize(
             rep_sigs.where(F.col(id_col).isNotNull())
             .join(losers, id_col, "left_anti")
