@@ -19,8 +19,13 @@ pass over the corpus. "Executed" (round 10): FileScan nodes outside
 any InMemoryRelation subtree — a cached plan prints its child subtree
 under every consumer, so the raw text count rises exactly when a
 materialize() REMOVES corpus passes (the r10 tagged-frame persist
-doubled the raw count while cutting wall time 32%); the shared parser
-in tools/scan_audit.py skips those reprints on both sides of the gate.
+doubled the raw count while cutting wall time 32%). Round 18: counted
+by the exact JVM plan-tree walk (scan_audit.executed_scans_tree) on
+both sides of the gate — the r10 string parser mis-ended its
+InMemoryRelation skip at the DEDENTED "== Final Plan ==" sections an
+executed cached subtree prints, counting cache reprints as executed
+scans; the snapshot (r18_scan_audit_sf0.001.txt) was regenerated with
+the tree walk on the same tree.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ _AUDIT = (
     pathlib.Path(__file__).parent.parent
     / "tools"
     / "audits"
-    / "r12_scan_audit_sf0.001.txt"
+    / "r18_scan_audit_sf0.001.txt"
 )
 
 # The sentinels: the minhash pair pipeline (double-eval trap lives
@@ -103,14 +108,21 @@ def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
     # and run-to-completion coverage of every registry query already
     # lives in test_queries_oracle.py — repeating it per sentinel
     # only added wall time (ADVICE r09).
-    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    jplan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    plan = jplan.toString()
     import sys
 
     sys.path.insert(0, str(_AUDIT.parent.parent))
-    from scan_audit import executed_file_scans
+    from scan_audit import executed_scans_tree
 
+    # Exact JVM tree walk (r18): the r10 string parser was fooled by
+    # nested-AQE "== Final Plan ==" section dedents inside executed
+    # cache-definition reprints — it read incremental_minhash_survivors
+    # as 7 executed scans where the tree holds exactly 1 (the narrow
+    # (doc_id, lang, source) delta scan that r18 deliberately traded
+    # for the text-bearing batch cache; see scan_audit.py docstrings).
     got = {
-        "FileScan": executed_file_scans(plan),
+        "FileScan": executed_scans_tree(jplan),
         "InMem": plan.count("InMemoryTableScan"),
         "Reused": plan.count("ReusedExchange"),
     }

@@ -18,12 +18,16 @@ this writes using the identical parse, so the gate is consistent:
                       raw text count double-counted cached plans —
                       InMemoryRelation prints its child subtree, so a
                       materialize() that REMOVED corpus passes showed
-                      up as the FileScan count doubling. The parser
-                      below skips everything under an
-                      InMemoryRelation node; RawFileScan keeps the
-                      old text count for reference. Snapshots from
-                      r07-r09 used the raw count — diffs across the
-                      r10 boundary must compare RawFileScan.)
+                      up as the FileScan count doubling. Round 18:
+                      counted by an exact JVM plan-tree walk,
+                      ``executed_scans_tree`` — the r10 string parser
+                      was fooled by nested-AQE ``== Final Plan ==``
+                      section dedents inside executed cache reprints
+                      and remains only for r07–r17 snapshot diffs.
+                      RawFileScan keeps the raw text count for
+                      reference. Snapshots from r07-r09 used the raw
+                      count — diffs across the r10 boundary must
+                      compare RawFileScan.)
   InMemoryTableScan   branches served from a materialize()d frame
   ReusedExchange      runtime exchange dedup
 
@@ -54,7 +58,18 @@ def executed_file_scans(plan: str) -> int:
     """FileScan nodes OUTSIDE any InMemoryRelation subtree — the scans
     that actually read files when the plan runs (the cached subtree
     executes once at cache build; its printout under every
-    InMemoryTableScan consumer is description, not execution)."""
+    InMemoryTableScan consumer is description, not execution).
+
+    KNOWN OVERCOUNT (r18): an already-executed cached subtree prints
+    nested ``AdaptiveSparkPlan isFinalPlan=true`` sections whose
+    ``== Final Plan ==`` / ``== Initial Plan ==`` blocks are DEDENTED
+    below the InMemoryRelation's own indent, so the indentation-based
+    skip ends early and the cache-definition reprint is counted as
+    executed (incremental_minhash_survivors read 7 where the real
+    count is 1). Kept only for diffs against the r07–r17 snapshots;
+    the gate and the r18+ snapshots use :func:`executed_scans_tree`,
+    which walks the actual JVM plan tree and cannot be fooled by
+    string layout."""
     n = 0
     skip_deeper_than: int | None = None
     for i, line in enumerate(plan.splitlines()):
@@ -71,6 +86,41 @@ def executed_file_scans(plan: str) -> int:
             continue
         if "FileScan" in line:
             n += 1
+    return n
+
+
+def executed_scans_tree(jplan) -> int:
+    """Exact executed-file-scan count: walk the JVM SparkPlan tree
+    (``df._jdf.queryExecution().executedPlan()``) and count file-source
+    scan nodes. Cached subtrees are excluded STRUCTURALLY —
+    ``InMemoryTableScanExec`` is a leaf whose cached plan hangs off
+    ``relation.cachedPlan``, not ``children()``, so a child walk never
+    enters a cache definition; the string printout that fooled
+    :func:`executed_file_scans` (nested-AQE section dedent) is display
+    only. ``AdaptiveSparkPlanExec`` is likewise a leaf wrapper — its
+    pre-execution tree is reached through ``inputPlan()``; QueryStage
+    wrappers (present only inside already-final subplans) are unwrapped
+    through ``plan()``."""
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if "FileSourceScan" in cls or "BatchScan" in cls:
+            n += 1
+            continue
+        if "AdaptiveSparkPlan" in cls:
+            stack.append(node.inputPlan())
+            continue
+        if "QueryStage" in cls:
+            try:
+                stack.append(node.plan())
+            except Exception:  # noqa: BLE001 — unknown stage wrapper
+                pass
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
     return n
 
 
@@ -106,9 +156,15 @@ def main() -> None:
                 # reads the same pre-execution plan and deliberately
                 # skips the execution (ADVICE r09).
                 df.write.format("noop").mode("overwrite").save()
-                plan = df._jdf.queryExecution().executedPlan().toString()
+                jplan = df._jdf.queryExecution().executedPlan()
+                plan = jplan.toString()
+                # FileScan from the exact tree walk (r18 — the string
+                # parser overcounts cache reprints under nested-AQE
+                # section dedents); RawFileScan/InMem/Reused stay
+                # text counts for cross-round diffability.
+                n_exec = executed_scans_tree(jplan)
             print(
-                f"{name}: FileScan={executed_file_scans(plan)} "
+                f"{name}: FileScan={n_exec} "
                 f"RawFileScan={plan.count('FileScan')} "
                 f"InMem={plan.count('InMemoryTableScan')} "
                 f"Reused={plan.count('ReusedExchange')}"
