@@ -133,3 +133,48 @@ def test_sentinel_plan_shape_within_snapshot(spark, sf_dir, name):
         "over the corpus; see tools/audits/ and BASELINE.md r04 for the "
         "last such regression"
     )
+
+
+def test_tree_walk_counts_scans_structurally(spark, sf_dir):
+    """Pin executed_scans_tree's semantics on constructed plans:
+
+    * an uncached aggregate over one parquet table = 1 executed scan;
+    * a self-join of the scan = 2 (each side really reads the file);
+    * a join against a CACHED aggregate = 1, and — the case that broke
+      the r10 string parser — it STAYS 1 after the cached subtree has
+      executed, when its InMemoryRelation printout grows nested
+      'AdaptiveSparkPlan isFinalPlan=true' sections whose dedented
+      '== Final/Initial Plan ==' blocks defeat indentation-based
+      skipping. The tree walk never enters cache definitions
+      (InMemoryTableScanExec is a leaf), so execution state of the
+      cache cannot change its count.
+    """
+    import sys
+
+    sys.path.insert(0, str(_AUDIT.parent.parent))
+    from scan_audit import executed_scans_tree
+
+    from pyspark.sql import functions as F
+
+    def n_scans(df):
+        return executed_scans_tree(
+            df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_scans(base.groupBy("lang").count()) == 1
+    a, b = base.alias("a"), base.alias("b")
+    assert (
+        n_scans(a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))) == 2
+    )
+
+    cached = base.groupBy("lang").count().persist()
+    try:
+        joined = base.join(cached, "lang")
+        assert n_scans(joined) == 1  # cache not yet executed
+        cached.count()  # materialize -> nested final-AQE printout
+        # rebuild the consumer so the plan picks up the executed cache
+        joined2 = base.join(cached, "lang")
+        assert n_scans(joined2) == 1
+    finally:
+        cached.unpersist(blocking=True)
